@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced to full materialization with the noop sink (no
+driver-side collect, no Arrow transfer cost in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mysql_public_data_ingestor_spark.registry import all_queries
+from mysql_public_data_ingestor_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q5_revenue_by_nation",
+    "q3_shipping_priority",
+    "window_topk_orders_per_customer",
+    "window_running_revenue",
+    "events_tumbling_hourly",
+    "events_sessionization",
+    "dedup_minhash_lsh",
+    "dedup_normalized_hash",
+    "knn_brute_cosine",
+    "text_tfidf_top_terms",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark("bench")
+    specs = all_queries()
+
+    # warm the JVM + parquet footers with one cheap query
+    specs["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

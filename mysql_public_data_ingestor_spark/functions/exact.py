@@ -1,0 +1,52 @@
+"""Cross-engine exact aggregation of floating-point measures.
+
+Problem: ``round(sum(double_expr), 2)`` is NOT reproducible across
+engines — summation order differs (partitioned partial aggregation vs
+single-threaded), leaving ~1e-9 noise, and Spark's round (BigDecimal via
+Double.toString, HALF_UP) disagrees with DuckDB's float rounding exactly
+at half boundaries. Computed measures like ``price * (1 - discount)``
+have 4+ decimal digits, so half-boundaries are common and value-hash
+comparisons flip.
+
+Fix: quantize per row, aggregate integers.
+
+    per-row:  CAST(floor(expr * 10^k + 0.5) AS BIGINT)
+    agg:      SUM(...)  -- exact int64 arithmetic, order-independent
+    output:   scaled_sum / 10^k  -- identical double on both engines
+
+``floor`` on bitwise-identical doubles is bitwise identical (both
+engines evaluate the same IEEE-754 expression tree over the same parquet
+doubles), so every step is reproducible. int64 headroom: at scale 4 a
+1e5-magnitude measure leaves room for ~9e9 rows per group; use the
+smallest scale that preserves the measure's true decimals.
+
+The DuckDB twin of ``exact_sum(e, k)``:
+    ``sum(CAST(floor(e * 10000.0 + 0.5) AS BIGINT)) / 10000.0``
+(`sql_exact_sum` renders it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def quantize(expr: Column, scale: int) -> Column:
+    """Per-row fixed-point quantization -> int64."""
+    return F.floor(expr * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
+
+
+def exact_sum(expr: Column, scale: int = 4) -> Column:
+    """Order-independent SUM of a double measure, exact across engines."""
+    return F.sum(quantize(expr, scale)) / F.lit(float(10**scale))
+
+
+def exact_sum_window(expr: Column, window, scale: int = 4) -> Column:
+    """Windowed exact sum (e.g. running totals)."""
+    return F.sum(quantize(expr, scale)).over(window) / F.lit(float(10**scale))
+
+
+def sql_exact_sum(sql_expr: str, scale: int = 4) -> str:
+    """DuckDB twin of ``exact_sum`` for oracle SQL strings."""
+    m = f"{float(10 ** scale)!r}"
+    return f"sum(CAST(floor(({sql_expr}) * {m} + 0.5) AS BIGINT)) / {m}"

@@ -1,0 +1,63 @@
+"""Text normalization / shingling column expressions.
+
+Everything here is a pure ``pyspark.sql.functions`` composition — JVM
+side, whole-stage-codegen'd, no Python in the hot path. Each helper has
+an exact DuckDB-SQL twin (documented inline) so dedup/text queries can
+be oracle-verified value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: Column) -> Column:
+    """lower + trim + collapse runs of whitespace to single spaces.
+
+    DuckDB twin: ``trim(regexp_replace(lower(x), '\\s+', ' ', 'g'))``
+    """
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def whitespace_tokens(col: Column) -> Column:
+    """Split normalized text on single spaces -> array<string>.
+
+    DuckDB twin: ``string_split(<normalized>, ' ')``
+    """
+    return F.split(normalized_text(col), " ")
+
+
+def word_shingles(tokens: Column, k: int) -> Column:
+    """k-word shingles (space-joined) from a token array -> array<string>.
+
+    For ``n`` tokens produces ``max(n - k + 1, 0)`` shingles; documents
+    shorter than ``k`` tokens produce an empty array.
+
+    DuckDB twin (1-based list slicing)::
+
+        [array_to_string(toks[i:i+K-1], ' ')
+         for i in range(1, greatest(len(toks) - K + 1, 0))]
+    """
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
+
+
+def sha256_hex(col: Column) -> Column:
+    """Lower-case hex SHA-256 — identical in Spark and DuckDB.
+
+    DuckDB twin: ``sha256(x)``
+    """
+    return F.sha2(col, 256)
+
+
+def sha256_prefix_i64(col: Column) -> Column:
+    """First 15 hex chars of sha256 parsed as a (positive) int64.
+
+    A portable deterministic 60-bit hash: Spark and DuckDB produce the
+    same value, unlike xxhash64 / hash() which are engine-specific.
+
+    DuckDB twin: ``(('0x' || substr(sha256(x), 1, 15)))::BIGINT``
+    """
+    return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")

@@ -1,0 +1,394 @@
+"""Deduplication operators over ``documents`` / ``embeddings``:
+
+- exact dedup (hash groupBy),
+- normalized-content hash dedup,
+- MinHash + LSH near-dup (shingle -> minhash signature -> band ->
+  bucket self-join -> exact-Jaccard verify),
+- SimHash fingerprints (bit-vote over token hashes),
+- bucketed exact n-gram Jaccard pairs,
+- embedding-cosine near-dup.
+
+Portability: every hash is sha256-derived (identical in Spark and
+DuckDB), so even MinHash-LSH and SimHash are oracle-verified
+value-for-value — not just row counts.
+
+Scale: the LSH design is the 100 TB path — candidate generation is an
+equi-join on band keys (shuffle on narrow string keys, no O(n^2)
+crossJoin anywhere); exact verification runs only on bucket-collision
+pairs. Band width/count trade recall vs candidate volume; both are
+module constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textnorm import (
+    normalized_text,
+    sha256_hex,
+    sha256_prefix_i64,
+    whitespace_tokens,
+    word_shingles,
+)
+from ..registry import register
+from ..tables import Tables
+
+SHINGLE_K = 3          # words per shingle
+N_MINHASH = 8          # signature length
+N_BANDS = 4            # LSH bands (rows per band = N_MINHASH // N_BANDS)
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 60      # bits recoverable from a 15-hex-char sha prefix
+COSINE_DUP_THRESHOLD = 0.3
+
+# DuckDB snippet producing (doc_id, shingles) — the twin of
+# word_shingles(whitespace_tokens(text), SHINGLE_K) + array_distinct.
+_SQL_SHINGLES = f"""
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - {SHINGLE_K - 1}, 0) + 1),
+               i -> array_to_string(toks[i:i+{SHINGLE_K - 1}], ' '))) AS shingles
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents)
+"""
+
+
+@register(
+    "dedup_exact_text",
+    oracle="""
+    SELECT text, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group identical content, keep min doc_id.
+
+    (A groupBy, not ``dropDuplicates``, so the surviving representative
+    is deterministic — dropDuplicates keeps an arbitrary row.)
+    """
+    t = Tables(spark, sf_dir)
+    return t.documents.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@register(
+    "dedup_normalized_hash",
+    oracle="""
+    SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_normalized_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on a normalized-content hash.
+
+    At 100 TB this is the first-pass dedup: shuffle carries 64-byte
+    hashes instead of document bodies.
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select("doc_id", sha256_hex(normalized_text(F.col("text"))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# Universal-hash family over a portable sha256-derived base hash:
+#   base(s) = sha256_prefix_i64(s) % P;  h_i(s) = (A_i * base + B_i) % P
+# P = 2^31 - 1 keeps every intermediate < 2^62, so the arithmetic is
+# exact (no overflow) in both Spark and DuckDB int64.
+MERSENNE_P = 2147483647
+HASH_AB = [
+    (1103515245, 12345),
+    (1299721, 54321),
+    (2246822519, 7919),
+    (2654435761, 104729),
+    (805459861, 130363),
+    (3266489917, 39916801),
+    (374761393, 268435399),
+    (668265263, 987654323),
+]
+# reduce A_i mod P up front so A_i * base < 2^62
+HASH_AB = [(a % MERSENNE_P, b % MERSENNE_P) for a, b in HASH_AB[:N_MINHASH]]
+
+
+def _base_hashes(shingles_col):
+    """shingle array -> int64 base-hash array (one sha256 per shingle)."""
+    return F.transform(shingles_col, lambda s: sha256_prefix_i64(s) % MERSENNE_P)
+
+
+def _minhash_cols(bases_col):
+    """base-hash array -> minhash columns h0..h{N-1}.
+
+    The sha256 is computed once per shingle (in ``_base_hashes``); each
+    signature slot is then two integer ops per shingle.
+    NB: F.transform inspects lambda arity, so the (a, b) constants are
+    bound via a closure factory, never extra lambda params.
+    """
+
+    def hash_fn(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P
+
+    return [
+        F.array_min(F.transform(bases_col, hash_fn(a, b))).alias(f"h{i}")
+        for i, (a, b) in enumerate(HASH_AB)
+    ]
+
+
+def _sql_minhash(i: int) -> str:
+    a, b = HASH_AB[i]
+    base = f"(('0x' || substr(sha256(s), 1, 15))::BIGINT % {MERSENNE_P})"
+    return (
+        f"list_min(list_transform(shingles, s -> ({a} * {base} + {b}) % {MERSENNE_P})) AS h{i}"
+    )
+
+
+def _minhash_lsh_oracle() -> str:
+    hcols = ",\n             ".join(_sql_minhash(i) for i in range(N_MINHASH))
+    bcols = ", ".join(
+        "concat("
+        + ", ',', ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + f") AS b{b}"
+        for b in range(N_BANDS)
+    )
+    bmatch = " OR ".join(f"a.b{b} = b.b{b}" for b in range(N_BANDS))
+    return f"""
+    WITH norm AS (
+{_SQL_SHINGLES}
+    ), sigs AS (
+      SELECT doc_id, shingles,
+             {hcols}
+      FROM norm WHERE len(shingles) > 0
+    ), banded AS (
+      SELECT doc_id, shingles, {bcols} FROM sigs
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.shingles AS sa, b.shingles AS sb
+      FROM banded a JOIN banded b
+        ON a.doc_id < b.doc_id AND ({bmatch})
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(sa, sb)) * 1.0
+                 / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard
+    FROM cand
+    WHERE round(len(list_intersect(sa, sb)) * 1.0
+                / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+
+    Pipeline: shingle (3-word) -> 8 sha256-minhashes -> 4 bands of 2 ->
+    equi-self-join per band -> union+distinct candidates -> exact
+    Jaccard on the candidate pairs only -> threshold filter.
+
+    The band joins are plain equi-joins on short strings — at 100 TB
+    each is one shuffle on the band key, and AQE splits skewed buckets.
+    No crossJoin exists in this plan.
+    """
+    t = Tables(spark, sf_dir)
+    toks = whitespace_tokens(F.col("text"))
+    # CPU-bound per-row pipeline: repartition so parallelism is cores,
+    # not parquet splits. The shingle pipeline is recomputed per join
+    # branch — with the one-sha256-per-shingle design that recompute is
+    # cheaper than caching the string arrays (columnar cache
+    # serialization of array<string> costs more than the compute).
+    norm = (
+        t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.array_distinct(word_shingles(toks, SHINGLE_K)).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    sigs = norm.withColumn("bases", _base_hashes(F.col("shingles"))).select(
+        "doc_id", "shingles", *_minhash_cols(F.col("bases"))
+    )
+    band_cols = [
+        F.concat_ws(",", *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias(
+            f"b{b}"
+        )
+        for b in range(N_BANDS)
+    ]
+    # one (band_id, band_key) row per doc per band -> a single equi-join
+    # on (band_id, key); identical left/right subtrees let Spark reuse
+    # the shuffle exchange instead of hashing shingles once per band.
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_key"),
+    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    cand = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    a = norm.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    b_ = norm.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = F.round(inter / union, 6)
+    return (
+        cand.join(a, "doc_a")
+        .join(b_, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _simhash_oracle() -> str:
+    # per-token 60-bit portable hash, then a sign-vote per bit
+    bit_votes = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS token
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(sha256(token), 1, 15))::BIGINT AS h
+      FROM toks
+    )
+    SELECT doc_id, ({bit_votes}) AS simhash
+    FROM hashed
+    GROUP BY doc_id
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints (60-bit, portable sha256 token hash).
+
+    Explode distinct tokens, hash each to 60 bits, majority-vote each
+    bit, reassemble. One explode + one groupBy(doc_id) — shuffle volume
+    is one long per (doc, token), aggregated map-side first.
+    """
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(whitespace_tokens(F.col("text")))).alias("token"),
+    )
+    hashed = toks.select("doc_id", sha256_prefix_i64(F.col("token")).alias("h"))
+    vote = sum(
+        F.when(
+            F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)) > 0,
+            F.lit(1).cast("long") * (1 << b),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(SIMHASH_BITS)
+    )
+    return hashed.groupBy("doc_id").agg(vote.alias("simhash"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH norm AS (
+{_SQL_SHINGLES}
+    ), keyed AS (
+      SELECT n.doc_id, d.lang, d.n_chars // 100 AS len_bucket, n.shingles
+      FROM norm n JOIN documents d USING (doc_id)
+      WHERE len(n.shingles) > 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM keyed a JOIN keyed b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+                / (len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-word shingle) Jaccard over blocked candidates.
+
+    Blocking key = (lang, length-bucket): the exact-similarity
+    complement to LSH when a cheap natural blocking key exists. The
+    self-join is an equi-join on the block key — no crossJoin.
+    """
+    t = Tables(spark, sf_dir)
+    toks = whitespace_tokens(F.col("text"))
+    keyed = t.documents.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        F.array_distinct(word_shingles(toks, SHINGLE_K)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "len_bucket",
+        F.col("shingles").alias("sa"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("len_bucket").alias("len_bucket_b"),
+        F.col("shingles").alias("sb"),
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = F.round(inter / union, 6)
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("len_bucket") == F.col("len_bucket_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+          >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label.
+
+    Blocking by a cluster/label key keeps the pairwise work inside
+    blocks (the IVF idea); the cosine itself is pure `F.aggregate`/
+    `zip_with` arithmetic — JVM-side, no UDF.
+    """
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.col("va"), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col("vb"), F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = F.round(dot / (na * nb), 6)
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", "label", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )

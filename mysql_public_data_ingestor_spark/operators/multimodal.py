@@ -1,0 +1,134 @@
+"""Multimodal column handling: opaque ``binary`` payloads with typed
+metadata, decoded/feature-extracted via Arrow-batched pandas on
+``mapInPandas``.
+
+The container has no image/audio libraries, so the *decode* step is a
+clearly marked deterministic fake (`_fake_decode_dims`) / a
+``NotImplementedError`` real path — but the Spark-side plumbing is real
+and tested: binary column construction, schema, partition-preserving
+``mapInPandas`` with Arrow batches, and metadata extraction.
+
+Scale: payload bytes never leave the executor; metadata-only projections
+prune the binary column out of the scan entirely (check ReadSchema in
+the plan), which at 100 TB is the difference between scanning metadata
+and scanning every image.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import Tables
+
+DECODE_AVAILABLE = False  # no PIL/ffmpeg in this container — stubbed
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))          AS payload_bytes,
+           sha256(text)                        AS payload_sha,
+           ascii(substr(text, 1, 1))           AS header_byte,
+           CASE WHEN octet_length(encode(text)) >= 256 THEN 'blob' ELSE 'inline' END
+                                               AS storage_class
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata extraction (JVM-side only).
+
+    The fixture has no binary column, so the payload is
+    ``encode(text, 'utf-8')`` — the shape (binary column + metadata
+    projection) is what matters.
+    """
+    t = Tables(spark, sf_dir)
+    payload = F.encode(F.col("text"), "utf-8")
+    return t.documents.select(
+        "doc_id",
+        F.octet_length(payload).alias("payload_bytes"),
+        F.sha2(F.col("text"), 256).alias("payload_sha"),
+        F.ascii(F.substring("text", 1, 1)).alias("header_byte"),
+        F.when(F.octet_length(payload) >= 256, "blob").otherwise("inline").alias("storage_class"),
+    )
+
+
+def _fake_decode_dims(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decoder: (width, height, channels) from bytes.
+
+    STUB — stands in for PIL.Image.open / av frame decode, which are not
+    in this container. Derives stable pseudo-dimensions from payload
+    length and first bytes so tests are reproducible.
+    """
+    n = len(payload)
+    w = 64 + (n % 512)
+    h = 64 + ((payload[0] if n else 0) * 7 % 512)
+    return (w, h, 3)
+
+
+def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode a binary image column into (width, height, channels, n_bytes).
+
+    Real path raises NotImplementedError (no codec libs here); the fake
+    path exercises the full Spark plumbing: Arrow batches in/out,
+    partition-preserving mapInPandas, stable output schema.
+    """
+    out_schema = (
+        "doc_id long, n_bytes long, width int, height int, channels int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if DECODE_AVAILABLE:
+                raise NotImplementedError("real image decode requires PIL/libav")
+            payloads = pdf[payload_col]
+            dims = [_fake_decode_dims(p if p is not None else b"") for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in payloads],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+@register("multimodal_decode_stub", oracle=None)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode pipeline over fake binary payloads (rows-only
+    check: the decode itself is a stub; plumbing is what's exercised)."""
+    t = Tables(spark, sf_dir)
+    with_payload = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return decode_images(with_payload)
+
+
+def sample_frames(df: DataFrame, payload_col: str, every_n_bytes: int = 1024) -> DataFrame:
+    """'Frame sampling' over an opaque video-ish payload: emit one row
+    per frame offset (0, every_n_bytes, ...). Demonstrates the
+    1-row-in/N-rows-out mapInPandas shape used for video frame extraction.
+    """
+    out_schema = "doc_id long, frame_no int, frame_offset long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "frame_no": [], "frame_offset": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                n = len(payload) if payload is not None else 0
+                for i, off in enumerate(range(0, n, every_n_bytes)):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(i)
+                    rows["frame_offset"].append(off)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=out_schema)

@@ -1,0 +1,130 @@
+"""Similarity search over the ``embeddings`` table.
+
+- ``knn_brute_cosine``: exact top-k cosine for a small query set —
+  broadcast the queries against the corpus (the correct baseline at any
+  scale: corpus-side stays partitioned, query side is tiny).
+- ``ann_lsh_bucketed``: random-hyperplane LSH bucketing — the 100 TB
+  path: candidates come from an equi-join on the bucket signature, so
+  per-query work is bucket-sized, not corpus-sized. (Rows-only check:
+  the hyperplanes are deterministic but the construction is not
+  SQL-expressible concisely.)
+
+All vector math is built-in ``F.aggregate`` / ``F.zip_with`` over
+``array<double>`` — JVM-side, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import Tables
+
+N_QUERIES = 5       # fixture query set: vec_id < N_QUERIES
+TOP_K = 10
+N_PLANES = 8        # LSH signature bits
+DIM = 64
+
+
+def cosine(va, vb):
+    """cosine(va, vb) as a JVM-side column expression over array<double>."""
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    na = F.sqrt(F.aggregate(va, F.lit(0.0), lambda a, x: a + x * x))
+    nb = F.sqrt(F.aggregate(vb, F.lit(0.0), lambda a, x: a + x * x))
+    return dot / (na * nb)
+
+
+@register(
+    "knn_brute_cosine",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+               AS cosine
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for a fixed query set.
+
+    The query side (5 vectors) is broadcast; the corpus scan stays
+    partitioned and each partition computes scores + its local top-k
+    before the per-query window takes the global top-k. Deterministic
+    tie-break: (rounded score desc, vec_id asc).
+    """
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no RNG state; pure math).
+
+    plane[p][d] = sin(1 + (p * DIM + d) * 12.9898) — the classic
+    shader-noise construction; fixed, reproducible, direction-diverse.
+    """
+    return [
+        [math.sin(1.0 + (p * DIM + d) * 12.9898) for d in range(DIM)]
+        for p in range(N_PLANES)
+    ]
+
+
+@register("ann_lsh_bucketed", oracle=None)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: bucket signature + bucket stats.
+
+    Returns (bucket, n_vectors, sample_min_vec_id) — the bucketing stage
+    of the scale path. A full ANN query then equi-joins query signatures
+    to bucket members (bucket-local brute force), replacing the O(n)
+    scan per query with O(bucket).
+
+    Rows-only check: sign-of-dot-product bucketing is deterministic but
+    not concisely SQL-expressible; correctness of the underlying cosine
+    math is covered by ``knn_brute_cosine``.
+    """
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    planes = _hyperplanes()
+    bits = []
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(x) for x in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    sig = F.concat(*bits)
+    return (
+        emb.withColumn("bucket", sig)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("sample_min_vec_id"),
+        )
+    )

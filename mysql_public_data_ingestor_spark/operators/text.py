@@ -1,0 +1,307 @@
+"""Text-analysis operators over the ``documents`` table: statistics,
+quality scoring, language-ID heuristic, regex token counting, document
+fingerprinting, tf-idf.
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (JVM,
+codegen) — no Python UDFs. Hashes use sha256 (portable across engines)
+instead of xxhash64/murmur so every op is oracle-verifiable.
+
+Scale: each query is scan -> project -> (optional groupBy). The only
+shuffles are on low-cardinality keys (lang) or token ids; at 100 TB the
+explode-based token ops produce wide intermediate rows but never a
+driver-side collect, and partial aggregation keeps shuffle volume to
+distinct-key counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.textnorm import normalized_text, sha256_hex, whitespace_tokens, word_shingles
+from ..registry import register
+from ..tables import Tables
+
+# Deterministic "BPE-ish" token pattern: letter runs, digit runs, single
+# punctuation. Uses only RE2-and-Java-compatible constructs so the Spark
+# and DuckDB regex engines agree.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny deterministic stopword list present in the fixture vocabulary.
+STOPWORDS = ("the", "a", "of", "and", "in")
+
+# Marker-word table for the language-ID heuristic (n-gram/keyword
+# voting). Built from one shared Python constant so the Spark plan and
+# the oracle SQL are generated from the same facts.
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "los", "que"),
+    "zh": ("de", "shi", "le"),
+}
+
+
+@register(
+    "text_stats_by_lang",
+    oracle="""
+    SELECT lang, source,
+           count(*)                                                      AS n_docs,
+           round(avg(n_chars), 2)                                        AS avg_chars,
+           round(avg(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))), 2)
+                                                                         AS avg_tokens,
+           min(n_chars)                                                  AS min_chars,
+           max(n_chars)                                                  AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per (lang, source): doc/char/token counts."""
+    t = Tables(spark, sf_dir)
+    toks = whitespace_tokens(F.col("text"))
+    return (
+        t.documents.withColumn("n_tokens", F.size(toks))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select("lang", "source", "n_docs", "avg_chars", "avg_tokens", "min_chars", "max_chars")
+    )
+
+
+def _quality_oracle() -> str:
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             length(text) AS n_chars_exact,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           n_chars_exact                                                   AS n_chars,
+           len(words)                                                      AS n_words,
+           round(n_chars_exact * 1.0 / len(words), 4)                      AS avg_word_len,
+           round(len(list_filter(words, w -> w IN ({stop_in}))) * 1.0
+                 / len(words), 4)                                          AS stopword_ratio,
+           round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                 / greatest(n_chars_exact, 1), 4)                          AS punct_ratio,
+           CASE WHEN len(words) >= 20
+                 AND len(list_filter(words, w -> w IN ({stop_in}))) * 1.0
+                     / len(words) BETWEEN 0.0 AND 0.6
+                THEN 1 ELSE 0 END                                          AS passes_quality
+    FROM toks
+    """
+
+
+@register("text_quality_scores", oracle=_quality_oracle())
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: length, word stats, stopword and
+    punctuation ratios, and a boolean gate — the C4-style filter shape.
+    """
+    t = Tables(spark, sf_dir)
+    words = whitespace_tokens(F.col("text"))
+    d = t.documents.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(words).alias("n_words"),
+        F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).alias("n_stop"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))).alias(
+            "n_punct"
+        ),
+    )
+    stop_ratio = F.round(F.col("n_stop") / F.col("n_words"), 4)
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "n_words",
+        F.round(F.col("n_chars") / F.col("n_words"), 4).alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        F.round(F.col("n_punct") / F.greatest(F.col("n_chars"), F.lit(1)), 4).alias("punct_ratio"),
+        F.when((F.col("n_words") >= 20) & (F.col("n_stop") / F.col("n_words") <= 0.6), 1)
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+def _langid_exprs():
+    """(spark_expr_builder, sql_snippets) built from LANG_MARKERS."""
+    sql_scores = []
+    for lang, markers in LANG_MARKERS.items():
+        terms = " + ".join(
+            f"len(list_filter(words, w -> w = '{m}'))" for m in markers
+        )
+        sql_scores.append((lang, terms))
+    return sql_scores
+
+
+def _langid_oracle() -> str:
+    scores = _langid_exprs()
+    score_cols = ",\n           ".join(f"({terms}) AS score_{lang}" for lang, terms in scores)
+    # deterministic argmax: highest score wins, ties broken by lang asc —
+    # walk languages in ascending order; the first whose score >= all
+    # others wins (identical to the Spark sort_array tie-break).
+    langs = sorted(lang for lang, _ in scores)
+    case_arms = []
+    for lang in langs[:-1]:
+        conds = " AND ".join(f"score_{lang} >= score_{o}" for o in langs if o != lang)
+        case_arms.append(f"WHEN {conds} THEN '{lang}'")
+    case_expr = "CASE " + " ".join(case_arms) + f" ELSE '{langs[-1]}' END"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+           {score_cols}
+      FROM toks
+    )
+    SELECT doc_id, lang AS actual_lang,
+           {case_expr} AS guessed_lang
+    FROM scored
+    """
+
+
+@register("text_lang_id", oracle=_langid_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-voting language-ID heuristic (deterministic argmax).
+
+    Structure matters more than accuracy on the synthetic corpus: a
+    per-language marker score and an argmax with a total tie-break, the
+    same shape a char-n-gram model would have.
+    """
+    t = Tables(spark, sf_dir)
+    words = whitespace_tokens(F.col("text"))
+    d = t.documents.select("doc_id", F.col("lang").alias("actual_lang"), words.alias("words"))
+    score_structs = []
+
+    def _count_eq(marker: str):
+        # NB: a two-arg lambda would be read by F.filter as
+        # (element, index) — keep it single-arg via closure.
+        return F.size(F.filter(F.col("words"), lambda w: w == F.lit(marker)))
+
+    for lang, markers in LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            c = _count_eq(m)
+            score = c if score is None else score + c
+        # sort_array on struct orders by first field asc -> use negative
+        # score so the best (score desc, lang asc) lands first.
+        score_structs.append(F.struct((-score).alias("neg"), F.lit(lang).alias("l")))
+    best = F.sort_array(F.array(*score_structs))[0]["l"]
+    return d.select("doc_id", "actual_lang", best.alias("guessed_lang"))
+
+
+@register(
+    "text_token_count_regex",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{TOKEN_PATTERN}'))  AS n_regex_tokens,
+           len(string_split_regex(trim(text), '\\s+'))       AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: BPE-ish regex tokens and whitespace."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), F.lit(0))).alias(
+            "n_regex_tokens"
+        ),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_sha,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id, content_sha,
+           list_min(list_transform(
+             range(1, greatest(len(toks) - 3, 0) + 1),
+             i -> sha256(array_to_string(toks[i:i+3], ' ')))) AS min_shingle_sha
+    FROM sh
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: whole-content sha + min-shingle hash.
+
+    The min-of-shingle-hashes is a 1-permutation MinHash — the rolling-
+    fingerprint primitive the dedup pipeline builds on.
+    """
+    t = Tables(spark, sf_dir)
+    toks = whitespace_tokens(F.col("text"))
+    shingles = word_shingles(toks, 4)
+    return t.documents.select(
+        "doc_id",
+        sha256_hex(normalized_text(F.col("text"))).alias("content_sha"),
+        F.array_min(F.transform(shingles, lambda s: F.sha2(s, 256))).alias("min_shingle_sha"),
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT lang, token, count(*) AS tf
+      FROM toks GROUP BY lang, token
+    ), df AS (
+      SELECT token, count(DISTINCT doc_id) AS df
+      FROM toks GROUP BY token
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT lang, token, tf,
+           round(tf * ln(n_docs * 1.0 / df), 4) AS tfidf, rnk
+    FROM (
+      SELECT lang, token, tf,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY round(tf * ln((SELECT n_docs FROM n) * 1.0 / df), 4) DESC,
+                                         token) AS rnk,
+             df
+      FROM tf JOIN df USING (token)
+    ), n
+    WHERE rnk <= 5
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf scoring + top-5 terms per language.
+
+    Plan shape: one explode, two aggregations (tf by (lang,token), df by
+    token), a broadcast of the doc count, a window top-k. At 100 TB the
+    token dimension aggregates partial-first so the shuffle carries only
+    distinct (lang, token) pairs.
+    """
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    n_docs = docs.count()  # scalar; computed once, folded into the plan as a literal
+    toks = docs.select(
+        "doc_id", "lang", F.explode(whitespace_tokens(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "token").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4)
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "token", "tf", "tfidf", "rnk")
+    )

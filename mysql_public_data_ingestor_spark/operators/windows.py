@@ -1,0 +1,211 @@
+"""Window functions: ranking, analytic (lag/lead), frame aggregates,
+per-group top-k, ntile, percent_rank.
+
+Scale notes: a window over ``partitionBy(k)`` shuffles once on ``k`` and
+sorts within partitions — the same cost shape as a groupBy, and AQE
+handles skewed keys. Every ORDER BY inside a window carries a unique
+tie-break column so results are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import exact_sum_window
+from ..registry import register
+from ..tables import Tables
+
+
+@register(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the scalable top-k idiom.
+
+    (No global sort; one shuffle on the partition key, per-partition
+    sort, early filter. At 100 TB this is the only viable top-k-per-key
+    plan.)
+    """
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        t.orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"), "rn")
+    )
+
+
+@register(
+    "window_rank_dense_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal,
+           rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_rank,
+           dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_dense_rank
+    FROM customer
+    """,
+)
+def window_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank (gap vs no-gap semantics on ties)."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return t.customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+@register(
+    "window_running_revenue",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT))
+                 OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 10000.0
+             AS running_revenue
+    FROM lineitem
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative aggregate over a ROWS frame (deterministic order).
+
+    The measure is quantized per row (functions.exact) so the running
+    int64 sum is order-exact and engine-independent.
+    """
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return t.lineitem.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        exact_sum_window(rev, w, 4).alias("running_revenue"),
+    )
+
+
+@register(
+    "window_lag_lead_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           lag(o_orderkey)  OVER w AS prev_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           datediff('day',
+                    lag(o_orderdate) OVER w,
+                    o_orderdate)    AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytic functions + inter-row date arithmetic."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))).alias(
+            "days_since_prev"
+        ),
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(avg(l_quantity)
+                 OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+             AS qty_ma5
+    FROM lineitem
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS frame (5-row moving average)."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return t.lineitem.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.avg("l_quantity").over(w), 4).alias("qty_ma5"),
+    )
+
+
+@register(
+    "window_ntile_percent_rank",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4)       OVER (ORDER BY c_acctbal, c_custkey)        AS bal_quartile,
+           round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS bal_pct_rank,
+           round(cume_dist()    OVER (ORDER BY c_acctbal, c_custkey), 6) AS bal_cume_dist
+    FROM customer
+    """,
+)
+def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a global ordering.
+
+    A single unpartitioned window is a deliberate scale smell (one
+    reducer); kept here for surface completeness — the partitioned
+    variants above are the 100 TB path.
+    """
+    t = Tables(spark, sf_dir)
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return t.customer.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+@register(
+    "window_first_last_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_orderkey,
+           last_value(o_orderkey)  OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND UNBOUNDED FOLLOWING) AS last_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value with explicit full frame for last."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(wfull).alias("last_orderkey"),
+    )

@@ -1,0 +1,54 @@
+"""Multimodal plumbing: binary columns through Arrow/mapInPandas."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysql_public_data_ingestor_spark.operators.multimodal import (
+    _fake_decode_dims,
+    decode_images,
+    sample_frames,
+)
+from mysql_public_data_ingestor_spark.tables import Tables
+
+
+def test_decode_images_schema_and_rows(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    df = t.documents.limit(20).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    out = decode_images(df)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        "channels",
+    ]
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.n_bytes > 0
+        assert r.channels == 3
+        assert 64 <= r.width < 64 + 512
+        assert 64 <= r.height < 64 + 512
+
+
+def test_decode_deterministic(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    df = t.documents.limit(5).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    a = {r.doc_id: (r.width, r.height) for r in decode_images(df).collect()}
+    b = {r.doc_id: (r.width, r.height) for r in decode_images(df).collect()}
+    assert a == b
+
+
+def test_sample_frames_fanout(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    df = t.documents.limit(10).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    frames = sample_frames(df, "payload", every_n_bytes=100).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    src = {r.doc_id: r.n for r in df.select("doc_id", F.octet_length("payload").alias("n")).collect()}
+    for doc_id, rs in by_doc.items():
+        expect = (src[doc_id] + 99) // 100
+        assert len(rs) == expect
+        assert sorted(x.frame_offset for x in rs) == [i * 100 for i in range(expect)]
