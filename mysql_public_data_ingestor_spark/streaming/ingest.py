@@ -1,0 +1,147 @@
+"""Micro-batch ingestion engine: poll source -> broadcast fan-out to N
+sink targets.
+
+Reference pipeline being re-expressed (SURVEY §3):
+  - poll loop with interval + retry/backoff (main.go:101-127) ->
+    Structured Streaming trigger(processingTime=interval) driving the
+    source, plus bounded fetch retries inside the poller;
+  - broadcast distribute: every batch to every (db, table) channel
+    (main.go:129-158) -> ``foreachBatch`` writing the SAME persisted
+    DataFrame to every sink target — ``persist()`` is mandatory: without
+    it Spark recomputes (re-polls!) the source once per sink
+    (SURVEY §4, the one semantic trap);
+  - transactional insert per table (main.go:160-212) -> each sink write
+    is per-partition transactional (JDBC) or atomic-rename (parquet);
+  - bounded demo run (main.go:49-50) -> ``run(duration_s=...)``.
+
+Backpressure is structural: micro-batch N+1 does not start until every
+sink of batch N finished — the reference's unbounded fire-and-forget
+goroutines (main.go:152-154) cannot pile up here.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.registry import SourcePlugin
+
+SinkWriter = Callable[[DataFrame, "object"], None]
+
+
+@dataclass
+class ParquetSink:
+    """Filesystem stand-in for the MySQL table sink (same fan-out
+    semantics, atomically committed per micro-batch)."""
+
+    path: str
+
+    def __call__(self, df: DataFrame, target) -> None:
+        df.write.mode("append").parquet(f"{self.path}/{target.database}/{target.table}")
+
+
+@dataclass
+class JdbcSink:
+    cfg: "object"
+    batch_size: int = 1000
+
+    def __call__(self, df: DataFrame, target) -> None:
+        from ..sources.jdbc import jdbc_append
+
+        jdbc_append(df, self.cfg, target, self.batch_size).save()
+
+
+@dataclass
+class IngestEngine:
+    """Drives plugin polls into a replicated fan-out of sink targets."""
+
+    spark: SparkSession
+    plugin: SourcePlugin
+    targets: list
+    sink: SinkWriter
+    max_fetch_retries: int = 5
+    retry_backoff_s: float = 5.0
+    sleep: Callable[[float], None] = time.sleep
+    batches_done: int = field(default=0, init=False)
+    rows_done: int = field(default=0, init=False)
+
+    def fetch_with_retry(self) -> list[tuple]:
+        """reference: warn + 5 s sleep + retry on fetch error
+        (main.go:111-122); bounded here so failures surface."""
+        attempt = 0
+        while True:
+            try:
+                return self.plugin.fetch_rows()
+            except Exception:
+                attempt += 1
+                if attempt >= self.max_fetch_retries:
+                    raise
+                self.sleep(self.retry_backoff_s)
+
+    def process_batch(self, rows: list[tuple]) -> int:
+        """One micro-batch: rows -> DataFrame -> every sink target.
+
+        An empty poll still counts as a completed batch (the loop's
+        progress/bound accounting must advance or ``run(max_batches=N)``
+        would spin forever on a quiet source)."""
+        if not rows:
+            self.batches_done += 1
+            return 0
+        df = self.spark.createDataFrame(rows, schema=self.plugin.schema())
+        # mandatory: one materialization shared by all sinks (else the
+        # source would be re-polled per sink — SURVEY §4 persist row)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n = df.count()
+            for target in self.targets:
+                self.sink(df, target)
+        finally:
+            df.unpersist()
+        self.batches_done += 1
+        self.rows_done += n
+        return n
+
+    def run(self, duration_s: Optional[float] = None, max_batches: Optional[int] = None) -> None:
+        """Poll loop with the plugin's interval (reference: main.go:101-127;
+        bounded like the 60 s demo run, main.go:49-50)."""
+        deadline = time.monotonic() + duration_s if duration_s else None
+        while True:
+            if max_batches is not None and self.batches_done >= max_batches:
+                return
+            if deadline is not None and time.monotonic() >= deadline:
+                return
+            self.process_batch(self.fetch_with_retry())
+            interval = max(self.plugin.interval(), 0)
+            if interval:
+                self.sleep(interval)
+
+
+def streaming_fanout_query(
+    stream_df: DataFrame,
+    targets: list,
+    sink: SinkWriter,
+    interval_s: int,
+    checkpoint_dir: str,
+):
+    """Structured-Streaming variant: foreachBatch fan-out with persist.
+
+    Use with any streaming source (the OpenSky DataSource, rate, files).
+    """
+
+    def write_all(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            for target in targets:
+                sink(batch_df, target)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(write_all)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{interval_s} seconds")
+    )

@@ -1,0 +1,173 @@
+"""Structured Streaming tests: file-source micro-batches driven to
+completion, streaming results compared against batch twins, custom
+stateful operator, streaming fan-out, and the OpenSky DataSource.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mysql_public_data_ingestor_spark.streaming import windows as sw
+from mysql_public_data_ingestor_spark.tables import Tables, load_table
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.session import tune
+
+    tune(spark)
+    # raw parquet schema (ts as nanos long via nanosAsLong), converted
+    # to microsecond timestamps exactly like the batch loader
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(df, name: str, output_mode: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir, events_stream):
+    run_to_memory(sw.tumbling_counts(events_stream), "tumbling_out", "append")
+    got = spark.sql(
+        "SELECT window_start, event_type, n_events, total_value FROM tumbling_out"
+    )
+    t = Tables(spark, sf_dir)
+    expect = (
+        t.events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    # append mode emits only windows closed by the final watermark; all
+    # emitted windows must match the batch result exactly
+    got_rows = {(r.window_start, r.event_type): r.n_events for r in got.collect()}
+    exp_rows = {(r.window_start, r.event_type): r.n_events for r in expect.collect()}
+    assert len(got_rows) > 0
+    for k, v in got_rows.items():
+        assert exp_rows[k] == v
+
+
+def test_streaming_dedup_within_watermark(spark, events_stream):
+    run_to_memory(sw.dedup_within_watermark(events_stream), "dedup_out", "append")
+    got = spark.sql("SELECT user_id, event_type, count(*) AS n FROM dedup_out GROUP BY 1, 2")
+    # at most one row per (user, type) within the watermark horizon;
+    # fixture spans 30 days >> 1 h watermark, so re-emission across
+    # horizons is allowed — but each micro-batch run over one file is a
+    # single batch, so duplicates would collapse entirely
+    assert got.filter(F.col("n") > 1).count() == 0
+
+
+def test_streaming_session_window(spark, events_stream):
+    run_to_memory(sw.session_counts(events_stream), "sess_out", "append")
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    assert len(rows) > 0
+    # sessions are disjoint per user and each holds >= 1 event
+    by_user: dict[int, list] = {}
+    for r in rows:
+        assert r.n_events >= 1
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 >= e1, f"overlapping sessions: {(s1, e1)} vs {(s2, _)}"
+
+
+def test_stateful_running_totals(spark, sf_dir, events_stream):
+    run_to_memory(sw.running_totals_per_user(events_stream), "run_out", "update")
+    got = spark.sql(
+        "SELECT user_id, max_by(n_events, n_events) AS n FROM run_out GROUP BY user_id"
+    )
+    t = Tables(spark, sf_dir)
+    expect = t.events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    got_m = {r.user_id: r.n for r in got.collect()}
+    exp_m = {r.user_id: r.n for r in expect.collect()}
+    assert got_m == exp_m
+
+
+def test_streaming_fanout_foreachBatch(spark, sf_dir, tmp_path):
+    from mysql_public_data_ingestor_spark.streaming.ingest import (
+        ParquetSink,
+        streaming_fanout_query,
+    )
+    from mysql_public_data_ingestor_spark.topology import SinkTarget
+
+    # raw schema (ts as nanos long) — the fan-out is payload-agnostic
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    targets = [SinkTarget("db1", "t1"), SinkTarget("db1", "t2"), SinkTarget("db2", "t1")]
+    q = streaming_fanout_query(
+        stream,
+        targets,
+        ParquetSink(str(tmp_path / "out")),
+        interval_s=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_src = load_table(spark, sf_dir, "events").count()
+    for t in targets:
+        got = spark.read.parquet(str(tmp_path / "out" / t.database / t.table))
+        assert got.count() == n_src
+
+
+def test_opensky_datasource_streaming(spark, tmp_path):
+    # The Python DataSource driven for one micro-batch via the
+    # file-replay transport (the reader runs in its own Python process,
+    # so the fake endpoint must be option-driven, not monkeypatched).
+    import json
+
+    import mysql_public_data_ingestor_spark.sources.opensky as osky
+
+    if not osky.DATASOURCE_AVAILABLE:
+        pytest.skip("pyspark.sql.datasource missing")
+
+    state = [1234567890, "abc123", "CALLSIGN", "Country", 1234567890, 1234567890,
+             10.0, 20.0, 30.0, True, 40.0, 50.0, 60.0, None, 70.0, "SQUAWK", True, 1]
+    payload = tmp_path / "snapshot.json"
+    payload.write_text(json.dumps({"time": 1234567890, "states": [state, state]}))
+
+    osky.register_datasource(spark)
+    stream = (
+        spark.readStream.format("opensky")
+        .option("payload_file", str(payload))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("osky_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM osky_out").collect()
+    assert len(got) >= 2
+    assert got[0].icao24 == "abc123"
+    assert got[0].on_ground is True
+    assert got[0].longitude == 10.0
