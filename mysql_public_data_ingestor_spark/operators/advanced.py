@@ -1,0 +1,316 @@
+"""Advanced operator surface: SQL-API queries (CTEs, correlated and
+EXISTS/IN subqueries, GROUPING SETS), unpivot, array/map function
+packs, exact percentiles, Levenshtein, and the Python-UDF surface
+(scalar pandas UDF + grouped-map applyInPandas) — each with a DuckDB
+oracle wherever the semantics are engine-portable.
+
+The pandas-UDF queries intentionally compute *deterministic
+arithmetic* so even the UDF path is value-verified against SQL — the
+UDF is the mechanism under test, not the math.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import Tables
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    t = Tables(spark, sf_dir)
+    for n in names:
+        getattr(t, n).createOrReplaceTempView(n)
+
+
+# --------------------------------------------------------------------------
+# SQL API surface
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sql_cte_exists_in",
+    oracle="""
+    WITH big_orders AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_totalprice > 100000
+    )
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM big_orders b WHERE b.o_custkey = c_custkey)
+      AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+    """,
+)
+def sql_cte_exists_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point: CTE + correlated EXISTS + IN subquery.
+
+    Catalyst rewrites both subqueries to semi-joins — same physical
+    shape as the DataFrame API; this query pins the SQL-API parity.
+    """
+    _views(spark, sf_dir, "customer", "orders", "nation")
+    return spark.sql(
+        """
+        WITH big_orders AS (
+          SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          WHERE o_totalprice > 100000
+        )
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM big_orders b WHERE b.o_custkey = c_custkey)
+          AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+        """
+    )
+
+
+@register(
+    "sql_correlated_scalar_subquery",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+    FROM customer
+    """,
+)
+def sql_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (decorrelated to an outer-join agg)."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        FROM customer
+        """
+    )
+
+
+@register(
+    "sql_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube)."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_items
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# reshaping + function packs
+# --------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    )
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) wide measures into (measure, val) rows."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure",
+            "val",
+        )
+        .withColumn(
+            "measure",
+            F.when(F.col("measure") == "l_quantity", "quantity")
+            .when(F.col("measure") == "l_extendedprice", "price")
+            .otherwise("discount"),
+        )
+        .select("l_orderkey", "l_linenumber", "measure", F.round("val", 2).alias("val"))
+    )
+
+
+@register(
+    "array_functions_pack",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                          AS dim,
+           round(embedding[1]::DOUBLE, 6)                          AS first_val,
+           round(embedding[len(embedding)]::DOUBLE, 6)             AS last_val,
+           round(list_sum(embedding::DOUBLE[]), 6)                 AS vec_sum,
+           round(list_max(embedding::DOUBLE[]), 6)                 AS vec_max,
+           round(list_min(embedding::DOUBLE[]), 6)                 AS vec_min,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0))       AS n_positive,
+           round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 6) AS sq_norm
+    FROM embeddings
+    """,
+)
+def array_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface: size, element_at (both ends), aggregate,
+    array_max/min, filter, transform — scalar outputs for hash parity.
+
+    NB vec_sum/sq_norm rely on left-to-right accumulation in both
+    engines over identical element order — reproducible, unlike a
+    parallel sum.
+    """
+    t = Tables(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    return t.embeddings.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(F.element_at(v, 1), 6).alias("first_val"),
+        F.round(F.element_at(v, -1), 6).alias("last_val"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("vec_sum"),
+        F.round(F.array_max(v), 6).alias("vec_max"),
+        F.round(F.array_min(v), 6).alias("vec_min"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("sq_norm"),
+    )
+
+
+@register(
+    "map_functions_pack",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)      AS k_value,
+           len(json_keys(props))                                  AS n_keys,
+           CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                THEN 1 ELSE 0 END                                  AS has_k
+    FROM events
+    """,
+)
+def map_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: JSON -> map<string,long>, key lookup,
+    map_keys size, map_contains_key — scalar outputs."""
+    t = Tables(spark, sf_dir)
+    m = F.from_json("props", "map<string,bigint>")
+    return t.events.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.when(F.map_contains_key(m, "k"), 1).otherwise(0).alias("has_k"),
+    )
+
+
+@register(
+    "percentiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90_price,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90/p99) per group.
+
+    Exact percentile needs the group's values materialized — fine per
+    group; the 100 TB-safe variant is ``approx_percentile`` (see
+    ``percentiles_approx``, rows-only)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99_price"),
+    )
+
+
+@register("percentiles_approx", oracle=None)
+def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch — the scale path (rows-only check:
+    sketches are engine-specific; exact twin is ``percentiles_exact``)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("approx_pcts")
+    )
+
+
+@register(
+    "scalar_levenshtein",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_brand, p_type)                  AS brand_type_dist,
+           levenshtein(lower(p_name), lower(p_brand))    AS name_brand_dist
+    FROM part
+    """,
+)
+def scalar_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance functions (fuzzy-matching surface)."""
+    t = Tables(spark, sf_dir)
+    return t.part.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+        F.levenshtein(F.lower("p_name"), F.lower("p_brand")).alias("name_brand_dist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Python UDF surface (pandas UDF + applyInPandas) — deterministic math so
+# even the UDF path gets an oracle
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pandas_udf_score",
+    oracle="""
+    SELECT doc_id,
+           round(ln(1.0 + n_chars) * 10.0 + (doc_id % 7), 6) AS score
+    FROM documents
+    """,
+)
+def pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow-vectorized): the sanctioned slow path.
+
+    The math is trivially SQL-expressible on purpose — the query
+    verifies the Arrow UDF machinery end-to-end against the oracle.
+    """
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def score(n_chars: pd.Series, doc_id: pd.Series) -> pd.Series:
+        return np.round(np.log1p(n_chars.astype("float64")) * 10.0 + (doc_id % 7), 6)
+
+    t = Tables(spark, sf_dir)
+    return t.documents.select("doc_id", score("n_chars", "doc_id").alias("score"))
+
+
+@register(
+    "applyinpandas_zscore",
+    oracle="""
+    SELECT doc_id, lang,
+           round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                 / stddev_samp(n_chars) OVER (PARTITION BY lang), 4) AS z
+    FROM documents
+    """,
+)
+def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (per-group pandas DataFrame in/out):
+    z-score of n_chars within each lang. pandas ddof=1 == stddev_samp.
+    """
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["n_chars"].astype("float64")
+        pdf["z"] = ((x - x.mean()) / x.std(ddof=1)).round(4)
+        return pdf[["doc_id", "lang", "z"]]
+
+    t = Tables(spark, sf_dir)
+    return t.documents.select("doc_id", "lang", "n_chars").groupBy("lang").applyInPandas(
+        zscore, schema="doc_id long, lang string, z double"
+    )

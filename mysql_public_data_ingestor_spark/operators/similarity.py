@@ -128,3 +128,62 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vec_id").alias("sample_min_vec_id"),
         )
     )
+
+
+N_CENTROIDS = 8
+N_PROBE_QUERIES = 3
+IVF_TOP_K = 5
+
+
+@register("ann_ivf_topk", oracle=None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: partition the corpus into cells around fixed
+    centroids (here: the first N_CENTROIDS vectors — a real pipeline
+    would k-means them), then answer each query by brute-forcing only
+    its own cell.
+
+    Scale shape: cell assignment is one broadcast join (corpus x 8
+    centroids); the search joins queries to their cell's members on the
+    cell id — per-query work is O(cell), not O(corpus). Rows-only
+    check (argmax cell assignment is verbose in SQL; the cosine math is
+    oracle-covered by knn_brute_cosine).
+    """
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    # cell assignment: argmax cosine over the broadcast centroid set,
+    # deterministic tie-break on centroid_id
+    scored = emb.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "v",
+        "centroid_id",
+        F.round(cosine(F.col("v"), F.col("cv")), 9).alias("sim"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("centroid_id").alias("cell"))
+    )
+    queries = cells.filter(F.col("vec_id") < N_PROBE_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell"
+    )
+    cands = cells.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv2"), "cell")
+    pairs = (
+        cands.join(F.broadcast(queries), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            F.round(cosine(F.col("qv"), F.col("cv2")), 6).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id", "cell", "cosine", "rnk")
+    )

@@ -305,3 +305,70 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("lang", "token", "tf", "tfidf", "rnk")
     )
+
+
+WINNOW_K = 4   # k-gram (words) size for winnowing
+WINNOW_W = 5   # window of consecutive k-gram hashes
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(w) - {WINNOW_K - 1}, 0) + 1),
+               i -> ('0x' || substr(sha256(array_to_string(w[i:i+{WINNOW_K - 1}], ' ')), 1, 15))::BIGINT
+             ) AS hs
+      FROM toks
+    ), wins AS (
+      SELECT doc_id, hs,
+             list_distinct(list_transform(
+               range(1, greatest(len(hs) - {WINNOW_W - 1}, 0) + 1),
+               i -> list_min(hs[i:i+{WINNOW_W - 1}]))) AS fp
+      FROM grams
+      WHERE len(hs) >= {WINNOW_W}
+    )
+    SELECT doc_id,
+           len(fp)       AS n_fingerprints,
+           list_min(fp)  AS min_fp,
+           list_max(fp)  AS max_fp
+    FROM wins
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. local-minima
+    sketch): k-gram rolling hashes -> min of each w-window -> distinct
+    selected hashes. Output scalars (count/min/max) for hash parity;
+    the full fingerprint set feeds plagiarism-style overlap joins.
+
+    All hashes are the portable sha256-prefix int64, so the oracle
+    verifies the sketch value-for-value.
+    """
+    from ..functions.textnorm import sha256_prefix_i64
+
+    t = Tables(spark, sf_dir)
+    w = whitespace_tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(WINNOW_K - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, WINNOW_K)),
+    )
+    d = t.documents.select(
+        "doc_id", F.transform(grams, lambda g: sha256_prefix_i64(g)).alias("hs")
+    ).filter(F.size("hs") >= WINNOW_W)
+    fp = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("hs") - F.lit(WINNOW_W - 1), F.lit(0))),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, WINNOW_W)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.size(fp).alias("n_fingerprints"),
+        F.array_min(fp).alias("min_fp"),
+        F.array_max(fp).alias("max_fp"),
+    )

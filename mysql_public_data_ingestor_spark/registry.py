@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from .operators import (  # noqa: F401
+        advanced,
         dedup,
         multimodal,
         relational,

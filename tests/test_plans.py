@@ -1,0 +1,85 @@
+"""Plan-shape assertions: the scale story, testable.
+
+Each test pins a physical-plan property that matters at 100 TB:
+pushdown, pruning, broadcast vs shuffle joins, no cartesian products,
+take-ordered top-k.
+"""
+
+from __future__ import annotations
+
+from mysql_public_data_ingestor_spark.plans import (
+    assert_no_cartesian,
+    count_exchanges,
+    has_broadcast_join,
+    physical_plan,
+    pushed_filters,
+    scan_read_schemas,
+)
+from mysql_public_data_ingestor_spark.registry import all_queries
+
+SPECS = all_queries()
+
+
+def q(name, spark, sf_dir):
+    return SPECS[name].fn(spark, sf_dir)
+
+
+def test_q1_filter_pushed_and_schema_pruned(spark, sf_dir):
+    df = q("q1_pricing_summary", spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    schemas = scan_read_schemas(df)
+    # only the 7 needed columns read, not all 11
+    assert schemas and all("l_orderkey" not in s and "l_partkey" not in s for s in schemas), schemas
+
+
+def test_q5_broadcasts_dims_and_bounded_shuffles(spark, sf_dir):
+    df = q("q5_revenue_by_nation", spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = physical_plan(df)
+    # region filter must reach the region scan, not be evaluated post-join
+    assert any("r_name" in p for p in pushed_filters(df))
+    # lineitem⋈orders is the only big join; agg adds one more exchange.
+    # Anything above 4 exchanges means a dim stopped broadcasting.
+    assert count_exchanges(df) <= 4, plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = q("topk_global_orders", spark, sf_dir)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_range_join_is_broadcast_not_cartesian(spark, sf_dir):
+    df = q("join_range_price_band", spark, sf_dir)
+    assert_no_cartesian(df)
+    assert has_broadcast_join(df)
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    df = q("dedup_minhash_lsh", spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_knn_broadcasts_queries(spark, sf_dir):
+    df = q("knn_brute_cosine", spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_semi_anti_join_plans(spark, sf_dir):
+    semi = q("join_semi_customers_with_urgent_orders", spark, sf_dir)
+    anti = q("join_anti_customers_without_orders", spark, sf_dir)
+    assert "LeftSemi" in physical_plan(semi)
+    assert "LeftAnti" in physical_plan(anti)
+
+
+def test_window_topk_single_shuffle(spark, sf_dir):
+    df = q("window_topk_orders_per_customer", spark, sf_dir)
+    # one hash exchange on the partition key, nothing else
+    assert count_exchanges(df) <= 1, physical_plan(df)
+
+
+def test_events_tumbling_partial_agg(spark, sf_dir):
+    df = q("events_tumbling_hourly", spark, sf_dir)
+    plan = physical_plan(df)
+    # partial-final split: HashAggregate appears above and below the exchange
+    assert plan.count("HashAggregate") >= 2
