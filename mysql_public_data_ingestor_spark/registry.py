@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
         relational,
         similarity,
         text,
+        tpch,
         windows,
     )
     from .streaming import batch_equivalents  # noqa: F401

@@ -1,0 +1,72 @@
+"""Bucketing: the co-located join pattern — pre-bucket both sides on
+the join key so the join runs with ZERO shuffle exchanges. At 100 TB
+this turns every recurring fact-fact join on the bucket key into a
+local zip of bucket files.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mysql_public_data_ingestor_spark.plans import count_exchanges, physical_plan
+from mysql_public_data_ingestor_spark.tables import Tables
+
+
+@pytest.fixture()
+def bucketed_tables(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    suffix = uuid.uuid4().hex[:8]
+    li, od = f"li_bkt_{suffix}", f"od_bkt_{suffix}"
+    (
+        t.lineitem.select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(li)
+    )
+    (
+        t.orders.select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(od)
+    )
+    yield li, od
+    spark.sql(f"DROP TABLE IF EXISTS {li}")
+    spark.sql(f"DROP TABLE IF EXISTS {od}")
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, bucketed_tables):
+    li, od = bucketed_tables
+    # force a sort-merge join (at fixture scale the dim side would
+    # auto-broadcast, which hides the property under test: bucket
+    # co-location removes BOTH join-side shuffles)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table(li)
+            .join(spark.table(od), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = physical_plan(joined)
+        # the join itself must not shuffle either side; only the final
+        # small aggregation may exchange
+        assert "SortMergeJoin" in plan
+        assert count_exchanges(joined) <= 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # and it returns exactly what the unbucketed join returns
+    t = Tables(spark, sf_dir)
+    expect = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {r.o_orderpriority: r.n for r in joined.collect()}
+    exp = {r.o_orderpriority: r.n for r in expect.collect()}
+    assert got == exp
