@@ -91,7 +91,13 @@ class IngestEngine:
         if not rows:
             self.batches_done += 1
             return 0
-        df = self.spark.createDataFrame(rows, schema=self.plugin.schema())
+        # Arrow path: tuples -> pandas -> DataFrame is ~10x faster than
+        # row-at-a-time Python serialization for wide snapshot batches
+        import pandas as pd
+
+        schema = self.plugin.schema()
+        pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+        df = self.spark.createDataFrame(pdf, schema=schema)
         # mandatory: one materialization shared by all sinks (else the
         # source would be re-polled per sink — SURVEY §4 persist row)
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -137,6 +143,56 @@ def streaming_fanout_query(
         try:
             for target in targets:
                 sink(batch_df, target)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(write_all)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{interval_s} seconds")
+    )
+
+
+@dataclass
+class IdempotentParquetSink:
+    """Exactly-once parquet sink for ``foreachBatch``: one directory per
+    (target, epoch), skipped if already committed.
+
+    ``foreachBatch`` is at-least-once — after a crash the same epoch
+    replays. Keying the write by epoch id and skipping committed epochs
+    makes the replay a no-op, upgrading the pipeline to exactly-once
+    (the JDBC analog: an epoch column + `INSERT ... ON DUPLICATE KEY` /
+    staging-table swap keyed by epoch).
+    """
+
+    path: str
+
+    def write_batch(self, df: DataFrame, epoch_id: int, target) -> None:
+        out = f"{self.path}/{target.database}/{target.table}/epoch={epoch_id}"
+        marker = f"{out}/_SUCCESS"
+        jvm_path = df.sparkSession._jvm.org.apache.hadoop.fs.Path(marker)  # type: ignore[union-attr]
+        fs = jvm_path.getFileSystem(
+            df.sparkSession._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+        )
+        if fs.exists(jvm_path):
+            return  # epoch already committed -> replay is a no-op
+        df.write.mode("overwrite").parquet(out)
+
+
+def idempotent_fanout_query(
+    stream_df: DataFrame,
+    targets: list,
+    sink: IdempotentParquetSink,
+    interval_s: int,
+    checkpoint_dir: str,
+):
+    """Streaming fan-out with exactly-once sink semantics."""
+
+    def write_all(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            for target in targets:
+                sink.write_batch(batch_df, epoch_id, target)
         finally:
             batch_df.unpersist()
 

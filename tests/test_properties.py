@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis): invariants of the portable-hash /
+exact-aggregation / schema / topology layers that the oracle queries
+rely on.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mysql_public_data_ingestor_spark.config import DatabasesConfig, ExtraDatabase
+from mysql_public_data_ingestor_spark.schema import (
+    mysql_type_for,
+    render_create_table,
+    schema_from_mysql_map,
+)
+from mysql_public_data_ingestor_spark.topology import expand_topology
+
+# --- exact_sum quantization: Python model == DuckDB arithmetic ------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False))
+def test_quantize_matches_duckdb(x):
+    """floor(x*1e4 + 0.5) must agree between Python and DuckDB float
+    math on identical doubles — the foundation of the exact-sum trick."""
+    py = math.floor(x * 10000.0 + 0.5)
+    dk = duckdb.connect().execute(
+        "SELECT CAST(floor(? * 10000.0 + 0.5) AS BIGINT)", [x]
+    ).fetchone()[0]
+    assert py == dk
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0, max_value=1e5, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_quantized_sum_order_independent(xs):
+    """Integer sums are permutation-invariant (the property FP sums
+    lack, and the reason exact_sum quantizes per row)."""
+    q = [math.floor(x * 10000.0 + 0.5) for x in xs]
+    assert sum(q) == sum(reversed(q))
+    fwd = sum(q) / 10000.0
+    rev = sum(reversed(q)) / 10000.0
+    assert fwd == rev  # bit-identical, not just close
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.decimals(min_value="-9999.99", max_value="9999.99", places=4))
+def test_quantize_recovers_4dp_decimals(d):
+    """Values with <=4 true decimal places round-trip exactly through
+    the scale-4 quantizer (no value distortion for money columns)."""
+    x = float(d)
+    got = Decimal(math.floor(x * 10000.0 + 0.5)) / Decimal(10000)
+    assert got == d.quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+
+
+# --- schema / topology ----------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefghij_", min_size=1, max_size=8),
+            st.sampled_from(["INT", "BIGINT", "FLOAT", "DOUBLE", "VARCHAR(10)", "BOOLEAN", "JSON"]),
+        ),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_schema_order_preserved_and_ddl_renders(cols):
+    schema = schema_from_mysql_map(cols)
+    assert [f.name for f in schema.fields] == [c[0] for c in cols]
+    ddl = render_create_table("d", "t", schema)
+    for name, _ in cols:
+        assert f"`{name}`" in ddl
+    # every field has a MySQL rendering (round-trip doesn't throw)
+    for f in schema.fields:
+        assert mysql_type_for(f.dataType)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=20),
+    st.dictionaries(
+        st.text(alphabet="abcde", min_size=1, max_size=5),
+        st.integers(min_value=1, max_value=10),
+        max_size=5,
+    ),
+)
+def test_topology_count_and_uniqueness(copies, extra):
+    cfg = DatabasesConfig(
+        prefix="p_",
+        table_prefix="t",
+        copies=copies,
+        extra={k: ExtraDatabase(tables=v) for k, v in extra.items()},
+    )
+    targets = expand_topology(cfg)
+    assert len(targets) == copies + sum(extra.values())
+    assert len({(t.database, t.table) for t in targets}) == len(targets)
