@@ -314,3 +314,78 @@ def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.documents.select("doc_id", "lang", "n_chars").groupBy("lang").applyInPandas(
         zscore, schema="doc_id long, lang string, z double"
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(grouping(r_name) AS INT)*2 + CAST(grouping(n_name) AS INT) AS gid,
+           count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping()/grouping_id() metadata on rollup levels (distinguishes
+    'NULL because subtotal' from 'NULL in the data')."""
+    t = Tables(spark, sf_dir)
+    joined = t.customer.join(
+        F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_customers"),
+    ).select("r_name", "n_name", "gid", "n_customers")
+
+
+@register(
+    "lateral_posexplode_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, words[i] AS token
+    FROM toks, LATERAL (SELECT unnest(range(1, len(words) + 1)) AS i) t
+    """,
+)
+def lateral_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (LATERAL VIEW): one row per (doc, position, token)."""
+    from ..functions.textnorm import whitespace_tokens
+
+    t = Tables(spark, sf_dir)
+    d = t.documents.filter(F.col("doc_id") < 20).select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("words")
+    )
+    return d.select("doc_id", F.posexplode("words").alias("pos", "token"))
+
+
+@register(
+    "sorted_tokens_digest",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))), '|')
+             AS vocab_digest,
+           len(list_distinct(
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))
+             AS vocab_size
+    FROM documents
+    """,
+)
+def sorted_tokens_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array sort/distinct/join surface: per-doc sorted-vocabulary digest
+    (ASCII byte order — identical collation in both engines)."""
+    from ..functions.textnorm import whitespace_tokens
+
+    t = Tables(spark, sf_dir)
+    vocab = F.array_distinct(whitespace_tokens(F.col("text")))
+    return t.documents.select(
+        "doc_id",
+        F.array_join(F.array_sort(vocab), "|").alias("vocab_digest"),
+        F.size(vocab).alias("vocab_size"),
+    )

