@@ -133,7 +133,12 @@ register_plugin(OpenSkyPlugin())
 # --- Python DataSource (streaming) ----------------------------------------
 
 try:  # pyspark>=4 ships the Python DataSource API
-    from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+    )
 
     class _SnapshotPartition(InputPartition):
         def __init__(self, rows: list[tuple]):
@@ -193,8 +198,23 @@ try:  # pyspark>=4 ships the Python DataSource API
                 if p <= end["poll"]:
                     del self._pending[p]
 
+    class OpenSkyBatchReader(DataSourceReader):
+        """One-shot snapshot read: ``spark.read.format("opensky")``."""
+
+        def __init__(self, options):
+            self._stream = OpenSkyStreamReader(options)
+
+        def partitions(self):
+            rows = self._stream.plugin.fetch_rows()
+            n = max(len(rows) // 1000, 1)
+            chunks = [rows[i::n] for i in range(n)]
+            return [_SnapshotPartition(c) for c in chunks if c] or [_SnapshotPartition([])]
+
+        def read(self, partition: _SnapshotPartition) -> Iterator[tuple]:
+            yield from partition.rows
+
     class OpenSkyDataSource(DataSource):
-        """``spark.readStream.format("opensky")`` source."""
+        """``spark.read(.Stream)?.format("opensky")`` source."""
 
         @classmethod
         def name(cls) -> str:
@@ -202,6 +222,9 @@ try:  # pyspark>=4 ships the Python DataSource API
 
         def schema(self):
             return FLIGHTS_SCHEMA
+
+        def reader(self, schema):
+            return OpenSkyBatchReader(self.options)
 
         def streamReader(self, schema):
             return OpenSkyStreamReader(self.options)

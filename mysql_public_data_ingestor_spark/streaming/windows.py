@@ -108,3 +108,34 @@ def running_totals_per_user(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich a stream against a batch dimension
+    (dim re-read per micro-batch; broadcast-sized here)."""
+    return events.join(F.broadcast(dim), events["user_id"] == dim["c_custkey"], "left").select(
+        events["event_id"], events["user_id"], events["value"], dim["c_mktsegment"]
+    )
+
+
+def stream_stream_interval_join(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join with watermarks: purchases within
+    ``horizon`` after each click. Watermarks bound the join state: click
+    state older than the horizon (+ watermark delay) is evicted.
+    """
+    c = clicks.withWatermark("ts", "2 hours").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.withWatermark("ts", "2 hours").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"), "c_ts", "p_ts")

@@ -31,3 +31,32 @@ def test_query_matches_oracle(name, spark, sf_dir, duck: duckdb.DuckDBPyConnecti
     odf = duck.execute(spec.oracle).df()
     problems = compare(name, sdf, odf)
     assert not problems, "\n".join(problems)
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir, duck):
+    """rows-only sketch queries still get a sanity bound: HLL estimate
+    within 5% of the exact count."""
+    approx = {
+        r.o_orderpriority: r.approx_customers
+        for r in SPECS["agg_approx_count_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = dict(
+        duck.execute(
+            "SELECT o_orderpriority, count(DISTINCT o_custkey) FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(0.05 * exact[k], 2), (k, est, exact[k])
+
+
+def test_approx_percentiles_within_tolerance(spark, sf_dir, duck):
+    rows = SPECS["percentiles_approx"].fn(spark, sf_dir).collect()
+    for r in rows:
+        p50, p90, p99 = r.approx_pcts
+        ex = duck.execute(
+            "SELECT quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]) FROM lineitem "
+            "WHERE l_returnflag = ?",
+            [r.l_returnflag],
+        ).fetchone()[0]
+        for est, exact in zip((p50, p90, p99), ex):
+            assert abs(est - exact) / exact < 0.02, (r.l_returnflag, est, exact)

@@ -171,3 +171,49 @@ def test_opensky_datasource_streaming(spark, tmp_path):
     assert got[0].icao24 == "abc123"
     assert got[0].on_ground is True
     assert got[0].longitude == 10.0
+
+
+def test_stream_static_join(spark, sf_dir, events_stream):
+    from mysql_public_data_ingestor_spark.tables import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    run_to_memory(sw.stream_static_enrich(events_stream, dim), "enrich_out", "append")
+    got = spark.sql("SELECT * FROM enrich_out")
+    n_src = load_table(spark, sf_dir, "events").count()
+    assert got.count() == n_src          # left join preserves every event
+    assert got.filter(F.col("c_mktsegment").isNotNull()).count() > 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, events_stream):
+    from mysql_public_data_ingestor_spark.registry import all_queries
+
+    clicks = events_stream.filter(F.col("event_type") == "click")
+    purchases = events_stream.filter(F.col("event_type") == "purchase")
+    run_to_memory(
+        sw.stream_stream_interval_join(clicks, purchases), "ssj_out", "append"
+    )
+    got = {(r.click_id, r.purchase_id) for r in spark.sql("SELECT * FROM ssj_out").collect()}
+    batch = all_queries()["events_interval_join"].fn(spark, sf_dir)
+    expect = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    # a single-file stream closes all watermarks at end -> full equality
+    assert got == expect
+
+
+def test_opensky_batch_datasource(spark, tmp_path):
+    import json
+
+    import mysql_public_data_ingestor_spark.sources.opensky as osky
+
+    if not osky.DATASOURCE_AVAILABLE:
+        pytest.skip("pyspark.sql.datasource missing")
+
+    state = [1234567890, "abc123", "CALLSIGN", "Country", 1234567890, 1234567890,
+             10.0, 20.0, 30.0, True, 40.0, 50.0, 60.0, None, 70.0, "SQUAWK", True, 1]
+    payload = tmp_path / "snap.json"
+    payload.write_text(json.dumps({"time": 1, "states": [state] * 7}))
+    osky.register_datasource(spark)
+    df = spark.read.format("opensky").option("payload_file", str(payload)).load()
+    rows = df.collect()
+    assert len(rows) == 7
+    assert rows[0].icao24 == "abc123"
+    assert [f.name for f in df.schema.fields][:2] == ["time", "icao24"]
