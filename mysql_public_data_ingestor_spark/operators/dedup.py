@@ -282,7 +282,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one long per (doc, token), aggregated map-side first.
     """
     t = Tables(spark, sf_dir)
-    toks = t.documents.select(
+    toks = t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id",
         F.explode(F.array_distinct(whitespace_tokens(F.col("text")))).alias("token"),
     )
@@ -303,19 +303,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH norm AS (
 {_SQL_SHINGLES}
     ), keyed AS (
-      SELECT n.doc_id, d.lang, d.n_chars // 100 AS len_bucket, n.shingles
+      SELECT n.doc_id, d.lang, d.n_chars // 100 AS len_bucket,
+             list_distinct(list_transform(n.shingles,
+               s -> ('0x' || substr(sha256(s), 1, 15))::BIGINT)) AS hs
       FROM norm n JOIN documents d USING (doc_id)
       WHERE len(n.shingles) > 0
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.shingles, b.shingles)) * 1.0
-                 / (len(a.shingles) + len(b.shingles)
-                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+           round(len(list_intersect(a.hs, b.hs)) * 1.0
+                 / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 6) AS jaccard
     FROM keyed a JOIN keyed b
       ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-    WHERE round(len(list_intersect(a.shingles, b.shingles)) * 1.0
-                / (len(a.shingles) + len(b.shingles)
-                   - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5
+    WHERE round(len(list_intersect(a.hs, b.hs)) * 1.0
+                / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 6) >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,29 +324,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking key = (lang, length-bucket): the exact-similarity
     complement to LSH when a cheap natural blocking key exists. The
     self-join is an equi-join on the block key — no crossJoin.
+
+    The Jaccard runs on portable int64 shingle hashes, not the shingle
+    strings: identical values in both engines (sha256-derived), and
+    intersecting fixed-width ints is ~5x cheaper than strings at the
+    pair count this blocking yields.
     """
     t = Tables(spark, sf_dir)
     toks = whitespace_tokens(F.col("text"))
-    keyed = t.documents.select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
-        F.array_distinct(word_shingles(toks, SHINGLE_K)).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    shingles = F.array_distinct(word_shingles(toks, SHINGLE_K))
+    keyed = (
+        t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+            F.array_distinct(F.transform(shingles, lambda s: sha256_prefix_i64(s))).alias("hs"),
+        )
+        .filter(F.size("hs") > 0)
+        .localCheckpoint(eager=False)  # feeds both join sides; hash once
+    )
     a = keyed.select(
-        F.col("doc_id").alias("doc_a"),
-        "lang",
-        "len_bucket",
-        F.col("shingles").alias("sa"),
+        F.col("doc_id").alias("doc_a"), "lang", "len_bucket", F.col("hs").alias("ha")
     )
     b = keyed.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("len_bucket").alias("len_bucket_b"),
-        F.col("shingles").alias("sb"),
+        F.col("hs").alias("hb"),
     )
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    union = F.size("sa") + F.size("sb") - inter
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    union = F.size("ha") + F.size("hb") - inter
     jac = F.round(inter / union, 6)
     return (
         a.join(

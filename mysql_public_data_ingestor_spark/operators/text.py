@@ -246,7 +246,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     toks = whitespace_tokens(F.col("text"))
     shingles = word_shingles(toks, 4)
-    return t.documents.select(
+    # CPU-bound per-row hashing: spread across cores, not parquet splits
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return docs.select(
         "doc_id",
         sha256_hex(normalized_text(F.col("text"))).alias("content_sha"),
         F.array_min(F.transform(shingles, lambda s: F.sha2(s, 256))).alias("min_shingle_sha"),
@@ -357,7 +359,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(WINNOW_K - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(w, i, WINNOW_K)),
     )
-    d = t.documents.select(
+    d = t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id", F.transform(grams, lambda g: sha256_prefix_i64(g)).alias("hs")
     ).filter(F.size("hs") >= WINNOW_W)
     fp = F.array_distinct(
