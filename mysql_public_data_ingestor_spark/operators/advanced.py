@@ -389,3 +389,37 @@ def sorted_tokens_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(vocab), "|").alias("vocab_digest"),
         F.size(vocab).alias("vocab_size"),
     )
+
+
+@register(
+    "null_handling_pack",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER')        AS seg_or_other,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END       AS bal_or_null,
+           coalesce(CASE WHEN c_acctbal < 0 THEN NULL
+                         ELSE round(c_acctbal, 2) END, 0.0)           AS bal_default,
+           CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END              AS bal_is_null,
+           greatest(round(c_acctbal, 2), 0.0)                         AS bal_floor0,
+           least(round(c_acctbal, 2), 1000.0)                         AS bal_cap
+    FROM customer
+    """,
+)
+def null_handling_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: nullif/coalesce/greatest/least/is-null."""
+    t = Tables(spark, sf_dir)
+    bal2 = F.round("c_acctbal", 2)
+    bal_or_null = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    return t.customer.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        bal_or_null.alias("bal_or_null"),
+        F.coalesce(F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(bal2), F.lit(0.0)).alias(
+            "bal_default"
+        ),
+        F.when(F.col("c_acctbal").isNull(), 1).otherwise(0).alias("bal_is_null"),
+        F.greatest(bal2, F.lit(0.0)).alias("bal_floor0"),
+        F.least(bal2, F.lit(1000.0)).alias("bal_cap"),
+    )

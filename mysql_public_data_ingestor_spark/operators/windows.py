@@ -209,3 +209,33 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_orderkey"),
         F.last("o_orderkey").over(wfull).alias("last_orderkey"),
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           count(*) OVER (PARTITION BY o_custkey
+                          ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+                          RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING) AS n_orders_60d,
+           sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+               OVER (PARTITION BY o_custkey
+                     ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+                     RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING) / 100.0 AS spend_60d
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over day numbers: orders of the same customer within
+    +/-30 days (value-based frame, vs the ROWS frames elsewhere)."""
+    t = Tables(spark, sf_dir)
+    day = F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+    w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-30, 30)
+    return t.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_orders_60d"),
+        (F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).over(w) / 100.0).alias(
+            "spend_60d"
+        ),
+    )

@@ -1,0 +1,62 @@
+"""LSH quality: the MinHash-LSH pair set vs ground-truth brute-force
+Jaccard (computed in DuckDB over the same shingles).
+
+With 4 bands x 2 rows, a pair at Jaccard j collides with probability
+1-(1-j^2)^4: ~0.99998 at j=0.97 (the planted near-dups), ~0.87 at the
+0.8 threshold. The tests assert perfect recall for j>=0.9 and no false
+positives (every reported pair's Jaccard is >= threshold — guaranteed
+by the exact-verify stage, but asserted against the independent oracle).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_public_data_ingestor_spark.operators.dedup import JACCARD_THRESHOLD, SHINGLE_K
+from mysql_public_data_ingestor_spark.registry import all_queries
+from tools.check_correctness import duck_connection
+
+BRUTE_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - {SHINGLE_K - 1}, 0) + 1),
+           i -> array_to_string(toks[i:i+{SHINGLE_K - 1}], ' '))) AS shingles
+  FROM (SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+FROM norm a JOIN norm b ON a.doc_id < b.doc_id
+WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+  AND len(list_intersect(a.shingles, b.shingles)) * 1.0
+      / (len(a.shingles) + len(b.shingles)
+         - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
+"""
+
+
+@pytest.fixture(scope="module")
+def truth(sf_dir):
+    con = duck_connection(sf_dir)
+    rows = con.execute(BRUTE_SQL).fetchall()
+    con.close()
+    return {(a, b): j for a, b, j in rows}
+
+
+def test_lsh_no_false_positives_and_high_recall(spark, sf_dir, truth):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in all_queries()["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    # no false positives: every reported pair is in the ground truth
+    assert set(got) <= set(truth), set(got) - set(truth)
+    # perfect recall on strong duplicates (collision prob ~1 at j>=0.9)
+    strong = {p for p, j in truth.items() if j >= 0.9}
+    missed = strong - set(got)
+    assert not missed, f"LSH missed strong duplicates: {missed}"
+    # reported jaccard values match ground truth exactly
+    for p, j in got.items():
+        assert truth[p] == j
