@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import exact_sum_window
+from ..functions.exact import exact_sum_window, quantize
 from ..registry import register
 from ..tables import Tables
 
@@ -74,7 +74,8 @@ def window_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT))
                  OVER (PARTITION BY l_suppkey
-                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 10000.0
              AS running_revenue
     FROM lineitem
@@ -84,15 +85,21 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative aggregate over a ROWS frame (deterministic order).
 
     The measure is quantized per row (functions.exact) so the running
-    int64 sum is order-exact and engine-independent.
+    int64 sum is order-exact and engine-independent. The quantized
+    measure itself joins the ORDER BY: (l_orderkey, l_linenumber) is
+    NOT unique in the fixture (duplicated keys at sf>=0.1), and a tie
+    whose rows carry different revenues would make the prefix sums
+    engine-order-dependent — with the measure in the ordering, any
+    remaining ties are revenue-identical and the cumsum multiset is
+    deterministic.
     """
     t = Tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", quantize(rev, 4))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return t.lineitem.select(
         "l_suppkey",
         "l_orderkey",
@@ -136,18 +143,23 @@ def window_lag_lead_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            round(avg(l_quantity)
                  OVER (PARTITION BY l_suppkey
-                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
              AS qty_ma5
     FROM lineitem
     """,
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding ROWS frame (5-row moving average)."""
+    """Sliding ROWS frame (5-row moving average).
+
+    l_quantity joins the ordering: lineitem keys duplicate at sf>=0.1,
+    and a tie with differing quantities would make frame contents
+    engine-order-dependent (see window_running_revenue).
+    """
     t = Tables(spark, sf_dir)
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(-4, Window.currentRow)
     )
     return t.lineitem.select(

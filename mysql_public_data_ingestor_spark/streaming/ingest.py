@@ -28,9 +28,12 @@ from typing import Callable, Optional
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
+from ..logging_util import get_logger
 from ..sources.registry import SourcePlugin
 
 SinkWriter = Callable[[DataFrame, "object"], None]
+
+log = get_logger("ingest")
 
 
 @dataclass
@@ -76,10 +79,15 @@ class IngestEngine:
         while True:
             try:
                 return self.plugin.fetch_rows()
-            except Exception:
+            except Exception as e:
                 attempt += 1
                 if attempt >= self.max_fetch_retries:
+                    log.error("fetch failed after %d attempts: %s", attempt, e)
                     raise
+                log.warning(
+                    "fetch error (attempt %d/%d), retrying in %.1fs: %s",
+                    attempt, self.max_fetch_retries, self.retry_backoff_s, e,
+                )
                 self.sleep(self.retry_backoff_s)
 
     def process_batch(self, rows: list[tuple]) -> int:
@@ -109,6 +117,7 @@ class IngestEngine:
             df.unpersist()
         self.batches_done += 1
         self.rows_done += n
+        log.info("batch %d: %d rows -> %d sinks", self.batches_done, n, len(self.targets))
         return n
 
     def run(self, duration_s: Optional[float] = None, max_batches: Optional[int] = None) -> None:
