@@ -1,0 +1,22 @@
+# Convenience targets (mirrors the reference's Makefile role:
+# build/test entry points — reference Makefile:26-46).
+
+.PHONY: test check check-fast bench bench-ingest plans
+
+test:
+	python -m pytest tests/ -x -q
+
+check:        ## driver-style DuckDB-oracle gate at sf0.01
+	python tools/check_correctness.py /root/testdata/sf0.01
+
+check-fast:   ## quick gate at sf0.001
+	python tools/check_correctness.py /root/testdata/sf0.001
+
+bench:        ## headline-query benchmark at sf0.1 (one JSON line)
+	python bench.py
+
+bench-ingest: ## fan-out ingestion throughput
+	python tools/bench_ingest.py
+
+plans:        ## regenerate PLANS.md
+	python tools/dump_plans.py

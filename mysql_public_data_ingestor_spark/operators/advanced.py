@@ -423,3 +423,22 @@ def null_handling_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(bal2, F.lit(0.0)).alias("bal_floor0"),
         F.least(bal2, F.lit(1000.0)).alias("bal_cap"),
     )
+
+
+@register("sample_stratified", oracle=None)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy with per-stratum fractions, fixed
+    seed) + summary per stratum. Rows-only check: sampling RNG is
+    engine-specific by nature; the summary shape (per-lang counts within
+    the expected binomial envelope) is asserted in tests.
+
+    Scale note: sampleBy is a map-side filter — no shuffle until the
+    tiny summary agg; the 100 TB-safe way to cut a training subset.
+    """
+    t = Tables(spark, sf_dir)
+    fractions = {"en": 0.5, "fr": 0.3, "de": 0.3, "es": 0.3, "zh": 0.3}
+    sampled = t.documents.sampleBy("lang", fractions, seed=42)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

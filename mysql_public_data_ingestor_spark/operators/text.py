@@ -292,14 +292,18 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = Tables(spark, sf_dir)
     docs = t.documents
-    n_docs = docs.count()  # scalar; computed once, folded into the plan as a literal
+    # corpus size as a broadcast scalar (1-row cross join) — no
+    # driver-side action; the plan stays fully lazy/distributed
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = docs.select(
         "doc_id", "lang", F.explode(whitespace_tokens(F.col("text"))).alias("token")
     )
     tf = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df, "token").withColumn(
-        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4)
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4))
     )
     w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("token"))
     return (

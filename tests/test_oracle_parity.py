@@ -60,3 +60,14 @@ def test_approx_percentiles_within_tolerance(spark, sf_dir, duck):
         ).fetchone()[0]
         for est, exact in zip((p50, p90, p99), ex):
             assert abs(est - exact) / exact < 0.02, (r.l_returnflag, est, exact)
+
+
+def test_stratified_sample_within_envelope(spark, sf_dir, duck):
+    """sampleBy fractions land within a generous binomial envelope."""
+    fractions = {"en": 0.5, "fr": 0.3, "de": 0.3, "es": 0.3, "zh": 0.3}
+    got = {r.lang: r.n_sampled for r in SPECS["sample_stratified"].fn(spark, sf_dir).collect()}
+    totals = dict(duck.execute("SELECT lang, count(*) FROM documents GROUP BY 1").fetchall())
+    for lang, frac in fractions.items():
+        n, p = totals[lang], frac
+        mean, sd = n * p, (n * p * (1 - p)) ** 0.5
+        assert abs(got.get(lang, 0) - mean) <= 5 * sd, (lang, got.get(lang), mean, sd)
