@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
         advanced,
         dedup,
         multimodal,
+        pipeline,
         relational,
         similarity,
         text,

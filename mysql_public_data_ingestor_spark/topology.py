@@ -57,3 +57,24 @@ def bootstrap_ddl(cfg: DatabasesConfig, schema) -> list[str]:
             seen_dbs.add(t.database)
         stmts.append(render_create_table(t.database, t.table, schema))
     return stmts
+
+
+def bootstrap_catalog_topology(spark, cfg: DatabasesConfig, schema) -> list[str]:
+    """Execute the topology DDL against Spark's own catalog (the
+    in-env executable twin of the MySQL DDL path — reference:
+    InitializeDatabases, database/db_manager.go:115-139): one schema
+    (database) per target DB, one managed parquet table per target,
+    idempotent. Returns the qualified table names created.
+    """
+    created: list[str] = []
+    seen_dbs: set[str] = set()
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    for t in expand_topology(cfg):
+        if t.database not in seen_dbs:
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS `{t.database}`")
+            seen_dbs.add(t.database)
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS `{t.database}`.`{t.table}` ({cols}) USING parquet"
+        )
+        created.append(t.qualified)
+    return created

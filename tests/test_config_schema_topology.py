@@ -121,3 +121,33 @@ def test_bootstrap_ddl_idempotent_topology():
     assert len(creates_db) == 3          # p1, p2, p_x
     assert len(creates_tbl) == 4         # t, t, t_1, t_2
     assert all("IF NOT EXISTS" in s for s in stmts)
+
+
+def test_bootstrap_catalog_topology_executes(spark):
+    import uuid
+
+    from mysql_public_data_ingestor_spark.schema import schema_from_mysql_map
+    from mysql_public_data_ingestor_spark.topology import (
+        SinkTarget,
+        bootstrap_catalog_topology,
+        expand_topology,
+    )
+
+    sfx = uuid.uuid4().hex[:6]
+    cfg = DatabasesConfig(prefix=f"cat{sfx}_", table_prefix="t", copies=2,
+                          extra={"x": ExtraDatabase(tables=2)})
+    schema = schema_from_mysql_map([("field1", "INT"), ("field2", "VARCHAR(50)")])
+    try:
+        created = bootstrap_catalog_topology(spark, cfg, schema)
+        assert len(created) == 4
+        # idempotent
+        assert bootstrap_catalog_topology(spark, cfg, schema) == created
+        # tables are writable/readable through the catalog
+        spark.createDataFrame([(1, "value")], schema=schema).write.insertInto(created[0])
+        got = spark.table(created[0]).collect()
+        assert [(r.field1, r.field2) for r in got] == [(1, "value")]
+    finally:
+        for t in expand_topology(cfg):
+            spark.sql(f"DROP TABLE IF EXISTS `{t.database}`.`{t.table}`")
+        for db in {t.database for t in expand_topology(cfg)}:
+            spark.sql(f"DROP DATABASE IF EXISTS `{db}`")
