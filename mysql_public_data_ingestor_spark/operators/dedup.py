@@ -406,3 +406,80 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "label", cos.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
+
+
+def _clusters_oracle() -> str:
+    pairs_sql = _minhash_lsh_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS (
+{pairs_sql}
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+      UNION
+      SELECT doc_a, doc_a FROM pairs
+      UNION
+      SELECT doc_b, doc_b FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id
+    FROM reach
+    GROUP BY a
+    """
+
+
+@register("dedup_clusters", oracle=_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the LSH pair
+    graph via iterative min-label propagation (each member labeled with
+    the smallest doc_id reachable — the canonical representative).
+
+    The iteration is a driver-side loop of joins with early exit on
+    fixpoint — the standard distributed connected-components shape
+    (label propagation); planted dup clusters are tiny so it converges
+    in 2-3 rounds. Oracle: DuckDB recursive-CTE transitive closure —
+    even the iterative algorithm is value-checked.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionByName(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(10):
+        neighbor_min = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy(edges["doc_a"].alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster_id")

@@ -132,3 +132,63 @@ def sample_frames(df: DataFrame, payload_col: str, every_n_bytes: int = 1024) ->
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def resize_images(df: DataFrame, payload_col: str = "payload",
+                  target: tuple[int, int] = (224, 224)) -> DataFrame:
+    """'Resize' stage: maps decoded dims to target dims + a scale factor.
+
+    STUB decode (no codec libs); the Spark plumbing — chained
+    mapInPandas stages with Arrow batches — is real: this composes after
+    ``decode_images`` without materializing between stages.
+    """
+    out_schema = "doc_id long, width int, height int, scale_x double, scale_y double"
+    tw, th = target
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": tw,
+                    "height": th,
+                    "scale_x": tw / pdf["width"].astype("float64"),
+                    "scale_y": th / pdf["height"].astype("float64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+FEATURE_DIM = 8
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Feature-extraction stage: fixed-size deterministic feature vector
+    per payload (byte-histogram moments — stands in for a CNN/CLIP
+    embedding; the array<float> output schema and batch shape are what a
+    real model UDF produces).
+    """
+    import numpy as np
+
+    out_schema = f"doc_id long, features array<double>"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for payload in pdf[payload_col]:
+                b = np.frombuffer(payload if payload is not None else b"", dtype=np.uint8)
+                if b.size == 0:
+                    feats.append([0.0] * FEATURE_DIM)
+                    continue
+                # deterministic 8-dim sketch: mean/std + 6 coarse
+                # histogram-bin rates
+                hist = np.bincount(b >> 6, minlength=4) / b.size
+                feats.append(
+                    [float(b.mean()), float(b.std())]
+                    + [float(x) for x in hist]
+                    + [float(b.min()), float(b.max())]
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return df.mapInPandas(batches, schema=out_schema)

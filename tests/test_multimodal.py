@@ -52,3 +52,34 @@ def test_sample_frames_fanout(spark, sf_dir):
         expect = (src[doc_id] + 99) // 100
         assert len(rs) == expect
         assert sorted(x.frame_offset for x in rs) == [i * 100 for i in range(expect)]
+
+
+def test_resize_composes_with_decode(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    from mysql_public_data_ingestor_spark.operators.multimodal import resize_images
+
+    df = t.documents.limit(10).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    # chained mapInPandas stages, one plan, no materialization between
+    resized = resize_images(decode_images(df).withColumnRenamed("n_bytes", "payload"))
+    rows = resized.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert (r.width, r.height) == (224, 224)
+        assert 0 < r.scale_x <= 224 / 64 and 0 < r.scale_y <= 224 / 64
+
+
+def test_extract_features_deterministic_shape(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+    )
+
+    t = Tables(spark, sf_dir)
+    df = t.documents.limit(10).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    a = {r.doc_id: r.features for r in extract_features(df).collect()}
+    b = {r.doc_id: r.features for r in extract_features(df).collect()}
+    assert a == b
+    assert all(len(v) == FEATURE_DIM for v in a.values())
+    # histogram-rate components sum to ~1
+    for v in a.values():
+        assert abs(sum(v[2:6]) - 1.0) < 1e-9
