@@ -23,6 +23,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q5_revenue_by_nation",
     "q3_shipping_priority",
+    "q6_forecast_revenue",
     "window_topk_orders_per_customer",
     "window_running_revenue",
     "events_tumbling_hourly",
@@ -32,6 +33,7 @@ HEADLINE = [
     "knn_brute_cosine",
     "text_tfidf_top_terms",
     "text_quality_scores",
+    "pipeline_training_data_prep",
 ]
 
 
