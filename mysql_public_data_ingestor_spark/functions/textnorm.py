@@ -8,6 +8,8 @@ be oracle-verified value-for-value.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -61,3 +63,45 @@ def sha256_prefix_i64(col: Column) -> Column:
     DuckDB twin: ``(('0x' || substr(sha256(x), 1, 15)))::BIGINT``
     """
     return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
+
+
+def shingle_base_hash_udf(k: int, mod: int | None = None):
+    """Arrow pandas UDF: text -> distinct k-word-shingle base hashes
+    (int64, sha256-prefix — value-identical to the JVM/DuckDB twins).
+
+    The shingle construction is the one CPU-heavy per-row stage of the
+    dedup pipeline; in interpreted higher-order functions it costs ~4x
+    what this vectorized Python path does, and the hash values are
+    bit-identical, so the oracle SQL is unchanged in meaning:
+
+        list_distinct(list_transform(<distinct shingles>,
+            s -> ('0x' || substr(sha256(s), 1, 15))::BIGINT [% mod]))
+    """
+    import hashlib
+    import re
+
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf("array<long>")
+    def bases(text: pd.Series) -> pd.Series:
+        out = []
+        for s in text:
+            toks = ws.sub(" ", s.lower()).strip().split(" ")
+            seen: set[str] = set()
+            vals: list[int] = []
+            vset: set[int] = set()
+            for i in range(len(toks) - (k - 1)):
+                sh = " ".join(toks[i : i + k])
+                if sh in seen:
+                    continue
+                seen.add(sh)
+                v = int(hashlib.sha256(sh.encode()).hexdigest()[:15], 16)
+                if mod is not None:
+                    v %= mod
+                if v not in vset:
+                    vset.add(v)
+                    vals.append(v)
+            out.append(vals)
+        return pd.Series(out)
+
+    return bases

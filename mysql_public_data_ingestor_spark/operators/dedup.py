@@ -28,6 +28,7 @@ from ..functions.textnorm import (
     normalized_text,
     sha256_hex,
     sha256_prefix_i64,
+    shingle_base_hash_udf,
     whitespace_tokens,
     word_shingles,
 )
@@ -162,14 +163,16 @@ def _minhash_lsh_oracle() -> str:
     WITH norm AS (
 {_SQL_SHINGLES}
     ), sigs AS (
-      SELECT doc_id, shingles,
+      SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               s -> ('0x' || substr(sha256(s), 1, 15))::BIGINT)) AS bases,
              {hcols}
       FROM norm WHERE len(shingles) > 0
     ), banded AS (
-      SELECT doc_id, shingles, {bcols} FROM sigs
+      SELECT doc_id, bases, {bcols} FROM sigs
     ), cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.shingles AS sa, b.shingles AS sb
+             a.bases AS sa, b.bases AS sb
       FROM banded a JOIN banded b
         ON a.doc_id < b.doc_id AND ({bmatch})
     )
@@ -195,25 +198,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     No crossJoin exists in this plan.
     """
     t = Tables(spark, sf_dir)
-    toks = whitespace_tokens(F.col("text"))
-    # CPU-bound per-row pipeline: repartition so parallelism is cores,
-    # not parquet splits. The shingle pipeline is recomputed per join
-    # branch — with the one-sha256-per-shingle design that recompute is
-    # cheaper than caching the string arrays (columnar cache
-    # serialization of array<string> costs more than the compute).
+    # Shingle+hash is the CPU-heavy per-row stage: an Arrow pandas UDF
+    # (one sha256 per distinct shingle, vectorized batches) beats the
+    # interpreted higher-order-function pipeline ~4x while producing
+    # bit-identical hash values. Repartition so parallelism is cores,
+    # not parquet splits; localCheckpoint materializes once for the 2+2
+    # join branches (cheaper than columnar-caching arrays).
+    bases_udf = shingle_base_hash_udf(SHINGLE_K)
     norm = (
         t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.array_distinct(word_shingles(toks, SHINGLE_K)).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        # materialize once: the shingle arrays feed 2 join branches of the
-        # band join + 2 of the verify join; localCheckpoint truncates the
-        # lineage without the columnar-cache serialization cost (~2x
-        # end-to-end). Cluster note: blocks are executor-local — the
-        # standard "materialize the signature table" step of an LSH run.
+        .select("doc_id", bases_udf(F.col("text")).alias("bases"))
+        .filter(F.size("bases") > 0)
         .localCheckpoint(eager=False)
     )
-    sigs = norm.withColumn("bases", _base_hashes(F.col("shingles"))).select(
-        "doc_id", "shingles", *_minhash_cols(F.col("bases"))
+    sigs = norm.select(
+        "doc_id", "bases", *_minhash_cols(F.transform(F.col("bases"), lambda x: x % MERSENNE_P))
     )
     band_cols = [
         F.concat_ws(",", *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias(
@@ -237,8 +236,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    a = norm.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
-    b_ = norm.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    a = norm.select(F.col("doc_id").alias("doc_a"), F.col("bases").alias("sa"))
+    b_ = norm.select(F.col("doc_id").alias("doc_b"), F.col("bases").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union = F.size("sa") + F.size("sb") - inter
     jac = F.round(inter / union, 6)
@@ -331,15 +330,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair count this blocking yields.
     """
     t = Tables(spark, sf_dir)
-    toks = whitespace_tokens(F.col("text"))
-    shingles = F.array_distinct(word_shingles(toks, SHINGLE_K))
+    bases_udf = shingle_base_hash_udf(SHINGLE_K)
     keyed = (
         t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             "doc_id",
             "lang",
             (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
-            F.array_distinct(F.transform(shingles, lambda s: sha256_prefix_i64(s))).alias("hs"),
+            bases_udf(F.col("text")).alias("hs"),
         )
         .filter(F.size("hs") > 0)
         .localCheckpoint(eager=False)  # feeds both join sides; hash once
