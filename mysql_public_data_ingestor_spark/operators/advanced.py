@@ -170,13 +170,13 @@ def array_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("embedding").cast("array<double>")
     return t.embeddings.select(
         "vec_id",
-        F.size(v).alias("dim"),
+        F.size(v).cast("long").alias("dim"),
         F.round(F.element_at(v, 1), 6).alias("first_val"),
         F.round(F.element_at(v, -1), 6).alias("last_val"),
         F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("vec_sum"),
         F.round(F.array_max(v), 6).alias("vec_max"),
         F.round(F.array_min(v), 6).alias("vec_min"),
-        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_positive"),
         F.round(
             F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x), 6
         ).alias("sq_norm"),
@@ -202,7 +202,7 @@ def map_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.events.select(
         "event_id",
         F.element_at(m, "k").alias("k_value"),
-        F.size(F.map_keys(m)).alias("n_keys"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
         F.when(F.map_contains_key(m, "k"), 1).otherwise(0).alias("has_k"),
     )
 
@@ -256,8 +256,8 @@ def scalar_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return t.part.select(
         "p_partkey",
-        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
-        F.levenshtein(F.lower("p_name"), F.lower("p_brand")).alias("name_brand_dist"),
+        F.levenshtein("p_brand", "p_type").cast("long").alias("brand_type_dist"),
+        F.levenshtein(F.lower("p_name"), F.lower("p_brand")).cast("long").alias("name_brand_dist"),
     )
 
 
@@ -387,7 +387,7 @@ def sorted_tokens_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.documents.select(
         "doc_id",
         F.array_join(F.array_sort(vocab), "|").alias("vocab_digest"),
-        F.size(vocab).alias("vocab_size"),
+        F.size(vocab).cast("long").alias("vocab_size"),
     )
 
 

@@ -35,7 +35,7 @@ DECODE_AVAILABLE = False  # no PIL/ffmpeg in this container — stubbed
     SELECT doc_id,
            octet_length(encode(text))          AS payload_bytes,
            sha256(text)                        AS payload_sha,
-           ascii(substr(text, 1, 1))           AS header_byte,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS header_byte,
            CASE WHEN octet_length(encode(text)) >= 256 THEN 'blob' ELSE 'inline' END
                                                AS storage_class
     FROM documents
@@ -52,9 +52,9 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.encode(F.col("text"), "utf-8")
     return t.documents.select(
         "doc_id",
-        F.octet_length(payload).alias("payload_bytes"),
+        F.octet_length(payload).cast("long").alias("payload_bytes"),
         F.sha2(F.col("text"), 256).alias("payload_sha"),
-        F.ascii(F.substring("text", 1, 1)).alias("header_byte"),
+        F.ascii(F.substring("text", 1, 1)).cast("long").alias("header_byte"),
         F.when(F.octet_length(payload) >= 256, "blob").otherwise("inline").alias("storage_class"),
     )
 

@@ -41,7 +41,7 @@ STOPWORDS = ("the", "a", "of", "and", "in")
     )
     SELECT q.lang,
            count(*)                                       AS n_docs,
-           sum(q.n_words)                                 AS total_tokens,
+           CAST(sum(q.n_words) AS BIGINT)                 AS total_tokens,
            round(avg(q.n_words), 4)                       AS avg_tokens,
            min(q.doc_id)                                  AS min_doc_id
     FROM quality q JOIN keep k

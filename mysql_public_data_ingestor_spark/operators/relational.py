@@ -593,7 +593,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_brand").alias("brand_upper"),
         F.substring("p_type", 1, 5).alias("type_prefix"),
         F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
         F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_word"),
         F.when(F.col("p_type").like("%STEEL%"), 1).otherwise(0).alias("is_steel"),
@@ -629,7 +629,7 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("o_orderdate").alias("order_dow"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
         (F.to_date("o_orderdate") + F.expr("INTERVAL 30 DAYS")).cast("timestamp").alias("due_ts"),
-        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01"))).alias(
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01"))).cast("long").alias(
             "days_since_epoch_start"
         ),
     )

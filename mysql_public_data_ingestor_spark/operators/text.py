@@ -109,8 +109,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t.documents.select(
         "doc_id",
         "lang",
-        F.length("text").alias("n_chars"),
-        F.size(words).alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(words).cast("long").alias("n_words"),
         F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).alias("n_stop"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))).alias(
             "n_punct"
@@ -214,10 +214,10 @@ def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return t.documents.select(
         "doc_id",
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), F.lit(0))).alias(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), F.lit(0))).cast("long").alias(
             "n_regex_tokens"
         ),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
     )
 
 
@@ -309,6 +309,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
+        .withColumn("rnk", F.col("rnk").cast("long"))
         .select("lang", "token", "tf", "tfidf", "rnk")
     )
 
@@ -374,7 +375,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.size(fp).alias("n_fingerprints"),
+        F.size(fp).cast("long").alias("n_fingerprints"),
         F.array_min(fp).alias("min_fp"),
         F.array_max(fp).alias("max_fp"),
     )

@@ -40,7 +40,7 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
-        t.orders.withColumn("rn", F.row_number().over(w))
+        t.orders.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"), "rn")
     )
@@ -63,8 +63,8 @@ def window_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         F.round("c_acctbal", 2).alias("acctbal"),
-        F.rank().over(w).alias("bal_rank"),
-        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
     )
 
 
@@ -191,7 +191,7 @@ def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("c_acctbal", "c_custkey")
     return t.customer.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("bal_quartile"),
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
         F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
     )
