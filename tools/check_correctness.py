@@ -57,6 +57,15 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if len(sdf) != len(odf):
         problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
         return problems
+    # dtype parity (a dtype/repr-sensitive hash would flip on these);
+    # the Spark-ns vs DuckDB-us timestamp unit is engine-imposed and
+    # value-equal, so it's exempt
+    for c in sdf.columns:
+        st, ot = str(sdf[c].dtype), str(odf[c].dtype)
+        if st != ot and not (st.startswith("datetime64") and ot.startswith("datetime64")):
+            problems.append(f"col {c}: dtype differs: spark={st} oracle={ot}")
+    if problems:
+        return problems
     s, o = canon(sdf), canon(odf)
     for c in s.columns:
         sv, ov = s[c], o[c]
