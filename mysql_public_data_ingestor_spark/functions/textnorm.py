@@ -41,9 +41,14 @@ def word_shingles(tokens: Column, k: int) -> Column:
         [array_to_string(toks[i:i+K-1], ' ')
          for i in range(1, greatest(len(toks) - K + 1, 0))]
     """
+    # sequence(1, 0) defaults to step -1 and yields [1, 0]; slicing at
+    # index 0 then throws. Guard: short docs get an explicit empty array.
     n = F.size(tokens)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    return F.when(
+        n >= F.lit(k),
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def sha256_hex(col: Column) -> Column:

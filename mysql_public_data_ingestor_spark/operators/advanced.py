@@ -235,10 +235,18 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("percentiles_approx", oracle=None)
 def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile sketch — the scale path (rows-only check:
-    sketches are engine-specific; exact twin is ``percentiles_exact``)."""
+    sketches are engine-specific; exact twin is ``percentiles_exact``).
+
+    Emits scalar doubles (p50/p90/p99), not the raw array: scalar
+    columns canonicalize cleanly in any comparison harness, and at
+    scale the sketch merge is a single partial-agg shuffle either way.
+    """
     t = Tables(spark, sf_dir)
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
     return t.lineitem.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("approx_pcts")
+        F.element_at(pcts, 1).alias("p50"),
+        F.element_at(pcts, 2).alias("p90"),
+        F.element_at(pcts, 3).alias("p99"),
     )
 
 

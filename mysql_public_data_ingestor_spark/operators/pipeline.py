@@ -72,11 +72,18 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_words") >= MIN_WORDS)
         & (F.col("n_stop") / F.col("n_words") <= MAX_STOP_RATIO)
     )
-    keep = quality.groupBy("content_hash").agg(F.min("doc_id").alias("keep_doc_id"))
+    # `keep` derives from `quality`, so the join columns are renamed first:
+    # joining on quality["content_hash"] == keep["content_hash"] would hit
+    # Spark's ambiguous self-join resolution (trivially-true predicate).
+    keep = (
+        quality.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+        .withColumnRenamed("content_hash", "keep_hash")
+    )
     survivors = quality.join(
         keep,
-        (quality["content_hash"] == keep["content_hash"])
-        & (quality["doc_id"] == keep["keep_doc_id"]),
+        (F.col("content_hash") == F.col("keep_hash"))
+        & (F.col("doc_id") == F.col("keep_doc_id")),
     )
     return survivors.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

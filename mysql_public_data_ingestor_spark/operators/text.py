@@ -356,14 +356,13 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     All hashes are the portable sha256-prefix int64, so the oracle
     verifies the sketch value-for-value.
     """
-    from ..functions.textnorm import sha256_prefix_i64
+    from ..functions.textnorm import sha256_prefix_i64, word_shingles
 
     t = Tables(spark, sf_dir)
     w = whitespace_tokens(F.col("text"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(WINNOW_K - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, WINNOW_K)),
-    )
+    # word_shingles carries the short-doc guard (sequence(1,0) yields
+    # [1,0], not []); docs with < WINNOW_K tokens get an empty gram list.
+    grams = word_shingles(w, WINNOW_K)
     d = t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id", F.transform(grams, lambda g: sha256_prefix_i64(g)).alias("hs")
     ).filter(F.size("hs") >= WINNOW_W)

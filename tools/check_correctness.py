@@ -43,9 +43,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("float64")  # unify int32/int64/nullable
+            # nullable Int64, NOT float64: 60-bit hash values exceed 2^53
+            # and would collide after a float cast, masking mismatches
+            df[c] = df[c].astype("Int64")
         elif pd.api.types.is_bool_dtype(df[c]):
-            df[c] = df[c].astype("float64")
+            df[c] = df[c].astype("Int64")
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
