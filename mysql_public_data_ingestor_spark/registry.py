@@ -145,6 +145,7 @@ def _ensure_loaded() -> None:
         similarity,
         text,
         tpch,
+        tpch2,
         windows,
     )
     from .streaming import batch_equivalents  # noqa: F401
