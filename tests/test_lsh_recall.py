@@ -46,6 +46,32 @@ def truth(sf_dir):
     return {(a, b): j for a, b, j in rows}
 
 
+def test_ann_lsh_topk_recall(spark, sf_dir):
+    """ANN recall gate: banded-LSH top-k must recover >=0.9 of the exact
+    brute-force top-10 (measured 0.92/0.96/0.98 at sf0.001/0.01/0.1 with
+    16 bands x 3 bits). Deterministic: fixed planes, fixed data."""
+    qs = all_queries()
+    truth_rows = qs["knn_brute_cosine"].fn(spark, sf_dir).collect()
+    ann_rows = qs["ann_lsh_topk"].fn(spark, sf_dir).collect()
+    truth_sets: dict[int, set[int]] = {}
+    for r in truth_rows:
+        truth_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ann_sets: dict[int, set[int]] = {}
+    for r in ann_rows:
+        ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(truth_sets) == set(ann_sets)
+    hits = sum(len(truth_sets[q] & ann_sets.get(q, set())) for q in truth_sets)
+    total = sum(len(s) for s in truth_sets.values())
+    recall = hits / total
+    assert recall >= 0.9, f"ANN recall@10 {recall:.3f} < 0.9"
+    # every ANN cosine must equal the exact cosine (scores are computed
+    # exactly on candidates — LSH only prunes the candidate set)
+    truth_scores = {(r.query_id, r.neighbor_id): r.cosine for r in truth_rows}
+    for r in ann_rows:
+        if (r.query_id, r.neighbor_id) in truth_scores:
+            assert truth_scores[(r.query_id, r.neighbor_id)] == r.cosine
+
+
 def test_lsh_no_false_positives_and_high_recall(spark, sf_dir, truth):
     got = {
         (r.doc_a, r.doc_b): r.jaccard
