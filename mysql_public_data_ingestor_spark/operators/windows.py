@@ -251,3 +251,34 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spend_60d"
         ),
     )
+
+
+@register(
+    "window_ntile_by_nation",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ntile(4) OVER w                       AS bal_quartile,
+           round(percent_rank() OVER w, 6)       AS bal_pct_rank,
+           round(cume_dist()    OVER w, 6)       AS bal_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist per nation — the partitioned
+    twin of ``window_ntile_percent_rank``.
+
+    This is the 100 TB shape for distribution statistics: one shuffle on
+    the partition key, each nation's ranking computed independently in
+    parallel. The global variant (single reducer) stays registered only
+    as a surface demo; any headline path uses this form.
+    """
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return t.customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )

@@ -83,3 +83,38 @@ def test_events_tumbling_partial_agg(spark, sf_dir):
     plan = physical_plan(df)
     # partial-final split: HashAggregate appears above and below the exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ntile_by_nation_partitioned_no_single_partition_window(spark, sf_dir):
+    """The partitioned ntile twin must shuffle on the partition key; a
+    SinglePartition exchange would mean a global (one-reducer) window."""
+    df = q("window_ntile_by_nation", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert count_exchanges(df) <= 1, plan
+
+
+def test_ann_lsh_topk_no_cartesian(spark, sf_dir):
+    """ANN candidates must come from the band equi-join, never a
+    cross product of queries x corpus."""
+    df = q("ann_lsh_topk", spark, sf_dir)
+    assert_no_cartesian(df)
+    assert has_broadcast_join(df)
+
+
+def test_tpch2_broadcast_and_pushdown(spark, sf_dir):
+    """New TPC-H shapes keep dims broadcast and filters pushed."""
+    for name, pushed_col in [
+        ("q19_discounted_revenue", "l_partkey"),
+        ("q12_shipmode_priority", "l_shipdate"),
+        ("q15_top_supplier", "l_shipdate"),
+    ]:
+        df = q(name, spark, sf_dir)
+        assert has_broadcast_join(df), name
+        assert any(pushed_col in p for p in pushed_filters(df)), (name, pushed_filters(df))
+
+
+def test_q21_semi_and_anti(spark, sf_dir):
+    plan = physical_plan(q("q21_suppliers_kept_waiting", spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
