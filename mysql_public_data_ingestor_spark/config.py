@@ -83,12 +83,23 @@ class PoolConfig:
 
 @dataclass
 class TLSConfig:
-    """reference: database/db_manager.go:60-113 (CA + client cert pair)."""
+    """reference: database/db_manager.go:60-113 — custom cert pool (CA
+    file), client cert pair, InsecureSkipVerify, ServerName, registered
+    as the DSN's ``tls=custom`` config. Re-expressed as MySQL
+    Connector/J URL options (see ``MySQLConfig.jdbc_url``)."""
 
     enabled: bool = False
     ca_cert: Optional[str] = None
     client_cert: Optional[str] = None
     client_key: Optional[str] = None
+    insecure_skip_verify: bool = False
+    server_name: Optional[str] = None
+
+    @property
+    def active(self) -> bool:
+        """Reference semantics (db_manager.go:60-63): TLS is on iff
+        explicitly enabled OR any cert material is configured."""
+        return bool(self.enabled or self.ca_cert or self.client_cert or self.client_key)
 
 
 @dataclass
@@ -99,13 +110,37 @@ class MySQLConfig:
     port: int = 3306
     username: str = ""
     password: str = ""
+    dbname: str = ""
     pool: PoolConfig = field(default_factory=PoolConfig)
     tls: TLSConfig = field(default_factory=TLSConfig)
 
     def jdbc_url(self) -> str:
-        params = ["useSSL=true"] if self.tls.enabled else []
+        """Connector/J URL with the TLS mapping of the reference's
+        custom tls.Config (db_manager.go:60-113):
+
+        - CA file          -> sslMode=VERIFY_CA (VERIFY_IDENTITY when a
+                              ServerName is pinned) + trustCertificateKeyStoreUrl
+        - client cert pair -> clientCertificateKeyStoreUrl
+        - InsecureSkipVerify -> sslMode=REQUIRED (encrypt, skip verify)
+        - enabled, no certs  -> sslMode=REQUIRED
+        """
+        params: list[str] = []
+        tls = self.tls
+        if tls.active:
+            if tls.insecure_skip_verify or not tls.ca_cert:
+                ssl_mode = "REQUIRED"
+            elif tls.server_name:
+                ssl_mode = "VERIFY_IDENTITY"
+            else:
+                ssl_mode = "VERIFY_CA"
+            params.append(f"sslMode={ssl_mode}")
+            if tls.ca_cert and not tls.insecure_skip_verify:
+                params.append(f"trustCertificateKeyStoreUrl=file:{tls.ca_cert}")
+            if tls.client_cert and tls.client_key:
+                params.append(f"clientCertificateKeyStoreUrl=file:{tls.client_cert}")
         qs = ("?" + "&".join(params)) if params else ""
-        return f"jdbc:mysql://{self.host}:{self.port}{qs}"
+        db = f"/{self.dbname}" if self.dbname else ""
+        return f"jdbc:mysql://{self.host}:{self.port}{db}{qs}"
 
 
 @dataclass
@@ -117,22 +152,79 @@ class MainConfig:
     mysql: MySQLConfig = field(default_factory=MySQLConfig)
 
 
-def _build(cls, data: dict[str, Any]):
-    """Minimal nested-dataclass hydration (keys match field names)."""
+# Reference-format key names accepted as aliases (reference
+# config/config.go yaml tags; TLSConfig has no tags, so go-yaml derives
+# lowercased field names — both the documented *_file spelling and the
+# actual lowercased one are accepted).
+_KEY_ALIASES: dict[type, dict[str, str]] = {}
+
+
+def _register_aliases() -> None:
+    _KEY_ALIASES.update(
+        {
+            AuthConfig: {"user": "username", "pass": "password"},
+            MySQLConfig: {"user": "username", "connection_pool": "pool", "tls_config": "tls"},
+            TLSConfig: {
+                "ca_file": "ca_cert",
+                "cafile": "ca_cert",
+                "cert_file": "client_cert",
+                "certfile": "client_cert",
+                "key_file": "client_key",
+                "keyfile": "client_key",
+                "insecureskipverify": "insecure_skip_verify",
+                "servername": "server_name",
+            },
+        }
+    )
+
+
+_register_aliases()
+
+
+def _build(cls, data: dict[str, Any], path: str = ""):
+    """Nested-dataclass hydration: reference key names are accepted as
+    aliases, and unrecognized keys RAISE — format drift fails loudly
+    instead of yielding silently-default config (the reference's
+    yaml.Unmarshal also ignores unknowns, but its fields carry explicit
+    yaml tags; here the alias table plays that role)."""
     import dataclasses
+
+    aliases = _KEY_ALIASES.get(cls, {})
+    field_names = {f.name for f in dataclasses.fields(cls)}
+    canonical: dict[str, Any] = {}
+    for key, v in (data or {}).items():
+        name = aliases.get(key, key)
+        if name not in field_names:
+            raise ValueError(
+                f"unrecognized config key {path + key!r} for {cls.__name__} "
+                f"(known: {sorted(field_names | set(aliases))})"
+            )
+        canonical[name] = v
+
+    # reference plugin format nests auth/interval/fetch_workers inside
+    # the opaque `config` map (api_plugins/api_plugin.go:8-11,
+    # config.yaml plugin_spec.config.*) — hoist them into the typed
+    # fields and keep the remainder opaque.
+    if cls is PluginSpec and isinstance(canonical.get("config"), dict):
+        nested = dict(canonical["config"])
+        for hoist in ("auth", "interval", "fetch_workers"):
+            if hoist in nested and hoist not in canonical:
+                canonical[hoist] = nested.pop(hoist)
+        canonical["config"] = nested
 
     kwargs = {}
     for f in dataclasses.fields(cls):
-        if f.name not in data:
+        if f.name not in canonical:
             continue
-        v = data[f.name]
-        t = f.type if not isinstance(f.type, str) else None
+        v = canonical[f.name]
         # resolve the concrete nested type from the default factory
         default = f.default_factory() if f.default_factory is not dataclasses.MISSING else None
         if dataclasses.is_dataclass(default) and isinstance(v, dict):
-            kwargs[f.name] = _build(type(default), v)
+            kwargs[f.name] = _build(type(default), v, path=f"{path}{f.name}.")
         elif f.name == "extra" and isinstance(v, dict):
-            kwargs[f.name] = {k: _build(ExtraDatabase, ev or {}) for k, ev in v.items()}
+            kwargs[f.name] = {
+                k: _build(ExtraDatabase, ev or {}, path=f"{path}extra.{k}.") for k, ev in v.items()
+            }
         else:
             kwargs[f.name] = v
     return cls(**kwargs)

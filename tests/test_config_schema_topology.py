@@ -151,3 +151,84 @@ def test_bootstrap_catalog_topology_executes(spark):
             spark.sql(f"DROP TABLE IF EXISTS `{t.database}`.`{t.table}`")
         for db in {t.database for t in expand_topology(cfg)}:
             spark.sql(f"DROP DATABASE IF EXISTS `{db}`")
+
+
+REFERENCE_STYLE_YAML = """
+plugin_spec:
+  name: opensky
+  config:
+    auth:
+      user: "ref_user"
+      pass: "ref_pass"
+    interval: 30
+    fetch_workers: 2
+    custom_knob: 7
+databases:
+  prefix: "auto_"
+  copies: 3
+  extra:
+    foo:
+      tables: 5
+  write_workers: 5
+mysql:
+  user: "mysql_user"
+  password: "mysql_pass"
+  host: "db.example"
+  port: 3307
+  dbname: "mydb"
+  tls_config:
+    ca_file: ""
+  connection_pool:
+    max_open_conns: 30
+    max_idle_conns: 30
+"""
+
+
+def test_reference_format_config_loads_with_aliases():
+    """The reference's own config.yaml key names (config/config.go yaml
+    tags: user/connection_pool/tls_config/dbname, plugin auth user/pass
+    nested in the opaque config map) must hydrate the typed model — not
+    silently produce empty credentials."""
+    cfg = loads_config(REFERENCE_STYLE_YAML)
+    assert cfg.mysql.username == "mysql_user"
+    assert cfg.mysql.password == "mysql_pass"
+    assert cfg.mysql.dbname == "mydb"
+    assert cfg.mysql.pool.max_open_conns == 30
+    assert cfg.mysql.pool.conn_max_lifetime == 3600  # zero-means-default
+    assert cfg.plugin_spec.auth.username == "ref_user"
+    assert cfg.plugin_spec.auth.password == "ref_pass"
+    assert cfg.plugin_spec.interval == 30
+    assert cfg.plugin_spec.fetch_workers == 2
+    assert cfg.plugin_spec.config == {"custom_knob": 7}
+    assert cfg.mysql.jdbc_url() == "jdbc:mysql://db.example:3307/mydb"
+
+
+def test_unknown_config_key_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="usrname"):
+        loads_config("mysql: {usrname: oops}")
+
+
+def test_tls_custom_ca_jdbc_mapping():
+    """Parity with the reference's custom TLS registration
+    (database/db_manager.go:60-113): CA -> VERIFY_CA + truststore,
+    +ServerName -> VERIFY_IDENTITY, client pair -> client keystore,
+    InsecureSkipVerify -> REQUIRED without truststore."""
+    base = "mysql:\n  tls_config:\n"
+    ca = loads_config(base + "    ca_file: /etc/ca.pem\n").mysql.jdbc_url()
+    assert "sslMode=VERIFY_CA" in ca and "trustCertificateKeyStoreUrl=file:/etc/ca.pem" in ca
+    ident = loads_config(
+        base + "    ca_file: /etc/ca.pem\n    server_name: db.internal\n"
+    ).mysql.jdbc_url()
+    assert "sslMode=VERIFY_IDENTITY" in ident
+    pair = loads_config(
+        base + "    ca_file: /etc/ca.pem\n    cert_file: /c.pem\n    key_file: /k.pem\n"
+    ).mysql.jdbc_url()
+    assert "clientCertificateKeyStoreUrl=file:/c.pem" in pair
+    skip = loads_config(
+        base + "    ca_file: /etc/ca.pem\n    insecureskipverify: true\n"
+    ).mysql.jdbc_url()
+    assert "sslMode=REQUIRED" in skip and "trustCertificateKeyStoreUrl" not in skip
+    off = loads_config("mysql: {host: h}").mysql.jdbc_url()
+    assert "sslMode" not in off
