@@ -147,15 +147,25 @@ try:  # pyspark>=4 ships the Python DataSource API
     class OpenSkyStreamReader(DataSourceStreamReader):
         """Micro-batch reader: one poll per trigger tick.
 
-        Offsets count polls; the source is snapshot-replay
-        (at-least-once, no server-side offsets exist — the reference
-        has the same semantics: every poll is a fresh snapshot,
-        SURVEY §3.2). The poll happens driver-side at planning (the
-        payload is one ~10^4-row snapshot); partitions then distribute
-        rows to executors.
+        Offsets count polls; every poll is a fresh snapshot (the
+        reference has the same semantics, SURVEY §3.2). The poll happens
+        driver-side at planning (the payload is one ~10^4-row
+        snapshot); partitions then distribute rows to executors.
+
+        Replay durability: with the ``spool_dir`` option each poll's
+        rows are spilled to a file *before* its offset is returned, so
+        after a crash/restart the replayed epoch's ``partitions()``
+        reloads the same rows — end-to-end exactly-once when paired
+        with ``IdempotentParquetSink``. Without ``spool_dir`` the rows
+        live only in this process's memory and a restarted query
+        replays the in-flight epoch as EMPTY: at-most-once for that
+        poll window (duplicate-free but lossy). Spool files are deleted
+        on ``commit``.
         """
 
         def __init__(self, options):
+            import os
+
             url = options.get("url", OPENSKY_URL)
             user = options.get("user")
             pw = options.get("password")
@@ -173,30 +183,85 @@ try:  # pyspark>=4 ships the Python DataSource API
             )
             self._poll = 0
             self._pending: dict[int, list[tuple]] = {}
+            self._spool_dir = options.get("spool_dir")
+            if self._spool_dir:
+                os.makedirs(self._spool_dir, exist_ok=True)
+
+        def _spool_path(self, poll: int) -> str:
+            return f"{self._spool_dir}/poll_{poll}.json"
+
+        def _spool_write(self, poll: int, rows: list[tuple]) -> None:
+            """Durable spill before the offset becomes visible (tmp +
+            rename so a crash mid-write never leaves a torn file)."""
+            import os
+
+            tmp = self._spool_path(poll) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(rows, f)
+            os.replace(tmp, self._spool_path(poll))
+
+        def _spool_read(self, poll: int) -> Optional[list[tuple]]:
+            import os
+
+            path = self._spool_path(poll)
+            if not os.path.exists(path):
+                return None
+            with open(path) as f:
+                raw = json.load(f)
+            schema = self.plugin.schema()
+            # JSON round-trip widens ints to floats etc. — re-coerce to
+            # the declared schema, same as the live decode path
+            return [
+                tuple(_coerce(v, fld.dataType) for v, fld in zip(row, schema.fields))
+                for row in raw
+            ]
 
         def initialOffset(self) -> dict:
             return {"poll": 0}
 
         def latestOffset(self) -> dict:
             self._poll += 1
-            self._pending[self._poll] = self.plugin.fetch_rows()
+            rows = self.plugin.fetch_rows()
+            if self._spool_dir:
+                self._spool_write(self._poll, rows)
+            self._pending[self._poll] = rows
             return {"poll": self._poll}
 
         def partitions(self, start: dict, end: dict):
             rows: list[tuple] = []
             for p in range(start["poll"] + 1, end["poll"] + 1):
-                rows.extend(self._pending.get(p, []))
+                got = self._pending.get(p)
+                if got is None and self._spool_dir:
+                    got = self._spool_read(p)  # crash-replay path
+                rows.extend(got or [])
             n = max(len(rows) // 1000, 1)
             chunks = [rows[i::n] for i in range(n)]
-            return [_SnapshotPartition(c) for c in chunks if c]
+            # always >= 1 partition: an empty poll must still produce an
+            # (empty) micro-batch, matching OpenSkyBatchReader
+            return [_SnapshotPartition(c) for c in chunks if c] or [_SnapshotPartition([])]
 
         def read(self, partition: _SnapshotPartition) -> Iterator[tuple]:
             yield from partition.rows
 
         def commit(self, end: dict) -> None:
+            import os
+
             for p in list(self._pending):
                 if p <= end["poll"]:
                     del self._pending[p]
+            if self._spool_dir:
+                for name in os.listdir(self._spool_dir):
+                    if not name.startswith("poll_") or not name.endswith(".json"):
+                        continue
+                    try:
+                        poll = int(name[len("poll_"):-len(".json")])
+                    except ValueError:
+                        continue
+                    if poll <= end["poll"]:
+                        try:
+                            os.remove(f"{self._spool_dir}/{name}")
+                        except FileNotFoundError:
+                            pass
 
     class OpenSkyBatchReader(DataSourceReader):
         """One-shot snapshot read: ``spark.read.format("opensky")``."""

@@ -169,9 +169,15 @@ class IdempotentParquetSink:
 
     ``foreachBatch`` is at-least-once — after a crash the same epoch
     replays. Keying the write by epoch id and skipping committed epochs
-    makes the replay a no-op, upgrading the pipeline to exactly-once
-    (the JDBC analog: an epoch column + `INSERT ... ON DUPLICATE KEY` /
-    staging-table swap keyed by epoch).
+    makes the replay duplicate-free (the JDBC analog: an epoch column +
+    `INSERT ... ON DUPLICATE KEY` / staging-table swap keyed by epoch).
+
+    End-to-end exactly-once additionally requires the SOURCE to
+    reproduce the replayed epoch's rows: pair with
+    ``OpenSkyStreamReader``'s ``spool_dir`` option (polled rows spilled
+    to disk before the offset is visible). Without a spool the source
+    replays an in-flight epoch as empty — duplicate-free but
+    at-most-once for that poll window.
     """
 
     path: str

@@ -122,4 +122,4 @@ def test_jdbc_options_pool_mapping():
 def test_jdbc_tls_url():
     cfg = MySQLConfig(host="h")
     cfg.tls.enabled = True
-    assert "useSSL=true" in cfg.jdbc_url()
+    assert "sslMode=REQUIRED" in cfg.jdbc_url()

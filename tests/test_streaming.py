@@ -217,3 +217,60 @@ def test_opensky_batch_datasource(spark, tmp_path):
     assert len(rows) == 7
     assert rows[0].icao24 == "abc123"
     assert [f.name for f in df.schema.fields][:2] == ["time", "icao24"]
+
+
+def test_stream_reader_spool_crash_replay(tmp_path):
+    """ADVICE item: a crashed query's replayed epoch must reproduce the
+    polled rows, not silently emit an empty batch. With spool_dir the
+    rows are spilled before the offset is visible, so a FRESH reader
+    instance (the restart) serves them from disk; commit cleans up."""
+    import json as _json
+
+    import mysql_public_data_ingestor_spark.sources.opensky as osky
+
+    if not osky.DATASOURCE_AVAILABLE:
+        pytest.skip("pyspark.sql.datasource missing")
+    from mysql_public_data_ingestor_spark.sources.opensky import OpenSkyStreamReader
+
+    state = [1234567890, "abc123", "CALLSIGN", "Country", 1234567890, 1234567890,
+             10.0, 20.0, 30.0, True, 40.0, 50.0, 60.0, None, 70.0, "SQUAWK", True, 1]
+    payload = tmp_path / "snap.json"
+    payload.write_text(_json.dumps({"time": 1, "states": [state] * 3}))
+    opts = {
+        "payload_file": str(payload),
+        "spool_dir": str(tmp_path / "spool"),
+    }
+
+    r1 = OpenSkyStreamReader(opts)
+    start = r1.initialOffset()
+    end = r1.latestOffset()
+    # crash before processing: a NEW reader has empty in-memory state
+    r2 = OpenSkyStreamReader(opts)
+    parts = r2.partitions(start, end)
+    rows = [row for p in parts for row in p.rows]
+    assert len(rows) == 3
+    assert rows[0][1] == "abc123"
+    assert isinstance(rows[0][0], int)  # re-coerced to schema types
+    # commit removes the spool file
+    r2.commit(end)
+    assert not list((tmp_path / "spool").glob("poll_*.json"))
+
+
+def test_stream_reader_empty_poll_yields_partition(tmp_path):
+    """An empty poll must still produce >=1 (empty) partition so the
+    epoch materializes as an empty micro-batch, matching the batch
+    reader's behavior."""
+    import json as _json
+
+    import mysql_public_data_ingestor_spark.sources.opensky as osky
+
+    if not osky.DATASOURCE_AVAILABLE:
+        pytest.skip("pyspark.sql.datasource missing")
+    from mysql_public_data_ingestor_spark.sources.opensky import OpenSkyStreamReader
+
+    payload = tmp_path / "empty.json"
+    payload.write_text(_json.dumps({"time": 1, "states": []}))
+    r = OpenSkyStreamReader({"payload_file": str(payload)})
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    assert len(parts) == 1
+    assert parts[0].rows == []
