@@ -5,6 +5,9 @@ ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 
 Each query is forced to full materialization with the noop sink (no
 driver-side collect, no Arrow transfer cost in the measurement).
+
+Regression tracking: per-query deltas vs the latest BENCH_r*.json in the
+repo root are printed to STDERR (stdout stays one JSON line).
 """
 
 from __future__ import annotations
@@ -54,6 +57,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    _report_deltas(timings, total, sf)
     print(
         json.dumps(
             {
@@ -65,6 +69,44 @@ def main() -> None:
             }
         )
     )
+
+
+def _report_deltas(timings: dict[str, float], total: float, sf: float) -> None:
+    """Diff against the newest BENCH_r*.json (same sf only) on stderr."""
+    import glob
+    import re
+
+    benches = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not benches:
+        return
+    try:
+        with open(benches[-1]) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return
+    # driver files wrap the bench JSON line under "parsed"
+    if "parsed" in prev and isinstance(prev["parsed"], dict):
+        prev = {**prev["parsed"], "sf": prev.get("sf", prev["parsed"].get("sf"))}
+    if prev.get("sf") != sf:
+        print(f"[bench] no delta: previous round ran sf={prev.get('sf')}", file=sys.stderr)
+        return
+    prev_q = prev.get("queries", {})
+    print(f"[bench] vs {os.path.basename(benches[-1])}:", file=sys.stderr)
+    for name, t in timings.items():
+        if name in prev_q and prev_q[name]:
+            pct = 100.0 * (t - prev_q[name]) / prev_q[name]
+            flag = "  REGRESSION" if pct > 25 else ""
+            print(f"[bench]   {name}: {prev_q[name]:.2f}s -> {t:.2f}s ({pct:+.0f}%){flag}",
+                  file=sys.stderr)
+        else:
+            print(f"[bench]   {name}: (new) {t:.2f}s", file=sys.stderr)
+    if prev.get("value"):
+        pct = 100.0 * (total - prev["value"]) / prev["value"]
+        print(f"[bench]   TOTAL: {prev['value']:.2f}s -> {total:.2f}s ({pct:+.0f}%)",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -26,7 +26,13 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..tables import Tables
 
-DECODE_AVAILABLE = False  # no PIL/ffmpeg in this container — stubbed
+try:  # optional real decode path — PIL is not in this container, but
+    # the plumbing supports it wherever it exists
+    import importlib.util as _ilu
+
+    DECODE_AVAILABLE = _ilu.find_spec("PIL") is not None
+except Exception:  # pragma: no cover
+    DECODE_AVAILABLE = False
 
 
 @register(
@@ -72,30 +78,60 @@ def _fake_decode_dims(payload: bytes) -> tuple[int, int, int]:
     return (w, h, 3)
 
 
-def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def _pil_decode_dims(payload: bytes) -> tuple[int, int, int]:
+    """Real decode via PIL (only called when the library is present).
+    Raises on undecodable bytes — callers decide the fallback."""
+    import io
+
+    from PIL import Image  # noqa: PLC0415 — gated import
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return (img.width, img.height, len(img.getbands()))
+
+
+def decode_images(df: DataFrame, payload_col: str = "payload", mode: str = "fake") -> DataFrame:
     """Decode a binary image column into (width, height, channels, n_bytes).
 
-    Real path raises NotImplementedError (no codec libs here); the fake
-    path exercises the full Spark plumbing: Arrow batches in/out,
+    ``mode``:
+      - ``"fake"`` (default): deterministic stub dims — used by the
+        registered query so its output never depends on which libraries
+        happen to be installed;
+      - ``"real"``: PIL decode; raises NotImplementedError if PIL is
+        absent; undecodable payloads yield NULL dims (the 100 TB
+        posture: corrupt images must not kill a 10^9-row decode job);
+      - ``"auto"``: real if PIL is installed, else fake.
+
+    Either way the Spark plumbing is identical: Arrow batches in/out,
     partition-preserving mapInPandas, stable output schema.
     """
+    if mode == "auto":
+        mode = "real" if DECODE_AVAILABLE else "fake"
+    if mode == "real" and not DECODE_AVAILABLE:
+        raise NotImplementedError("real image decode requires PIL (pillow)")
     out_schema = (
         "doc_id long, n_bytes long, width int, height int, channels int"
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if DECODE_AVAILABLE:
-                raise NotImplementedError("real image decode requires PIL/libav")
             payloads = pdf[payload_col]
-            dims = [_fake_decode_dims(p if p is not None else b"") for p in payloads]
+            dims: list[tuple] = []
+            for p in payloads:
+                raw = p if p is not None else b""
+                if mode == "real":
+                    try:
+                        dims.append(_pil_decode_dims(raw))
+                    except Exception:
+                        dims.append((None, None, None))
+                else:
+                    dims.append(_fake_decode_dims(raw))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": [len(p) if p is not None else 0 for p in payloads],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "channels": [d[2] for d in dims],
+                    "width": pd.array([d[0] for d in dims], dtype="Int32"),
+                    "height": pd.array([d[1] for d in dims], dtype="Int32"),
+                    "channels": pd.array([d[2] for d in dims], dtype="Int32"),
                 }
             )
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mysql_public_data_ingestor_spark.operators.multimodal import (
@@ -83,3 +85,28 @@ def test_extract_features_deterministic_shape(spark, sf_dir):
     # histogram-rate components sum to ~1
     for v in a.values():
         assert abs(sum(v[2:6]) - 1.0) < 1e-9
+
+
+def test_decode_real_mode_gated(spark, sf_dir):
+    """mode='real' raises without PIL; mode='auto' falls back to the
+    deterministic fake so the registered query is library-independent.
+    With PIL installed, 'real' decodes a valid PNG and NULLs bad bytes."""
+    import mysql_public_data_ingestor_spark.operators.multimodal as mm
+    from mysql_public_data_ingestor_spark.tables import load_table
+
+    df = (
+        load_table(spark, sf_dir, "documents")
+        .limit(4)
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+    if not mm.DECODE_AVAILABLE:
+        with pytest.raises(NotImplementedError):
+            decode_images(df, mode="real")
+        auto = decode_images(df, mode="auto").collect()
+        fake = decode_images(df, mode="fake").collect()
+        assert {r.doc_id: (r.width, r.height) for r in auto} == {
+            r.doc_id: (r.width, r.height) for r in fake
+        }
+    else:  # pragma: no cover - PIL not in this container
+        out = {r.doc_id: r.width for r in decode_images(df, mode="real").collect()}
+        assert all(w is None for w in out.values())  # text bytes aren't images

@@ -52,7 +52,7 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir, duck):
 def test_approx_percentiles_within_tolerance(spark, sf_dir, duck):
     rows = SPECS["percentiles_approx"].fn(spark, sf_dir).collect()
     for r in rows:
-        p50, p90, p99 = r.approx_pcts
+        p50, p90, p99 = r.p50, r.p90, r.p99
         ex = duck.execute(
             "SELECT quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]) FROM lineitem "
             "WHERE l_returnflag = ?",
