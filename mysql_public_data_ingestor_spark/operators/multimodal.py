@@ -138,10 +138,27 @@ def decode_images(df: DataFrame, payload_col: str = "payload", mode: str = "fake
     return df.mapInPandas(batches, schema=out_schema)
 
 
-@register("multimodal_decode_stub", oracle=None)
+@register(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(64 + (octet_length(encode(text)) % 512) AS INT) AS width,
+           CAST(64 + (CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                           ELSE ('0x' || left(hex(encode(text)), 2))::BIGINT
+                      END * 7) % 512 AS INT) AS height,
+           CAST(3 AS INT) AS channels
+    FROM documents
+    """,
+)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode pipeline over fake binary payloads (rows-only
-    check: the decode itself is a stub; plumbing is what's exercised)."""
+    """mapInPandas decode pipeline over fake binary payloads.
+
+    The stub decoder's dims are deterministic arithmetic over the
+    payload bytes, so even this Arrow-batched Python path gets a full
+    value oracle (first payload byte == first UTF-8 byte, extracted in
+    SQL via blob hex) — what's verified end-to-end is the mapInPandas
+    machinery: Arrow in/out, schema, null-safe byte handling."""
     t = Tables(spark, sf_dir)
     with_payload = t.documents.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")

@@ -96,18 +96,36 @@ def _hyperplanes() -> list[list[float]]:
     ]
 
 
-@register("ann_lsh_bucketed", oracle=None)
+def _bucketed_oracle() -> str:
+    bit_exprs = " || ".join(
+        "(CASE WHEN list_inner_product(v, ["
+        + ", ".join(repr(w) for w in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in _hyperplanes()
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT ({bit_exprs}) AS bucket,
+           count(*)      AS n_vectors,
+           min(vec_id)   AS sample_min_vec_id
+    FROM emb
+    GROUP BY 1
+    """
+
+
+@register("ann_lsh_bucketed", oracle=_bucketed_oracle())
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH: bucket signature + bucket stats.
 
     Returns (bucket, n_vectors, sample_min_vec_id) — the bucketing stage
-    of the scale path. A full ANN query then equi-joins query signatures
-    to bucket members (bucket-local brute force), replacing the O(n)
-    scan per query with O(bucket).
+    of the scale path; ``ann_lsh_topk`` is the full retrieval query.
 
-    Rows-only check: sign-of-dot-product bucketing is deterministic but
-    not concisely SQL-expressible; correctness of the underlying cosine
-    math is covered by ``knn_brute_cosine``.
+    Oracle parity: the hyperplane weights are embedded as identical
+    double literals in both engines, and both compute the dot product
+    as a sequential left-to-right fold, so bucket signatures match
+    bit-for-bit.
     """
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -255,7 +273,37 @@ N_PROBE_QUERIES = 3
 IVF_TOP_K = 5
 
 
-@register("ann_ivf_topk", oracle=None)
+IVF_ORACLE = f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS centroid_id, v AS cv FROM emb WHERE vec_id < {{n_centroids}}
+    ), assigned AS (
+      SELECT vec_id, v, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY round(list_cosine_similarity(v, cv), 9) DESC,
+                                         centroid_id) AS rn
+      FROM emb, cent
+    ), cells AS (
+      SELECT vec_id, v, centroid_id AS cell FROM assigned WHERE rn = 1
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.cell,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+      FROM cells c JOIN cells q USING (cell)
+      WHERE q.vec_id < {{n_queries}} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cell, cosine, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM pairs)
+    WHERE rnk <= {{top_k}}
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=IVF_ORACLE.format(n_centroids=8, n_queries=3, top_k=5),
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: partition the corpus into cells around fixed
     centroids (here: the first N_CENTROIDS vectors — a real pipeline
@@ -264,9 +312,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: cell assignment is one broadcast join (corpus x 8
     centroids); the search joins queries to their cell's members on the
-    cell id — per-query work is O(cell), not O(corpus). Rows-only
-    check (argmax cell assignment is verbose in SQL; the cosine math is
-    oracle-covered by knn_brute_cosine).
+    cell id — per-query work is O(cell), not O(corpus). Oracle: the
+    argmax assignment and cell-local ranking re-expressed as window
+    functions; assignment similarity rounded at 9 decimals on both
+    sides so the argmax tie-break is cross-engine deterministic.
     """
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -303,7 +352,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        pairs.withColumn("rnk", F.row_number().over(w_rank))
+        pairs.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rnk") <= IVF_TOP_K)
         .select("query_id", "neighbor_id", "cell", "cosine", "rnk")
     )
