@@ -46,8 +46,19 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_queries()
 
-    # warm the JVM + parquet footers with one cheap query
+    # warm the JVM + parquet footers with one cheap query, and the
+    # Python/Arrow UDF workers with a trivial pandas UDF (so per-query
+    # timings measure steady-state, not one-time worker startup)
     specs["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(_warm("id")).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

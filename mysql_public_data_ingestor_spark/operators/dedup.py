@@ -32,6 +32,7 @@ from ..functions.textnorm import (
     whitespace_tokens,
     word_shingles,
 )
+from ..functions.partitioning import cpu_repartition
 from ..registry import register
 from ..tables import Tables
 
@@ -206,7 +207,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join branches (cheaper than columnar-caching arrays).
     bases_udf = shingle_base_hash_udf(SHINGLE_K)
     norm = (
-        t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        cpu_repartition(t.documents, "doc_id")
         .select("doc_id", bases_udf(F.col("text")).alias("bases"))
         .filter(F.size("bases") > 0)
         .localCheckpoint(eager=False)
@@ -281,7 +282,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one long per (doc, token), aggregated map-side first.
     """
     t = Tables(spark, sf_dir)
-    toks = t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+    toks = cpu_repartition(t.documents, "doc_id").select(
         "doc_id",
         F.explode(F.array_distinct(whitespace_tokens(F.col("text")))).alias("token"),
     )
@@ -332,7 +333,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     bases_udf = shingle_base_hash_udf(SHINGLE_K)
     keyed = (
-        t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        cpu_repartition(t.documents, "doc_id")
         .select(
             "doc_id",
             "lang",

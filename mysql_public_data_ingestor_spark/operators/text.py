@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.textnorm import normalized_text, sha256_hex, whitespace_tokens, word_shingles
+from ..functions.partitioning import cpu_repartition
 from ..registry import register
 from ..tables import Tables
 
@@ -247,7 +248,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = whitespace_tokens(F.col("text"))
     shingles = word_shingles(toks, 4)
     # CPU-bound per-row hashing: spread across cores, not parquet splits
-    docs = t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = cpu_repartition(t.documents, "doc_id")
     return docs.select(
         "doc_id",
         sha256_hex(normalized_text(F.col("text"))).alias("content_sha"),
@@ -363,7 +364,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # word_shingles carries the short-doc guard (sequence(1,0) yields
     # [1,0], not []); docs with < WINNOW_K tokens get an empty gram list.
     grams = word_shingles(w, WINNOW_K)
-    d = t.documents.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+    d = cpu_repartition(t.documents, "doc_id").select(
         "doc_id", F.transform(grams, lambda g: sha256_prefix_i64(g)).alias("hs")
     ).filter(F.size("hs") >= WINNOW_W)
     fp = F.array_distinct(
