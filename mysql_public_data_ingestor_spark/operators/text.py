@@ -379,3 +379,91 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(fp).alias("min_fp"),
         F.array_max(fp).alias("max_fp"),
     )
+
+
+def _repetition_oracle() -> str:
+    return """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, words,
+             CASE WHEN len(words) >= 2
+                  THEN list_transform(range(1, len(words)),
+                                      i -> words[i] || ' ' || words[i + 1])
+                  ELSE [] END AS bigrams
+      FROM toks
+    )
+    SELECT doc_id,
+           len(words) AS n_tokens,
+           round(len(list_distinct(words)) * 1.0 / len(words), 6) AS distinct_ratio,
+           round(list_max(list_transform(list_distinct(words),
+                   w -> len(list_filter(words, x -> x = w)))) * 1.0
+                 / len(words), 6) AS top_token_fraction,
+           CASE WHEN len(bigrams) = 0 THEN NULL
+                ELSE round(1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams), 6)
+           END AS dup_bigram_fraction,
+           CASE WHEN len(list_distinct(words)) * 1.0 / len(words) >= 0.4
+                 AND list_max(list_transform(list_distinct(words),
+                       w -> len(list_filter(words, x -> x = w)))) * 1.0
+                     / len(words) <= 0.1
+                THEN 1 ELSE 0 END AS passes_repetition
+    FROM grams
+    """
+
+
+@register("text_repetition_stats", oracle=_repetition_oracle())
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: distinct
+    token ratio, most-frequent-token fraction, duplicate-bigram
+    fraction, and a pass/fail gate.
+
+    Scale shape: one explode per n-gram order, counts aggregated per
+    (doc, gram) with partial aggregation, then per-doc rollup — the two
+    branches are co-partitioned on doc_id, so the final join is
+    shuffle-free under AQE. No Python anywhere.
+    """
+    t = Tables(spark, sf_dir)
+    words = whitespace_tokens(F.col("text"))
+    d = t.documents.select("doc_id", words.alias("words")).localCheckpoint(eager=False)
+    uni = (
+        d.select("doc_id", F.explode("words").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("n").alias("top_n"),
+        )
+    )
+    bi = (
+        d.select("doc_id", F.explode(word_shingles(F.col("words"), 2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n_bigrams"), F.count(F.lit(1)).alias("n_distinct_bi"))
+    )
+    distinct_ratio = F.round(F.col("n_distinct") / F.col("n_tokens"), 6)
+    top_frac = F.round(F.col("top_n") / F.col("n_tokens"), 6)
+    return (
+        uni.join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            distinct_ratio.alias("distinct_ratio"),
+            top_frac.alias("top_token_fraction"),
+            F.when(
+                F.col("n_bigrams").isNotNull(),
+                F.round(1.0 - F.col("n_distinct_bi") / F.col("n_bigrams"), 6),
+            ).alias("dup_bigram_fraction"),
+            F.when(
+                (F.col("n_distinct") / F.col("n_tokens") >= 0.4)
+                & (F.col("top_n") / F.col("n_tokens") <= 0.1),
+                1,
+            )
+            .otherwise(0)
+            .alias("passes_repetition"),
+        )
+    )

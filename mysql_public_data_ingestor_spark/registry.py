@@ -144,6 +144,7 @@ def _ensure_loaded() -> None:
         relational,
         similarity,
         text,
+        timeseries,
         tpch,
         tpch2,
         windows,
