@@ -37,6 +37,12 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "text_quality_scores",
     "pipeline_training_data_prep",
+    # round-2 additions (reported as new vs BENCH_r01)
+    "ann_lsh_topk",
+    "events_hourly_gap_fill",
+    "text_repetition_stats",
+    "q13_customer_distribution",
+    "q19_discounted_revenue",
 ]
 
 

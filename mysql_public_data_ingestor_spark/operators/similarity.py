@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -169,6 +171,30 @@ def _gaussian_planes() -> list[list[float]]:
     return [[round(float(x), 6) for x in row] for row in w]
 
 
+def _signature_udf(planes: list[list[float]]):
+    """Arrow pandas UDF: embedding -> '0101...' hyperplane-sign string.
+
+    Spark's higher-order functions are interpreted per element (no
+    codegen), so 48 fold-based dot products cost seconds per 10^3 rows;
+    one BLAS matmul per Arrow batch is ~5x faster. Sign parity with the
+    oracle's sequential fold holds because a flip would need the true
+    dot within ~1e-15 of zero (dots here are O(1)); the correctness
+    gate verifies the signatures value-for-value anyway.
+    """
+    import numpy as np
+
+    P = np.asarray(planes, dtype=np.float64)
+
+    @F.pandas_udf("string")
+    def sig(v: pd.Series) -> pd.Series:
+        M = np.array(v.tolist(), dtype=np.float64)
+        bits = (M @ P.T) >= 0
+        lut = np.array(["0", "1"])
+        return pd.Series(["".join(lut[row.astype(int)]) for row in bits])
+
+    return sig
+
+
 def _ann_topk_oracle() -> str:
     planes = _gaussian_planes()
     bit_exprs = ", ".join(
@@ -221,14 +247,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    bits = []
-    for plane in _gaussian_planes():
-        pl = F.array(*[F.lit(w) for w in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col("v"), pl, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    sigs = emb.select("vec_id", F.concat(*bits).alias("sig")).localCheckpoint()
+    sig_udf = _signature_udf(_gaussian_planes())
+    sigs = emb.select("vec_id", sig_udf(F.col("v")).alias("sig")).localCheckpoint()
     bands = (
         sigs.select(
             "vec_id",

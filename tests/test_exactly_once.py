@@ -62,3 +62,52 @@ def test_checkpoint_restart_no_duplicates(spark, sf_dir, tmp_path):
     for t in targets:
         n = spark.read.parquet(str(tmp_path / "out" / t.database / t.table)).count()
         assert n == n_src, "restart duplicated rows"
+
+
+def test_spooled_source_crash_replay_end_to_end(spark, tmp_path):
+    """End-to-end exactly-once: the OpenSky stream with spool_dir,
+    crashed AFTER the offset was planned but BEFORE the epoch was
+    written, must deliver the poll's rows exactly once after restart.
+
+    Simulates the crash at the DataSource level (same reader classes
+    the query engine drives): reader A plans an offset (spooling rows),
+    'dies'; reader B (the restart) replays the epoch from the spool and
+    the idempotent sink commits it exactly once; a second replay is a
+    no-op.
+    """
+    import json as _json
+
+    import mysql_public_data_ingestor_spark.sources.opensky as osky
+    from mysql_public_data_ingestor_spark.schema import FLIGHTS_SCHEMA
+
+    if not osky.DATASOURCE_AVAILABLE:
+        import pytest
+
+        pytest.skip("pyspark.sql.datasource missing")
+    from mysql_public_data_ingestor_spark.sources.opensky import OpenSkyStreamReader
+
+    state = [1234567890, "abc123", "CS", "X", 1234567890, 1234567890,
+             1.0, 2.0, 3.0, False, 4.0, 5.0, 6.0, None, 7.0, "SQ", False, 0]
+    payload = tmp_path / "snap.json"
+    payload.write_text(_json.dumps({"time": 1, "states": [state] * 4}))
+    opts = {"payload_file": str(payload), "spool_dir": str(tmp_path / "spool")}
+
+    # reader A polls (offset visible, rows spooled), then "crashes"
+    ra = OpenSkyStreamReader(opts)
+    start, end = ra.initialOffset(), ra.latestOffset()
+
+    # restart: reader B replays the epoch from the spool
+    rb = OpenSkyStreamReader(opts)
+    rows = [row for p in rb.partitions(start, end) for row in p.rows]
+    df = spark.createDataFrame(rows, schema=FLIGHTS_SCHEMA)
+
+    sink = IdempotentParquetSink(str(tmp_path / "out"))
+    target = SinkTarget("db", "t")
+    sink.write_batch(df, epoch_id=end["poll"], target=target)
+    # at-least-once delivery: the same epoch arrives again -> no-op
+    sink.write_batch(df, epoch_id=end["poll"], target=target)
+    rb.commit(end)
+
+    got = spark.read.parquet(str(tmp_path / "out/db/t/epoch=1"))
+    assert got.count() == 4
+    assert not list((tmp_path / "spool").glob("poll_*.json"))

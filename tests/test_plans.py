@@ -118,3 +118,17 @@ def test_q21_semi_and_anti(spark, sf_dir):
     plan = physical_plan(q("q21_suppliers_kept_waiting", spark, sf_dir))
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_gap_fill_no_cartesian_partitioned_window(spark, sf_dir):
+    """Gap-fill: grid generation and forward fill must stay per-key —
+    no cartesian grid x events, no SinglePartition window."""
+    df = q("events_hourly_gap_fill", spark, sf_dir)
+    assert_no_cartesian(df)
+    assert "SinglePartition" not in physical_plan(df)
+
+
+def test_repetition_stats_no_python(spark, sf_dir):
+    """Repetition stats is pure JVM: no Arrow/Python eval in the plan."""
+    plan = physical_plan(q("text_repetition_stats", spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
