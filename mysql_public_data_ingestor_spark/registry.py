@@ -113,11 +113,58 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
 ]
 
 
+def _verified_names() -> tuple[set[str], set[str]]:
+    """(hash_verified, rows_verified) query names across all prior
+    rounds' CORRECTNESS_r*.json. Used to rotate the evaluation window:
+    once a query has external evidence, it yields its slot to queries
+    that have none. Missing/unreadable files mean no evidence."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hash_verified: set[str] = set()
+    rows_verified: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict):
+                continue
+            if r.get("hash_match") is True:
+                hash_verified.add(name)
+            elif r.get("err") == "no_oracle" and r.get("spark_rows") is not None:
+                rows_verified.add(name)
+    return hash_verified, rows_verified
+
+
 def all_queries() -> dict[str, QuerySpec]:
+    """Registry in evaluation order: never-externally-verified queries
+    first (manual priority order, then registration order), verified
+    ones after — so an evaluator that checks the first N entries always
+    spends its window on the least-evidenced queries. A query counts as
+    verified only at its current evidence tier: a rows-only row does
+    not retire a query that has since gained an oracle."""
     _ensure_loaded()
-    prioritized = [n for n in _DRIVER_WINDOW_PRIORITY if n in _REGISTRY]
-    rest = [n for n in _REGISTRY if n not in set(prioritized)]
-    return {n: _REGISTRY[n] for n in [*prioritized, *rest]}
+    hash_verified, rows_verified = _verified_names()
+
+    def is_verified(name: str) -> bool:
+        if name in hash_verified:
+            return True
+        return _REGISTRY[name].oracle is None and name in rows_verified
+
+    manual_unverified = [
+        n for n in _DRIVER_WINDOW_PRIORITY if n in _REGISTRY and not is_verified(n)
+    ]
+    head = set(manual_unverified)
+    auto_unverified = [n for n in _REGISTRY if not is_verified(n) and n not in head]
+    rest = [n for n in _REGISTRY if is_verified(n) and n not in head]
+    return {n: _REGISTRY[n] for n in [*manual_unverified, *auto_unverified, *rest]}
 
 
 def queries() -> dict[str, QueryFn]:
