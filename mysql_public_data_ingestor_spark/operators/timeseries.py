@@ -88,3 +88,113 @@ def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
         "n_events",
     )
+
+
+@register(
+    "events_funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT count(*)                                   AS n_viewed,
+           count(c_ts)                                AS n_clicked,
+           count(p_ts)                                AS n_purchased,
+           round(count(c_ts) * 1.0 / count(*), 6)     AS view_to_click,
+           round(count(p_ts) * 1.0 / count(*), 6)     AS view_to_purchase
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: first view -> first subsequent click -> first
+    subsequent purchase, per user, with conversion rates.
+
+    The ORDER matters (each stage strictly after the previous one's
+    first occurrence), which is what separates a funnel from three
+    independent counts. Plan: three per-user aggs chained by
+    co-partitioned joins on user_id — one shuffle key throughout, AQE
+    reuses the partitioning; final rollup is a 1-row agg.
+    """
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    funnel = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return funnel.agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.count("c_ts").alias("n_clicked"),
+        F.count("p_ts").alias("n_purchased"),
+        F.round(F.count("c_ts") / F.count(F.lit(1)), 6).alias("view_to_click"),
+        F.round(F.count("p_ts") / F.count(F.lit(1)), 6).alias("view_to_purchase"),
+    )
+
+
+@register(
+    "events_weekly_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(datediff('day', f.cohort_week, date_trunc('week', e.ts)) / 7 AS BIGINT)
+               AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    in each subsequent week they were active.
+
+    Classic retention-triangle shape: one agg for cohort assignment,
+    one distinct over (user, week) — both shuffles on user_id /
+    low-cardinality composites; no self-joins over raw events.
+    """
+    t = Tables(spark, sf_dir)
+    firsts = t.events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        t.events.select("user_id", F.date_trunc("week", "ts").alias("week"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.to_date("week"), F.to_date("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
