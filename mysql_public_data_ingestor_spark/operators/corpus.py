@@ -1,0 +1,443 @@
+"""Corpus-management operators for large-scale training-data pipelines:
+deterministic sampling, dataset splitting, vocabulary building, token
+diversity scoring, passage-window dedup, and embedding centroid QC.
+
+These complement ``operators/text.py`` / ``operators/dedup.py`` with the
+bookkeeping ops every 100 TB corpus build needs: reproducible sampling
+(hash-mod, not ``rand()`` — re-runs and engines agree), train/val/test
+assignment that is stable under re-partitioning, a global vocabulary,
+per-document diversity metrics, sub-document (passage) duplication
+accounting, and per-cluster embedding centroid outlier detection (the
+QC step behind IVF cell training).
+
+All hot-path logic is built-in ``pyspark.sql.functions``; hashes are
+sha256-derived (portable) so every query is oracle-verifiable
+value-for-value. FP outputs are per-row quantized (``functions/exact``)
+so aggregation order can never flip a value hash.
+
+Scale notes per operator are inline; none of these collect to the
+driver, and every groupBy key is either bounded (split, pos, label) or
+a 60-bit hash (passage windows) whose shuffle rows carry hashes, not
+text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import quantize
+from ..functions.textnorm import sha256_prefix_i64, whitespace_tokens
+from ..registry import register
+from ..tables import Tables
+
+# Sampling / split constants shared by the Spark plan and the oracle SQL.
+SAMPLE_PCT = 10          # sample_hash_mod keeps bucket < 10 of 100
+TRAIN_CUT, VAL_CUT = 80, 90
+PASSAGE_W = 3            # tokens per passage window (non-overlapping)
+OUTLIER_K = 5            # per-label outliers reported
+
+# DuckDB twin of sha256_prefix_i64 over a bigint key.
+_SQL_ID_HASH = "(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)))::BIGINT"
+_SQL_TOKENS = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+
+def _id_hash_bucket() -> F.Column:
+    """sha256(doc_id) -> 0..99 bucket; stable across engines and runs."""
+    return sha256_prefix_i64(F.col("doc_id").cast("string")) % 100
+
+
+@register(
+    "sample_hash_mod",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_SQL_ID_HASH} % 100 < {SAMPLE_PCT}
+    """,
+)
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample via hash-mod on the key.
+
+    Unlike ``df.sample()`` (seeded per-partition RNG — changes with
+    partitioning) a hash-mod sample is a pure row-local predicate: it
+    pushes down to the scan, re-runs identically on any cluster layout,
+    and composes with incremental ingestion (new docs join the sample
+    iff their hash lands in the bucket). The sanctioned way to cut
+    eval slices from a 100 TB corpus.
+    """
+    t = Tables(spark, sf_dir)
+    return t.documents.filter(_id_hash_bucket() < SAMPLE_PCT).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CASE WHEN {_SQL_ID_HASH} % 100 < {TRAIN_CUT} THEN 'train'
+                  WHEN {_SQL_ID_HASH} % 100 < {VAL_CUT} THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM documents
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           CAST(floor((CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 100.0 + 0.5) AS BIGINT) / 100.0
+             AS avg_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM assigned
+    GROUP BY split
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by key hash, with per-split stats.
+
+    Split membership must be a pure function of the document key — never
+    of partition layout or ingestion order — or a re-shard leaks val
+    docs into train. Aggregation is exact: int64 char sums, avg
+    quantized after the (deterministic) division.
+    """
+    t = Tables(spark, sf_dir)
+    b = _id_hash_bucket()
+    assigned = t.documents.select(
+        F.when(b < TRAIN_CUT, F.lit("train"))
+        .when(b < VAL_CUT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        "n_chars",
+    )
+    avg_chars = (
+        F.floor(
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")) * F.lit(100.0)
+            + F.lit(0.5)
+        ).cast("long")
+        / F.lit(100.0)
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        avg_chars.alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_vocab_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    )
+    SELECT token,
+           count(*) AS tf,
+           count(DISTINCT doc_id) AS df
+    FROM toks
+    GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 40
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary: top-40 tokens by term frequency with doc frequency.
+
+    The vocabulary-building step of tokenizer training. One explode, one
+    aggregation — partial aggregation collapses each partition to its
+    distinct tokens before the shuffle, so shuffle volume is the distinct
+    vocabulary (tiny) regardless of corpus size. Total order via
+    (tf DESC, token) so LIMIT is reproducible.
+    """
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(40)
+    )
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), tc AS (
+      SELECT doc_id, token, count(*) AS c FROM toks GROUP BY doc_id, token
+    ), tot AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS distinct_tokens,
+             CAST(sum(c * c) AS BIGINT) AS sum_c2
+      FROM tc GROUP BY doc_id
+    ), ent AS (
+      SELECT tc.doc_id,
+             sum(CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                            * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+                            * 1000000.0 + 0.5) AS BIGINT)) AS ent_q
+      FROM tc JOIN tot ON tc.doc_id = tot.doc_id
+      GROUP BY tc.doc_id
+    )
+    SELECT tot.doc_id, n AS n_tokens, distinct_tokens,
+           ent_q / 1000000.0 AS entropy,
+           CAST(floor((1.0 - CAST(sum_c2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                      * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS gini_diversity
+    FROM tot JOIN ent ON tot.doc_id = ent.doc_id
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token diversity: Shannon entropy + Gini–Simpson index.
+
+    The perplexity-proxy quality signal: repetitive/templated documents
+    score low-entropy and get down-weighted or dropped. Entropy terms
+    ``p*ln(1/p)`` are quantized per (doc, token) to int64 BEFORE the sum
+    so partial-aggregation order cannot perturb the result; the
+    Gini–Simpson index ``1 - sum(c^2)/n^2`` is integer arithmetic until
+    one final division. Shuffles on (doc_id, token) then doc_id —
+    both partial-first.
+    """
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("token")
+    )
+    tc = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    tot = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+    )
+    cd = F.col("c").cast("double")
+    nd = F.col("n").cast("double")
+    term_q = F.floor((cd / nd) * F.log(nd / cd) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    ent = (
+        tc.join(tot.select("doc_id", "n"), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(term_q).alias("ent_q"))
+    )
+    gini = (
+        F.floor(
+            (F.lit(1.0) - F.col("sum_c2").cast("double") / (nd * nd)) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long")
+        / F.lit(1e6)
+    )
+    return (
+        tot.join(ent, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            "distinct_tokens",
+            (F.col("ent_q") / F.lit(1e6)).alias("entropy"),
+            gini.alias("gini_diversity"),
+        )
+    )
+
+
+@register(
+    "dedup_passage_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             (('0x' || substr(sha256(array_to_string(t[i*{PASSAGE_W}+1 : i*{PASSAGE_W}+{PASSAGE_W}], ' ')), 1, 15)))::BIGINT
+               AS chunk_hash
+      FROM toks, LATERAL (SELECT unnest(range(0, len(t) // {PASSAGE_W})) AS i) s
+    ), freq AS (
+      SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY chunk_hash
+    )
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+           CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS dup_ratio
+    FROM chunks c JOIN freq f ON c.chunk_hash = f.chunk_hash
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_passage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup accounting: duplicated passage-window ratio.
+
+    Documents are cut into non-overlapping ``PASSAGE_W``-token windows;
+    a window whose hash occurs in >= 2 distinct documents is
+    "duplicated", and each document reports its duplicated-window
+    ratio — the paragraph-dedup signal used to drop boilerplate-heavy
+    documents (cf. Dolma/CCNet paragraph dedup), adapted to windows
+    because the fixture corpus has no paragraph breaks.
+
+    Scale: the exploded stream carries (doc_id, 60-bit hash) only —
+    never passage text. Two hash-key shuffles (window frequency, per-doc
+    rollup), both partial-first; no pairwise joins anywhere.
+    """
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select("doc_id", whitespace_tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    m = F.floor(n / F.lit(PASSAGE_W)).cast("int")
+    idx = F.when(m >= 1, F.sequence(F.lit(0), m - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunk_hashes = F.transform(
+        idx,
+        lambda i: sha256_prefix_i64(
+            F.concat_ws(" ", F.slice(F.col("t"), i * PASSAGE_W + 1, PASSAGE_W))
+        ),
+    )
+    chunks = toks.select("doc_id", F.explode(chunk_hashes).alias("chunk_hash"))
+    freq = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    dup = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast("long")
+    return (
+        chunks.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            dup.alias("dup_chunks"),
+            (dup.cast("double") / F.count(F.lit(1)).cast("double")).alias("dup_ratio"),
+        )
+    )
+
+
+# --- embedding centroid QC -------------------------------------------------
+
+_SQL_EXPLODED_EMB = """
+      SELECT vec_id, label, pos, CAST(embedding[pos] AS DOUBLE) AS v
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS pos) p
+"""
+
+# Quantized centroid component: sum of per-value int64 fixed-point at 1e9,
+# divided back out as one deterministic double expression.
+_SQL_CENTROID = """
+      SELECT label, pos,
+             CAST(sum(CAST(floor(v * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / (1000000000.0 * CAST(count(*) AS DOUBLE)) AS c
+      FROM ex GROUP BY label, pos
+"""
+
+
+@register(
+    "embedding_dim_stats",
+    oracle=f"""
+    WITH ex AS ({_SQL_EXPLODED_EMB})
+    SELECT pos,
+           count(*) AS n,
+           CAST(floor((CAST(sum(CAST(floor(v * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / (1000000000.0 * CAST(count(*) AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)
+             / 1000000.0 AS mean_v,
+           CAST(floor(((CAST(sum(CAST(floor(v * v * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                        / (1000000000000.0 * CAST(count(*) AS DOUBLE)))
+                       - (CAST(sum(CAST(floor(v * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                          / (1000000000.0 * CAST(count(*) AS DOUBLE)))
+                         * (CAST(sum(CAST(floor(v * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                            / (1000000000.0 * CAST(count(*) AS DOUBLE))))
+                      * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS var_v
+    FROM ex
+    GROUP BY pos
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance across the embedding corpus.
+
+    The feature-normalization precursor (and an embedding-drift QC
+    signal): collapsed dimensions (var ~ 0) indicate a broken encoder.
+    Values quantize to int64 per row before summation, so the statistics
+    are exact and order-independent; variance is E[x^2] - mean^2 over
+    the quantized sums. One explode + one 64-key aggregation.
+    """
+    t = Tables(spark, sf_dir)
+    ex = t.embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).cast("long").alias("pos"), "v")
+    sq = F.sum(quantize(F.col("v"), 9)).cast("double")
+    sq2 = F.sum(quantize(F.col("v") * F.col("v"), 12)).cast("double")
+    cnt = F.count(F.lit(1)).cast("double")
+    mean = sq / (F.lit(1e9) * cnt)
+    mean_sq = sq2 / (F.lit(1e12) * cnt)
+    q6 = lambda e: F.floor(e * F.lit(1e6) + F.lit(0.5)).cast("long") / F.lit(1e6)  # noqa: E731
+    return ex.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        q6(mean).alias("mean_v"),
+        q6(mean_sq - mean * mean).alias("var_v"),
+    )
+
+
+@register(
+    "embedding_centroid_outliers",
+    oracle=f"""
+    WITH ex AS ({_SQL_EXPLODED_EMB}
+    ), cen AS ({_SQL_CENTROID}
+    ), ncen AS (
+      SELECT label, sum(CAST(floor(c * c * 1000000000000.0 + 0.5) AS BIGINT)) AS nc_q
+      FROM cen GROUP BY label
+    ), dots AS (
+      SELECT ex.vec_id, ex.label,
+             sum(CAST(floor(ex.v * cen.c * 1000000000000.0 + 0.5) AS BIGINT)) AS dot_q,
+             sum(CAST(floor(ex.v * ex.v * 1000000000000.0 + 0.5) AS BIGINT)) AS nv_q
+      FROM ex JOIN cen ON ex.label = cen.label AND ex.pos = cen.pos
+      GROUP BY ex.vec_id, ex.label
+    ), scored AS (
+      SELECT d.label, d.vec_id,
+             CAST(floor((CAST(dot_q AS DOUBLE)
+                         / sqrt(CAST(nv_q AS DOUBLE) * CAST(nc_q AS DOUBLE)))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS cos_centroid
+      FROM dots d JOIN ncen ON d.label = ncen.label
+    )
+    SELECT label, vec_id, cos_centroid, rnk FROM (
+      SELECT label, vec_id, cos_centroid,
+             row_number() OVER (PARTITION BY label ORDER BY cos_centroid, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {OUTLIER_K}
+    """,
+)
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids + the K vectors least similar to their centroid.
+
+    The QC step behind IVF training: compute each cluster's mean vector,
+    score every member's cosine against it, and surface the outliers
+    (mislabeled / degenerate embeddings). The centroid is an exact
+    fixed-point mean per (label, pos); dot products and norms quantize
+    per element to int64, so the cosine is bit-identical across engines
+    and partitionings. The centroid table (labels x dims rows) is
+    broadcast into the element-wise join — the big exploded side never
+    re-shuffles for it; the only wide shuffle is the per-vector rollup.
+    """
+    t = Tables(spark, sf_dir)
+    ex = t.embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).cast("long").alias("pos"), "v")
+    cen = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(quantize(F.col("v"), 9)).cast("double")
+            / (F.lit(1e9) * F.count(F.lit(1)).cast("double"))
+        ).alias("c")
+    )
+    ncen = cen.groupBy("label").agg(
+        F.sum(quantize(F.col("c") * F.col("c"), 12)).alias("nc_q")
+    )
+    dots = (
+        ex.join(F.broadcast(cen), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(quantize(F.col("v") * F.col("c"), 12)).alias("dot_q"),
+            F.sum(quantize(F.col("v") * F.col("v"), 12)).alias("nv_q"),
+        )
+    )
+    cos = F.col("dot_q").cast("double") / F.sqrt(
+        F.col("nv_q").cast("double") * F.col("nc_q").cast("double")
+    )
+    scored = dots.join(F.broadcast(ncen), "label").select(
+        "label",
+        "vec_id",
+        (F.floor(cos * F.lit(1e6) + F.lit(0.5)).cast("long") / F.lit(1e6)).alias(
+            "cos_centroid"
+        ),
+    )
+    w = Window.partitionBy("label").orderBy("cos_centroid", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= OUTLIER_K)
+        .select("label", "vec_id", "cos_centroid", "rnk")
+    )

@@ -185,6 +185,7 @@ def _ensure_loaded() -> None:
         return
     from .operators import (  # noqa: F401
         advanced,
+        corpus,
         dedup,
         multimodal,
         pipeline,

@@ -1,0 +1,122 @@
+"""Semantic tests for the corpus-management operators (sampling,
+splits, vocabulary, entropy, passage dedup, centroid QC) beyond the
+oracle-parity gate: determinism, partitioning invariance, and edge
+cases the fixture corpus doesn't exercise."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mysql_public_data_ingestor_spark.operators import corpus
+
+
+def _write_documents(spark, tmp_path, rows):
+    """Materialize a tiny documents table so operators can read it."""
+    sf = str(tmp_path)
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    return sf
+
+
+def test_sample_is_deterministic_subset_of_split(spark, sf_dir):
+    sample = {r.doc_id for r in corpus.sample_hash_mod(spark, sf_dir).collect()}
+    again = {r.doc_id for r in corpus.sample_hash_mod(spark, sf_dir).collect()}
+    assert sample == again
+    # ~10% of the corpus, never wildly off (hash-uniformity sanity)
+    total = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    assert 0.02 * total <= len(sample) <= 0.25 * total
+
+
+def test_split_partitions_whole_corpus(spark, sf_dir):
+    rows = {r.split: r for r in corpus.split_train_val_test(spark, sf_dir).collect()}
+    assert set(rows) <= {"train", "val", "test"}
+    total = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    assert sum(r.n_docs for r in rows.values()) == total
+    # the 80% slice dominates
+    assert rows["train"].n_docs > max(
+        r.n_docs for k, r in rows.items() if k != "train"
+    )
+
+
+def test_split_stable_under_repartitioning(spark, sf_dir):
+    """Hash-based assignment must not depend on physical layout."""
+    base = {
+        (r.split, r.n_docs)
+        for r in corpus.split_train_val_test(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    shuffled = docs.repartition(13, "source")
+
+    class FakeTables:
+        documents = shuffled
+
+    orig = corpus.Tables
+    corpus.Tables = lambda *_: FakeTables()  # type: ignore[assignment]
+    try:
+        again = {
+            (r.split, r.n_docs)
+            for r in corpus.split_train_val_test(spark, sf_dir).collect()
+        }
+    finally:
+        corpus.Tables = orig
+    assert base == again
+
+
+def test_token_entropy_extremes(spark, tmp_path):
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (1, "a a a a a a a a", "en", "t", 15),          # all-repeat: entropy 0
+            (2, "a b c d e f g h", "en", "t", 15),          # uniform: entropy ln(8)
+            (3, "x", "en", "t", 1),                          # single token: entropy 0
+        ],
+    )
+    rows = {r.doc_id: r for r in corpus.text_token_entropy(spark, sf).collect()}
+    assert rows[1].entropy == 0.0 and rows[1].gini_diversity == 0.0
+    assert rows[3].entropy == 0.0 and rows[3].distinct_tokens == 1
+    import math
+
+    assert rows[2].entropy == pytest.approx(math.log(8), abs=1e-5)
+    assert rows[2].gini_diversity == pytest.approx(1 - 8 * (1 / 64), abs=1e-6)
+
+
+def test_passage_windows_short_doc_and_dup_detection(spark, tmp_path):
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "t", 35),  # 2 windows
+            (2, "alpha beta gamma other words here", "en", "t", 33),    # shares window 1
+            (3, "un deux", "en", "t", 7),                               # < W tokens: no windows
+        ],
+    )
+    rows = {r.doc_id: r for r in corpus.dedup_passage_windows(spark, sf).collect()}
+    assert 3 not in rows  # short doc contributes no windows (and no crash)
+    assert rows[1].n_chunks == 2 and rows[2].n_chunks == 2
+    assert rows[1].dup_chunks == 1 and rows[2].dup_chunks == 1
+    assert rows[1].dup_ratio == pytest.approx(0.5)
+
+
+def test_centroid_outliers_shape_and_bounds(spark, sf_dir):
+    rows = corpus.embedding_centroid_outliers(spark, sf_dir).collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+        assert -1.0 - 1e-6 <= r.cos_centroid <= 1.0 + 1e-6
+    for label, members in by_label.items():
+        assert len(members) <= corpus.OUTLIER_K
+        ranks = sorted(m.rnk for m in members)
+        assert ranks == list(range(1, len(members) + 1))
+        ordered = sorted(members, key=lambda m: (m.cos_centroid, m.vec_id))
+        assert [m.rnk for m in ordered] == ranks
+
+
+def test_dim_stats_cover_every_dimension(spark, sf_dir):
+    rows = corpus.embedding_dim_stats(spark, sf_dir).collect()
+    assert {r.pos for r in rows} == set(range(1, 65))
+    assert all(r.var_v >= 0 for r in rows)
