@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import quantize
-from ..functions.textnorm import sha256_prefix_i64, whitespace_tokens
+from ..functions.textnorm import sha256_prefix_i64, whitespace_tokens, word_shingles
 from ..registry import register
 from ..tables import Tables
 
@@ -440,4 +440,263 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= OUTLIER_K)
         .select("label", "vec_id", "cos_centroid", "rnk")
+    )
+
+
+# --- decontamination / packing / n-gram LM --------------------------------
+
+DECON_K = 4        # n-gram size for train/val overlap detection
+PACK_BUDGET = 512  # token budget per packed training sequence
+BIGRAM_TOP = 3     # transitions reported per prev token
+
+_SQL_GRAMS = f"""
+      SELECT doc_id,
+             (('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)))::BIGINT % 100 AS b,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - {DECON_K - 1}, 0) + 1),
+               i -> ('0x' || substr(sha256(array_to_string(t[i:i+{DECON_K - 1}], ' ')), 1, 15))::BIGINT)) AS gs
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+"""
+
+
+@register(
+    "corpus_decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH grams AS ({_SQL_GRAMS}
+    ), tg AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams WHERE b < {TRAIN_CUT}
+    ), vg AS (
+      SELECT doc_id AS val_doc, unnest(gs) AS g
+      FROM grams WHERE b >= {TRAIN_CUT} AND b < {VAL_CUT}
+    ), tot AS (
+      SELECT doc_id, len(gs) AS n_grams FROM grams WHERE b < {TRAIN_CUT}
+    )
+    SELECT tg.doc_id,
+           CAST(tot.n_grams AS BIGINT) AS n_grams,
+           count(DISTINCT tg.g) AS n_shared_grams,
+           count(DISTINCT vg.val_doc) AS n_val_docs,
+           CAST(count(DISTINCT tg.g) AS DOUBLE) / CAST(tot.n_grams AS DOUBLE) AS overlap_ratio
+    FROM tg JOIN vg ON tg.g = vg.g JOIN tot ON tg.doc_id = tot.doc_id
+    GROUP BY tg.doc_id, tot.n_grams
+    """,
+)
+def corpus_decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: train docs sharing n-grams with val docs.
+
+    The benchmark-leakage check every LLM corpus build runs before
+    training (cf. the GPT-3 / The Pile decontamination methodology):
+    any ``DECON_K``-gram of a validation document appearing verbatim in
+    a training document flags that training document, with the shared
+    n-gram count and overlap ratio as the drop/keep signal.
+
+    Scale: both sides reduce to (doc_id, 60-bit gram hash) streams; the
+    contamination join is an equi-join on the hash — shuffle carries
+    hashes only, never text, and the val side is ~10% of the corpus.
+    Splits reuse the hash-mod assignment, so this composes with
+    ``split_train_val_test`` without a join back to it.
+    """
+    t = Tables(spark, sf_dir)
+    b = _id_hash_bucket()
+    grams = t.documents.select(
+        "doc_id",
+        b.alias("b"),
+        F.array_distinct(
+            F.transform(
+                word_shingles(whitespace_tokens(F.col("text")), DECON_K),
+                sha256_prefix_i64,
+            )
+        ).alias("gs"),
+    )
+    tg = grams.filter(F.col("b") < TRAIN_CUT).select(
+        "doc_id", F.explode("gs").alias("g")
+    )
+    vg = grams.filter((F.col("b") >= TRAIN_CUT) & (F.col("b") < VAL_CUT)).select(
+        F.col("doc_id").alias("val_doc"), F.explode("gs").alias("g")
+    )
+    tot = grams.filter(F.col("b") < TRAIN_CUT).select(
+        "doc_id", F.size("gs").cast("long").alias("n_grams")
+    )
+    shared = F.countDistinct("g")
+    return (
+        tg.join(vg, "g")
+        .groupBy("doc_id")
+        .agg(
+            shared.alias("n_shared_grams"),
+            F.countDistinct("val_doc").alias("n_val_docs"),
+        )
+        .join(tot, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared_grams",
+            "n_val_docs",
+            (F.col("n_shared_grams").cast("double") / F.col("n_grams").cast("double")).alias(
+                "overlap_ratio"
+            ),
+        )
+    )
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok
+      FROM documents
+    ), a AS (
+      SELECT source, doc_id, n_tok,
+             CAST(COALESCE(sum(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               // {PACK_BUDGET} AS seq_id
+      FROM d
+    )
+    SELECT source, seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM a GROUP BY source, seq_id
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign docs to fixed-token-budget sequences.
+
+    The training-sequence packing step: documents are concatenated in
+    key order within each source shard and chopped into
+    ``PACK_BUDGET``-token sequences; a document belongs to the sequence
+    its first token lands in. Deterministic (pure function of
+    (source, doc_id, token counts)) so re-runs produce identical
+    packing — a requirement for resumable preprocessing.
+
+    Scale: the running total partitions by source, so each shard's
+    prefix sum is independent — no global single-reducer window. All
+    arithmetic is int64.
+    """
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "source",
+        "doc_id",
+        F.size(whitespace_tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = d.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(PACK_BUDGET)
+        ).cast("long").alias("seq_id"),
+    )
+    return assigned.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "text_bigram_transitions",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ), bg AS (
+      SELECT t[i] AS prev_token, t[i+1] AS next_token
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) s
+    ), c AS (
+      SELECT prev_token, next_token, count(*) AS cnt FROM bg GROUP BY 1, 2
+    ), ranked AS (
+      SELECT prev_token, next_token, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY prev_token) AS BIGINT) AS tot,
+             row_number() OVER (PARTITION BY prev_token
+                                ORDER BY cnt DESC, next_token) AS rnk
+      FROM c
+    )
+    SELECT prev_token, next_token, cnt, tot,
+           CAST(floor(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+             / 1000000.0 AS prob,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {BIGRAM_TOP}
+    """,
+)
+def text_bigram_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM: top next-token transitions per token with P(next|prev).
+
+    The n-gram language-model statistic behind classic quality filters
+    (KenLM-style perplexity needs exactly these conditional counts).
+    One explode to the bigram stream, one aggregation on (prev, next) —
+    partial-first, so the shuffle carries distinct bigrams, not corpus
+    positions. Probabilities are int-count ratios (deterministic
+    division), quantized for display.
+    """
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(whitespace_tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("prev_token"),
+                    F.element_at(F.col("t"), i + 1).alias("next_token"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.prev_token", "bg.next_token")
+    c = pairs.groupBy("prev_token", "next_token").agg(F.count(F.lit(1)).alias("cnt"))
+    wt = Window.partitionBy("prev_token")
+    wr = Window.partitionBy("prev_token").orderBy(F.col("cnt").desc(), "next_token")
+    prob = (
+        F.floor(
+            F.col("cnt").cast("double") / F.col("tot").cast("double") * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long")
+        / F.lit(1e6)
+    )
+    return (
+        c.withColumn("tot", F.sum("cnt").over(wt))
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= BIGRAM_TOP)
+        .select("prev_token", "next_token", "cnt", "tot", prob.alias("prob"), "rnk")
+    )
+
+
+@register("events_hll_daily_union", oracle=None)
+def events_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches: daily user sketches unioned to a total.
+
+    The pre-aggregation pattern that makes distinct counts tractable at
+    100 TB: build one Datasketches-HLL sketch per (event_type, day) —
+    a partial aggregate that parallelizes and persists — then union
+    sketches instead of re-scanning raw events. ``sum_daily_estimates``
+    vs ``est_unique_users`` shows the overlap a naive daily rollup
+    would double-count. Engine-specific sketch → rows-only contract;
+    the pytest gate bounds the estimate against the exact count.
+    """
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "event_type", F.to_date("ts").alias("day"), "user_id"
+        )
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    est_daily = F.hll_sketch_estimate(F.col("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias(
+                "est_unique_users"
+            ),
+            F.sum(est_daily).alias("sum_daily_estimates"),
+        )
     )

@@ -120,3 +120,81 @@ def test_dim_stats_cover_every_dimension(spark, sf_dir):
     rows = corpus.embedding_dim_stats(spark, sf_dir).collect()
     assert {r.pos for r in rows} == set(range(1, 65))
     assert all(r.var_v >= 0 for r in rows)
+
+
+def test_decontamination_flags_planted_overlap(spark, tmp_path):
+    """doc_ids 0,2 hash into train buckets, 1 into val; doc 0 shares a
+    4-gram with val doc 1, doc 2 shares nothing."""
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (0, "alpha beta gamma delta unrelated tail words", "en", "t", 40),
+            (1, "prefix alpha beta gamma delta suffix", "en", "t", 36),   # val
+            (2, "totally different content with no overlap at all", "en", "t", 48),
+        ],
+    )
+    rows = {r.doc_id: r for r in corpus.corpus_decontaminate_ngram_overlap(spark, sf).collect()}
+    assert 0 in rows and 2 not in rows
+    assert rows[0].n_shared_grams == 1 and rows[0].n_val_docs == 1
+    assert rows[0].overlap_ratio == pytest.approx(1 / rows[0].n_grams)
+
+
+def test_pack_sequences_conserves_and_bounds(spark, sf_dir):
+    import os as _os
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    packed = corpus.corpus_pack_sequences(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in packed) == docs.count()
+    # each sequence starts where the previous ended: per source, seq_ids
+    # are dense from 0 and doc ranges never interleave
+    by_source: dict[str, list] = {}
+    for r in packed:
+        by_source.setdefault(r.source, []).append(r)
+    for source, seqs in by_source.items():
+        seqs.sort(key=lambda r: r.seq_id)
+        assert seqs[0].seq_id == 0
+        for prev, cur in zip(seqs, seqs[1:]):
+            assert prev.last_doc < cur.first_doc
+        # a sequence (except possibly the last) spans >= the budget once
+        # its successor exists: its start offset is seq_id * budget
+        assert all(r.seq_tokens > 0 for r in seqs)
+
+
+def test_bigram_transitions_planted_probabilities(spark, tmp_path):
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (1, "a b a b a c", "en", "t", 11),
+            (2, "a b", "en", "t", 3),
+            (3, "solo", "en", "t", 4),  # single token: no bigrams
+        ],
+    )
+    rows = corpus.text_bigram_transitions(spark, sf).collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_token, {})[r.next_token] = r
+    # "a" -> b 3 times, c once (tot 4); "solo" emits nothing
+    assert by_prev["a"]["b"].cnt == 3 and by_prev["a"]["b"].tot == 4
+    assert by_prev["a"]["b"].prob == pytest.approx(0.75)
+    assert by_prev["a"]["b"].rnk == 1 and by_prev["a"]["c"].rnk == 2
+    assert "solo" not in by_prev
+
+
+def test_hll_union_estimates_near_exact(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.tables import Tables
+    from pyspark.sql import functions as F
+
+    est = {r.event_type: r for r in corpus.events_hll_daily_union(spark, sf_dir).collect()}
+    exact = {
+        r.event_type: r.exact
+        for r in Tables(spark, sf_dir)
+        .events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for et, r in est.items():
+        assert abs(r.est_unique_users - exact[et]) <= max(0.05 * exact[et], 2)
+        # union estimate never exceeds the sum of daily estimates
+        assert r.est_unique_users <= r.sum_daily_estimates * 1.01

@@ -132,3 +132,36 @@ def test_repetition_stats_no_python(spark, sf_dir):
     """Repetition stats is pure JVM: no Arrow/Python eval in the plan."""
     plan = physical_plan(q("text_repetition_stats", spark, sf_dir))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sample_hash_mod_is_pure_scan_filter(spark, sf_dir):
+    """Hash-mod sampling must stay a row-local scan predicate: zero
+    exchanges, and the (huge) text column pruned from the read."""
+    df = q("sample_hash_mod", spark, sf_dir)
+    assert count_exchanges(df) == 0, physical_plan(df)
+    assert all("text" not in s for s in scan_read_schemas(df))
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    """Sequence packing cumsums per source shard — a global
+    SinglePartition window would serialize the whole corpus."""
+    plan = physical_plan(q("corpus_pack_sequences", spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_decontamination_joins_on_hashes_only(spark, sf_dir):
+    df = q("corpus_decontaminate_ngram_overlap", spark, sf_dir)
+    assert_no_cartesian(df)
+    # only (doc_id, text) ever read — lang/source/n_chars pruned
+    assert all(set(s.split(",")) <= {"struct<doc_id:bigint", "text:string>"}
+               for s in scan_read_schemas(df)), scan_read_schemas(df)
+
+
+def test_centroid_outliers_broadcasts_centroids(spark, sf_dir):
+    df = q("embedding_centroid_outliers", spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_passage_windows_no_cartesian(spark, sf_dir):
+    assert_no_cartesian(q("dedup_passage_windows", spark, sf_dir))
