@@ -43,6 +43,10 @@ HEADLINE = [
     "text_repetition_stats",
     "q13_customer_distribution",
     "q19_discounted_revenue",
+    "dedup_passage_windows",
+    "corpus_decontaminate_ngram_overlap",
+    "corpus_pack_sequences",
+    "embedding_centroid_outliers",
 ]
 
 
