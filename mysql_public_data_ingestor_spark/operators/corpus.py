@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..functions.exact import quantize
 from ..functions.partitioning import cpu_repartition
 from ..functions.textnorm import (
+    normalized_text,
     sha256_prefix_i64,
     shingle_base_hash_udf,
     whitespace_tokens,
@@ -705,5 +706,121 @@ def events_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "est_unique_users"
             ),
             F.sum(est_daily).alias("sum_daily_estimates"),
+        )
+    )
+
+
+# --- data mixing & incremental ingestion ----------------------------------
+
+# Declared target language mixture for corpus_mixture_weights (uniform).
+TARGET_LANG_SHARE = 0.2
+NEW_BATCH_SOURCES = ("src0", "src1")  # incremental-dedup "incoming" slice
+
+
+@register(
+    "corpus_mixture_weights",
+    oracle=f"""
+    WITH per_lang AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len({_SQL_TOKENS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per_lang)
+    SELECT lang, n_docs, n_tokens,
+           CAST(floor(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS actual_share,
+           {TARGET_LANG_SHARE!r} AS target_share,
+           CAST(floor({TARGET_LANG_SHARE!r} * CAST(total_tokens AS DOUBLE)
+                      / CAST(n_tokens AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS sample_weight
+    FROM per_lang, tot
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights: per-language sampling multipliers toward a
+    declared target mixture.
+
+    The mixture-rebalancing step of corpus assembly (cf. the domain
+    re-weighting in LLM pretraining recipes): compare each language's
+    actual token share against the target share and emit the sampling
+    weight (>1 = upsample, <1 = downsample) that equalizes them.
+
+    Scale: one narrow aggregation to 5 rows; the corpus-wide token
+    total joins back as a broadcast single-row table (no driver action,
+    no global window).
+    """
+    t = Tables(spark, sf_dir)
+    per_lang = (
+        t.documents.select(
+            "lang", F.size(whitespace_tokens(F.col("text"))).cast("long").alias("n_tok")
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    tot = per_lang.agg(F.sum("n_tokens").alias("total_tokens"))
+    q6 = lambda e: F.floor(e * F.lit(1e6) + F.lit(0.5)).cast("long") / F.lit(1e6)  # noqa: E731
+    nt = F.col("n_tokens").cast("double")
+    tt = F.col("total_tokens").cast("double")
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        q6(nt / tt).alias("actual_share"),
+        F.lit(TARGET_LANG_SHARE).alias("target_share"),
+        q6(F.lit(TARGET_LANG_SHARE) * tt / nt).alias("sample_weight"),
+    )
+
+
+@register(
+    "dedup_incremental_new_docs",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, source,
+             (('0x' || substr(sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15)))::BIGINT
+               AS content_hash
+      FROM documents
+    ), base AS (
+      SELECT DISTINCT content_hash FROM hashed
+      WHERE source NOT IN ('{NEW_BATCH_SOURCES[0]}', '{NEW_BATCH_SOURCES[1]}')
+    )
+    SELECT h.doc_id, h.source, h.content_hash,
+           CASE WHEN b.content_hash IS NULL THEN 'keep' ELSE 'drop_exact' END AS decision
+    FROM hashed h LEFT JOIN base b ON h.content_hash = b.content_hash
+    WHERE h.source IN ('{NEW_BATCH_SOURCES[0]}', '{NEW_BATCH_SOURCES[1]}')
+    """,
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: decide keep/drop for an incoming
+    batch against the already-ingested corpus.
+
+    The steady-state form of dedup at 100 TB: the full corpus is never
+    re-deduped; each incoming batch's normalized content hashes probe
+    the existing hash set. Here the probe is a left join on the 60-bit
+    hash — at scale the base side is a bucketed hash table (sorted,
+    pre-partitioned), so the probe is a co-located join with no wide
+    shuffle of the base corpus.
+    """
+    t = Tables(spark, sf_dir)
+    hashed = t.documents.select(
+        "doc_id",
+        "source",
+        sha256_prefix_i64(normalized_text(F.col("text"))).alias("content_hash"),
+    )
+    is_new = F.col("source").isin(*NEW_BATCH_SOURCES)
+    base = (
+        hashed.filter(~is_new)
+        .select("content_hash")
+        .distinct()
+        .withColumnRenamed("content_hash", "base_hash")
+    )
+    return (
+        hashed.filter(is_new)
+        .join(base, F.col("content_hash") == F.col("base_hash"), "left")
+        .select(
+            "doc_id",
+            "source",
+            "content_hash",
+            F.when(F.col("base_hash").isNull(), F.lit("keep"))
+            .otherwise(F.lit("drop_exact"))
+            .alias("decision"),
         )
     )

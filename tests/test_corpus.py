@@ -198,3 +198,32 @@ def test_hll_union_estimates_near_exact(spark, sf_dir):
         assert abs(r.est_unique_users - exact[et]) <= max(0.05 * exact[et], 2)
         # union estimate never exceeds the sum of daily estimates
         assert r.est_unique_users <= r.sum_daily_estimates * 1.01
+
+
+def test_mixture_weights_balance(spark, sf_dir):
+    rows = {r.lang: r for r in corpus.corpus_mixture_weights(spark, sf_dir).collect()}
+    assert sum(r.actual_share for r in rows.values()) == pytest.approx(1.0, abs=1e-4)
+    for r in rows.values():
+        # weight * actual share recovers the target share
+        assert r.sample_weight * r.actual_share == pytest.approx(
+            r.target_share, rel=1e-3
+        )
+    # dominant language (en) must be downsampled, rare ones upsampled
+    assert rows["en"].sample_weight < 1.0
+
+
+def test_incremental_dedup_planted_duplicate(spark, tmp_path):
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (1, "identical corpus content here", "en", "src5", 29),   # base
+            (2, "identical corpus content here", "en", "src0", 29),   # new dup
+            (3, "fresh unseen content", "en", "src0", 20),            # new unique
+            (4, "base only content", "en", "src7", 17),               # base
+        ],
+    )
+    rows = {r.doc_id: r for r in corpus.dedup_incremental_new_docs(spark, sf).collect()}
+    assert set(rows) == {2, 3}  # only the incoming batch is decided
+    assert rows[2].decision == "drop_exact"
+    assert rows[3].decision == "keep"
