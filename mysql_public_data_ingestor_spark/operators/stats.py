@@ -1,0 +1,176 @@
+"""Statistical analysis operators: contingency/chi-square, Pearson
+correlation via exact sufficient statistics, and value histograms.
+
+The common thread is the 100 TB statistics discipline: every statistic
+reduces to a handful of per-group integer sums ("sufficient
+statistics") computed with per-row fixed-point quantization
+(``functions/exact.py``), so the result is exact, order-independent,
+and cross-engine reproducible — the property that makes CI runs,
+migration validations, and A/B replications comparable. No statistic
+here ever materializes per-group value lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import quantize
+from ..registry import register
+from ..tables import Tables
+
+HIST_WIDTH = 50_000.0  # order-total histogram bucket width
+
+
+def _q6(e):
+    """Quantize a deterministic double expression to 6 dp (both engines
+    floor the same IEEE value, so this is reproducible)."""
+    return F.floor(e * F.lit(1e6) + F.lit(0.5)).cast("long") / F.lit(1e6)
+
+
+@register(
+    "stats_chi_square_lang_source",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, count(*) AS obs FROM documents GROUP BY lang, source
+    ), r AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS row_tot FROM o GROUP BY lang
+    ), c AS (SELECT source, CAST(sum(obs) AS BIGINT) AS col_tot FROM o GROUP BY source
+    ), n AS (SELECT CAST(sum(obs) AS BIGINT) AS grand FROM o
+    ), cells AS (
+      SELECT o.lang, o.obs,
+             CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(grand AS DOUBLE) AS e
+      FROM o JOIN r ON o.lang = r.lang JOIN c ON o.source = c.source, n
+    )
+    SELECT lang,
+           CAST(sum(obs) AS BIGINT) AS n_docs,
+           count(*) AS n_cells,
+           sum(CAST(floor((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e) / e
+                          * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS chi2_contrib
+    FROM cells GROUP BY lang
+    """,
+)
+def stats_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test contributions: lang x source.
+
+    The corpus-drift / sampling-bias check: is language distribution
+    independent of source? Expected counts come from the margins; each
+    cell's ``(obs-exp)^2/exp`` term quantizes to int64 before the
+    per-language sum, so the statistic is order-independent. All three
+    margin tables are tiny aggregates (languages, sources, grand total)
+    joined back broadcast — the only wide work is one count per
+    (lang, source) cell.
+    """
+    t = Tables(spark, sf_dir)
+    o = t.documents.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("lang").agg(F.sum("obs").alias("row_tot"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("col_tot"))
+    n = o.agg(F.sum("obs").alias("grand"))
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("grand").cast("double")
+    )
+    od = F.col("obs").cast("double")
+    term_q = F.floor((od - e) * (od - e) / e * F.lit(1e6) + F.lit(0.5)).cast("long")
+    cells = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+        .select("lang", "obs", term_q.alias("term_q"))
+    )
+    return cells.groupBy("lang").agg(
+        F.sum("obs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_cells"),
+        (F.sum("term_q") / F.lit(1e6)).alias("chi2_contrib"),
+    )
+
+
+@register(
+    "stats_corr_price_quantity",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sx,
+             CAST(sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sy,
+             CAST(sum(CAST(floor(l_quantity * l_quantity * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sxx,
+             CAST(sum(CAST(floor(l_extendedprice * l_extendedprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS syy,
+             CAST(sum(CAST(floor(l_quantity * l_extendedprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+                      / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                         * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+                      * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS corr_qty_price
+    FROM s
+    """,
+)
+def stats_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs price per return flag, from
+    exact sufficient statistics.
+
+    ``F.corr`` streams doubles whose summation order varies run to run;
+    instead the five sufficient sums (x, y, x^2, y^2, xy) quantize per
+    row to int64 — one shuffle-free partial aggregation per group, and
+    the correlation assembles from five exact numbers. int64 headroom:
+    xy ~ 5e6 at scale 4 -> ~1.8e8 rows per group before overflow; raise
+    the scale down (1e2) for larger groups.
+    """
+    t = Tables(spark, sf_dir)
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    unscale = lambda col: col.cast("double") / F.lit(1e4)  # noqa: E731
+    s = t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        unscale(F.sum(quantize(x, 4))).alias("sx"),
+        unscale(F.sum(quantize(y, 4))).alias("sy"),
+        unscale(F.sum(quantize(x * x, 4))).alias("sxx"),
+        unscale(F.sum(quantize(y * y, 4))).alias("syy"),
+        unscale(F.sum(quantize(x * y, 4))).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    corr = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("l_returnflag", "n", _q6(corr).alias("corr_qty_price"))
+
+
+@register(
+    "agg_histogram_order_totals",
+    oracle=f"""
+    SELECT CAST(floor(o_totalprice / {HIST_WIDTH!r}) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / {HIST_WIDTH!r}) AS BIGINT) * {HIST_WIDTH!r} AS bucket_lo,
+           count(*) AS n_orders,
+           sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals.
+
+    The profiling primitive behind data-skew diagnostics: bucket id is
+    a row-local floor-divide (pushes into the scan projection), so the
+    histogram is one partial-first aggregation over a bounded key
+    domain — shuffle rows = bucket count, regardless of table size.
+    """
+    t = Tables(spark, sf_dir)
+    bucket = F.floor(F.col("o_totalprice") / F.lit(HIST_WIDTH)).cast("long")
+    return (
+        t.orders.select(
+            bucket.alias("bucket"), F.col("o_totalprice").alias("total")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(quantize(F.col("total"), 2)) / F.lit(100.0)).alias("sum_total"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(HIST_WIDTH)).alias("bucket_lo"),
+            "n_orders",
+            "sum_total",
+        )
+    )

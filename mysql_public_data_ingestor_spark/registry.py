@@ -191,6 +191,7 @@ def _ensure_loaded() -> None:
         pipeline,
         relational,
         similarity,
+        stats,
         text,
         timeseries,
         tpch,

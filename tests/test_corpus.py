@@ -227,3 +227,20 @@ def test_incremental_dedup_planted_duplicate(spark, tmp_path):
     assert set(rows) == {2, 3}  # only the incoming batch is decided
     assert rows[2].decision == "drop_exact"
     assert rows[3].decision == "keep"
+
+
+def test_stats_pack_sanity(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.operators import stats
+
+    corr = stats.stats_corr_price_quantity(spark, sf_dir).collect()
+    for r in corr:
+        assert -1.0 <= r.corr_qty_price <= 1.0
+    chi = stats.stats_chi_square_lang_source(spark, sf_dir).collect()
+    assert all(r.chi2_contrib >= 0 for r in chi)
+    hist = stats.agg_histogram_order_totals(spark, sf_dir).collect()
+    import os as _os
+
+    n_orders = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet")).count()
+    assert sum(r.n_orders for r in hist) == n_orders
+    for r in hist:
+        assert r.bucket_lo == r.bucket * stats.HIST_WIDTH
