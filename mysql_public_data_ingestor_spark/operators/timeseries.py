@@ -198,3 +198,89 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+@register(
+    "events_activity_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), anchored AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+               AS anchor
+      FROM days
+    ), islands AS (
+      SELECT user_id, anchor,
+             count(*) AS streak_days,
+             min(day) AS streak_start,
+             max(day) AS streak_end
+      FROM anchored GROUP BY user_id, anchor
+    ), per_user AS (
+      SELECT user_id,
+             count(*) AS n_islands,
+             CAST(sum(streak_days) AS BIGINT) AS n_active_days
+      FROM islands GROUP BY user_id
+    ), best AS (
+      SELECT user_id, streak_days AS longest_streak_days,
+             streak_start, streak_end,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY streak_days DESC, streak_start) AS rnk
+      FROM islands
+    )
+    SELECT p.user_id, p.n_active_days, p.n_islands,
+           b.longest_streak_days,
+           CAST(b.streak_start AS TIMESTAMP) AS streak_start,
+           CAST(b.streak_end AS TIMESTAMP) AS streak_end
+    FROM per_user p JOIN best b ON p.user_id = b.user_id AND b.rnk = 1
+    """,
+)
+def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-active-day streaks per user.
+
+    The classic SQL pattern (retention/engagement streaks) expressed
+    shuffle-minimally: distinct active days, then the row_number anchor
+    trick (``day - rn`` is constant within a consecutive run) groups
+    each streak without any self-join or recursion. Every window and
+    aggregation partitions by user_id — one shuffle key end to end, no
+    SinglePartition stage.
+    """
+    t = Tables(spark, sf_dir)
+    days = t.events.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    wd = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(wd))
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+    )
+    per_user = islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("streak_days").alias("n_active_days"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), "streak_start"
+    )
+    best = (
+        islands.withColumn("rnk", F.row_number().over(wb))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "user_id",
+            F.col("streak_days").alias("longest_streak_days"),
+            "streak_start",
+            "streak_end",
+        )
+    )
+    return per_user.join(best, "user_id").select(
+        "user_id",
+        "n_active_days",
+        "n_islands",
+        "longest_streak_days",
+        F.col("streak_start").cast("timestamp").alias("streak_start"),
+        F.col("streak_end").cast("timestamp").alias("streak_end"),
+    )

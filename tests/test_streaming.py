@@ -274,3 +274,46 @@ def test_stream_reader_empty_poll_yields_partition(tmp_path):
     parts = r.partitions(r.initialOffset(), r.latestOffset())
     assert len(parts) == 1
     assert parts[0].rows == []
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Planted stream: one doc duplicating the base corpus, one internal
+    duplicate pair, one unique doc -> sink receives exactly the unique
+    doc plus one winner of the internal pair."""
+    from mysql_public_data_ingestor_spark.streaming.corpus_stream import (
+        base_hashes_from_documents,
+        incremental_dedup_stream,
+    )
+
+    schema = "doc_id bigint, text string"
+    base = spark.createDataFrame(
+        [(1, "already ingested content")], schema
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "already   INGESTED content"),   # dup of base (normalized)
+            (11, "brand new content a"),
+            (12, "brand new content a"),          # internal dup of 11
+            (13, "brand new content b"),
+        ],
+        schema,
+    )
+    src = str(tmp_path / "stream_src")
+    incoming.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(incoming.schema).format("parquet").load(src)
+    kept = incremental_dedup_stream(stream, base_hashes_from_documents(base))
+    q = (
+        kept.writeStream.format("memory")
+        .queryName("inc_dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM inc_dedup_out").collect()
+    texts = sorted(r.text for r in rows)
+    assert texts == ["brand new content a", "brand new content b"]
+    assert {r.doc_id for r in rows} <= {11, 12, 13}
