@@ -450,3 +450,52 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@register(
+    "udf_mapinarrow_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+             AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def udf_mapinarrow_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` tokenization: zero-copy Arrow batches end to end.
+
+    Completes the Python-interop surface (pandas UDF, applyInPandas,
+    mapInPandas, applyInPandasWithState, mapInArrow): where mapInPandas
+    pays pandas Series construction per batch, mapInArrow hands the raw
+    Arrow RecordBatch to pyarrow.compute kernels — the cheapest Python
+    path for columnar string work. Values match the JVM/DuckDB
+    normalization exactly (lower -> collapse whitespace -> trim ->
+    split), so the query is oracle-verified like any built-in.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.partitioning import cpu_repartition
+
+    def count_tokens(batches):
+        for batch in batches:
+            text = batch.column("text")
+            norm = pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " ")
+            )
+            toks = pc.split_pattern(norm, " ")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.list_value_length(toks), pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                ],
+                ["doc_id", "n_tokens", "n_chars"],
+            )
+
+    t = Tables(spark, sf_dir)
+    docs = cpu_repartition(t.documents.select("doc_id", "text"), "doc_id")
+    return docs.mapInArrow(
+        count_tokens, "doc_id bigint, n_tokens bigint, n_chars bigint"
+    )

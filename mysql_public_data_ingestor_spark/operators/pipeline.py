@@ -91,3 +91,127 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_words"), 4).alias("avg_tokens"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+EVAL_HOLDOUT_PCT = 10  # hash-mod bucket reserved for eval, excluded from train
+
+
+@register(
+    "pipeline_survival_funnel",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             (('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)))::BIGINT % 100 AS b,
+             sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS n_words,
+             len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                             w -> w IN ({', '.join(f"'{w}'" for w in STOPWORDS)}))) AS n_stop
+      FROM documents
+    ), flagged AS (
+      SELECT *,
+             (n_words >= {MIN_WORDS}) AS len_ok,
+             (n_words >= {MIN_WORDS} AND n_stop * 1.0 / n_words <= {MAX_STOP_RATIO}) AS stop_ok,
+             (doc_id = min(CASE WHEN n_words >= {MIN_WORDS}
+                                 AND n_stop * 1.0 / n_words <= {MAX_STOP_RATIO}
+                           THEN doc_id END) OVER (PARTITION BY content_hash)) AS is_winner
+      FROM scored
+    ), wide AS (
+      SELECT count(*) AS raw_docs, CAST(sum(n_words) AS BIGINT) AS raw_tokens,
+             CAST(sum(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS len_docs,
+             CAST(sum(CASE WHEN len_ok THEN n_words ELSE 0 END) AS BIGINT) AS len_tokens,
+             CAST(sum(CASE WHEN stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS stop_docs,
+             CAST(sum(CASE WHEN stop_ok THEN n_words ELSE 0 END) AS BIGINT) AS stop_tokens,
+             CAST(sum(CASE WHEN is_winner THEN 1 ELSE 0 END) AS BIGINT) AS dedup_docs,
+             CAST(sum(CASE WHEN is_winner THEN n_words ELSE 0 END) AS BIGINT) AS dedup_tokens,
+             CAST(sum(CASE WHEN is_winner AND b >= {EVAL_HOLDOUT_PCT} THEN 1 ELSE 0 END) AS BIGINT) AS final_docs,
+             CAST(sum(CASE WHEN is_winner AND b >= {EVAL_HOLDOUT_PCT} THEN n_words ELSE 0 END) AS BIGINT) AS final_tokens
+      FROM flagged
+    )
+    SELECT stage_idx, stage, n_docs, n_tokens,
+           CAST(floor(CAST(n_docs AS DOUBLE) / CAST(raw_docs AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+             / 1000000.0 AS retained_pct
+    FROM (
+      SELECT CAST(1 AS BIGINT) AS stage_idx, 'raw' AS stage, raw_docs AS n_docs, raw_tokens AS n_tokens, raw_docs FROM wide
+      UNION ALL SELECT 2, 'len_gate', len_docs, len_tokens, raw_docs FROM wide
+      UNION ALL SELECT 3, 'stopword_gate', stop_docs, stop_tokens, raw_docs FROM wide
+      UNION ALL SELECT 4, 'exact_dedup', dedup_docs, dedup_tokens, raw_docs FROM wide
+      UNION ALL SELECT 5, 'train_final', final_docs, final_tokens, raw_docs FROM wide
+    )
+    """,
+)
+def pipeline_survival_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survival accounting for the full prep pipeline, in ONE
+    scan.
+
+    The dashboard number every corpus build reports: how many documents
+    (and tokens) survive each stage — raw -> length gate -> stopword
+    gate -> exact dedup -> eval-holdout removal. Instead of unioning
+    five filtered aggregates (five scans at 100 TB), every stage is a
+    conditional aggregate over one pass; the only shuffle besides the
+    final 1-row agg is the dedup-winner window on content_hash.
+    The 5-row tidy shape unpivots from the single aggregated row —
+    driver-free and constant-size.
+    """
+    from ..functions.textnorm import sha256_prefix_i64
+
+    t = Tables(spark, sf_dir)
+    words = whitespace_tokens(F.col("text"))
+    scored = t.documents.select(
+        "doc_id",
+        (sha256_prefix_i64(F.col("doc_id").cast("string")) % 100).alias("b"),
+        sha256_hex(normalized_text(F.col("text"))).alias("content_hash"),
+        F.size(words).alias("n_words"),
+        F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).alias("n_stop"),
+    )
+    len_ok = F.col("n_words") >= MIN_WORDS
+    stop_ok = len_ok & (F.col("n_stop") / F.col("n_words") <= MAX_STOP_RATIO)
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("content_hash")
+    flagged = scored.select(
+        "*",
+        len_ok.alias("len_ok"),
+        stop_ok.alias("stop_ok"),
+        (
+            F.col("doc_id")
+            == F.min(F.when(stop_ok, F.col("doc_id"))).over(win)
+        ).alias("is_winner"),
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    tok = lambda c: F.sum(F.when(c, F.col("n_words")).otherwise(0)).cast("long")  # noqa: E731
+    final_ok = F.col("is_winner") & (F.col("b") >= EVAL_HOLDOUT_PCT)
+    wide = flagged.agg(
+        F.count(F.lit(1)).alias("raw_docs"),
+        F.sum("n_words").alias("raw_tokens"),
+        cnt(F.col("len_ok")).alias("len_docs"),
+        tok(F.col("len_ok")).alias("len_tokens"),
+        cnt(F.col("stop_ok")).alias("stop_docs"),
+        tok(F.col("stop_ok")).alias("stop_tokens"),
+        cnt(F.col("is_winner")).alias("dedup_docs"),
+        tok(F.col("is_winner")).alias("dedup_tokens"),
+        cnt(final_ok).alias("final_docs"),
+        tok(final_ok).alias("final_tokens"),
+    )
+    tidy = wide.select(
+        F.expr(
+            """stack(5,
+                 CAST(1 AS BIGINT), 'raw',           raw_docs,   raw_tokens,
+                 CAST(2 AS BIGINT), 'len_gate',      len_docs,   len_tokens,
+                 CAST(3 AS BIGINT), 'stopword_gate', stop_docs,  stop_tokens,
+                 CAST(4 AS BIGINT), 'exact_dedup',   dedup_docs, dedup_tokens,
+                 CAST(5 AS BIGINT), 'train_final',   final_docs, final_tokens
+               ) AS (stage_idx, stage, n_docs, n_tokens)"""
+        ),
+        "raw_docs",
+    )
+    retained = (
+        F.floor(
+            F.col("n_docs").cast("double") / F.col("raw_docs").cast("double") * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long")
+        / F.lit(1e6)
+    )
+    return tidy.select(
+        "stage_idx", "stage", "n_docs", "n_tokens", retained.alias("retained_pct")
+    )

@@ -284,3 +284,47 @@ def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("streak_start").cast("timestamp").alias("streak_start"),
         F.col("streak_end").cast("timestamp").alias("streak_end"),
     )
+
+
+@register(
+    "events_cumulative_distinct_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT event_type, user_id, min(date_trunc('day', ts)) AS first_day
+      FROM events GROUP BY event_type, user_id
+    ), daily_new AS (
+      SELECT event_type, first_day AS day, count(*) AS new_users
+      FROM firsts GROUP BY event_type, first_day
+    )
+    SELECT event_type, day, new_users,
+           CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM daily_new
+    """,
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day — the
+    COUNT(DISTINCT) OVER workaround.
+
+    Windowed distinct counts aren't directly expressible (Spark or
+    ANSI); the scalable identity is: cumulative distinct = running sum
+    of first occurrences. One aggregation to each user's first day, one
+    to daily new-user counts, one per-type running sum — shuffle keys
+    are (type, user) then (type, day), never a growing distinct state.
+    """
+    t = Tables(spark, sf_dir)
+    firsts = t.events.groupBy("event_type", "user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    daily = firsts.groupBy("event_type", F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type", "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
