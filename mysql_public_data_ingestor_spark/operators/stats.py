@@ -174,3 +174,80 @@ def agg_histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_total",
         )
     )
+
+
+DQ_MAX_DATE = "1998-12-31"
+DQ_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@register(
+    "dq_expectations_orders",
+    oracle=f"""
+    WITH wide AS (
+      SELECT count(*) AS n_checked,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+             CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_total,
+             CAST(sum(CASE WHEN o_orderdate > TIMESTAMP '{DQ_MAX_DATE} 00:00:00' THEN 1 ELSE 0 END) AS BIGINT)
+               AS future_orderdate,
+             CAST(sum(CASE WHEN o_orderpriority NOT IN ({', '.join(f"'{p}'" for p in DQ_PRIORITIES)})
+                           THEN 1 ELSE 0 END) AS BIGINT) AS unknown_priority
+      FROM orders
+    ), orphans AS (
+      SELECT CAST(count(*) AS BIGINT) AS orphan_custkey
+      FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT rule, n_violations, n_checked,
+           (n_violations = 0) AS passed
+    FROM (
+      SELECT 'null_custkey' AS rule, null_custkey AS n_violations, n_checked FROM wide
+      UNION ALL SELECT 'orphan_custkey', orphan_custkey, n_checked FROM wide, orphans
+      UNION ALL SELECT 'nonpositive_total', nonpositive_total, n_checked FROM wide
+      UNION ALL SELECT 'future_orderdate', future_orderdate, n_checked FROM wide
+      UNION ALL SELECT 'unknown_priority', unknown_priority, n_checked FROM wide
+    )
+    """,
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations over ``orders``: violation counts per
+    rule, in one scan plus one referential probe.
+
+    The pre-ingestion gate of a production pipeline (null keys, broken
+    foreign keys, domain violations, impossible dates). Row-local rules
+    are conditional aggregates over a single pass; the referential rule
+    is a left-anti count against the (broadcastable) key side. The tidy
+    5-row result unpivots from the one-row aggregate — constant-size,
+    no driver loop, and cheap enough to run on every batch.
+    """
+    t = Tables(spark, sf_dir)
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    wide = t.orders.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        cnt(F.col("o_custkey").isNull()).alias("null_custkey"),
+        cnt(F.col("o_totalprice") <= 0).alias("nonpositive_total"),
+        cnt(
+            F.col("o_orderdate") > F.lit(f"{DQ_MAX_DATE} 00:00:00").cast("timestamp")
+        ).alias("future_orderdate"),
+        cnt(~F.col("o_orderpriority").isin(*DQ_PRIORITIES)).alias("unknown_priority"),
+    )
+    orphans = (
+        t.orders.join(
+            t.customer.select(F.col("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("orphan_custkey"))
+    )
+    tidy = wide.crossJoin(F.broadcast(orphans)).select(
+        F.expr(
+            """stack(5,
+                 'null_custkey',      null_custkey,      n_checked,
+                 'orphan_custkey',    orphan_custkey,    n_checked,
+                 'nonpositive_total', nonpositive_total, n_checked,
+                 'future_orderdate',  future_orderdate,  n_checked,
+                 'unknown_priority',  unknown_priority,  n_checked
+               ) AS (rule, n_violations, n_checked)"""
+        )
+    )
+    return tidy.select(
+        "rule", "n_violations", "n_checked", (F.col("n_violations") == 0).alias("passed")
+    )
