@@ -499,3 +499,103 @@ def udf_mapinarrow_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         count_tokens, "doc_id bigint, n_tokens bigint, n_chars bigint"
     )
+
+
+@register(
+    "sql_recursive_month_spine",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+      SELECT date_trunc('month', min(o_orderdate)) AS lo,
+             date_trunc('month', max(o_orderdate)) AS hi
+      FROM orders
+    ), spine AS (
+      SELECT lo AS month_start, hi FROM bounds
+      UNION ALL
+      SELECT month_start + INTERVAL 1 MONTH, hi
+      FROM spine WHERE month_start < hi
+    ), monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month_start,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT s.month_start, coalesce(m.n_orders, 0) AS n_orders
+    FROM spine s LEFT JOIN monthly m USING (month_start)
+    """,
+)
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): generate the
+    complete month spine spanning ``orders`` and left-join monthly
+    order counts onto it, surfacing zero-order months that a plain
+    GROUP BY would silently drop.
+
+    Exercises the recursive-CTE surface end to end. Recursion depth is
+    the month span (~80 for TPC-H dates) — independent of row count,
+    so the shape is scale-safe; the monthly rollup is one shuffle and
+    the spine side is a handful of rows (broadcast join).
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(month_start, hi) AS (
+          SELECT date_trunc('MONTH', min(o_orderdate)),
+                 date_trunc('MONTH', max(o_orderdate))
+          FROM orders
+          UNION ALL
+          SELECT month_start + INTERVAL 1 MONTH, hi
+          FROM spine WHERE month_start < hi
+        ), monthly AS (
+          SELECT date_trunc('MONTH', o_orderdate) AS month_start,
+                 count(*) AS n_orders
+          FROM orders GROUP BY 1
+        )
+        SELECT s.month_start, coalesce(m.n_orders, 0) AS n_orders
+        FROM spine s LEFT JOIN monthly m USING (month_start)
+        """
+    )
+
+
+@register(
+    "udtf_props_kv_flatten",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_id, unnest(json_keys(props::JSON)) AS prop_key, props
+      FROM events WHERE props IS NOT NULL
+    )
+    SELECT event_id, prop_key,
+           json_extract_string(props::JSON, '$.' || prop_key) AS prop_value
+    FROM keyed
+    """,
+)
+def udtf_props_kv_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, Spark 3.5+/4.x) flattening each
+    event's JSON ``props`` into (key, value) rows via ``LATERAL``.
+
+    The UDTF surface demo: schema-on-read over a semi-structured
+    column whose key set is unknown at plan time — exactly where a
+    table function beats a fixed ``get_json_object`` projection. The
+    UDTF runs Arrow-batched per partition; output is one row per
+    (event, key), values serialized as strings.
+    """
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="prop_key string, prop_value string")
+    class JsonKv:
+        def eval(self, props: str):
+            if props is None:
+                return
+            obj = json.loads(props)
+            for k in sorted(obj):
+                v = obj[k]
+                yield k, json.dumps(v) if isinstance(v, (dict, list)) else str(v)
+
+    spark.udtf.register("json_kv", JsonKv)
+    _views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT e.event_id, kv.prop_key, kv.prop_value
+        FROM events e, LATERAL json_kv(e.props) kv
+        WHERE e.props IS NOT NULL
+        """
+    )

@@ -824,3 +824,53 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+INVIDX_MIN_DF = 25  # index only terms appearing in >= this many docs
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), terms AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df
+      FROM toks GROUP BY token HAVING count(*) >= {INVIDX_MIN_DF}
+    )
+    SELECT t.token, t.df,
+           string_agg(k.doc_id, ',' ORDER BY k.doc_id) AS postings
+    FROM terms t JOIN toks k ON k.token = t.token
+    GROUP BY t.token, t.df
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term -> document frequency + sorted
+    posting list (doc ids, comma-joined) for terms above a document-
+    frequency floor.
+
+    The retrieval-side complement of tf-idf: explode to (doc, term),
+    dedup within doc, aggregate postings per term. Posting lists are
+    sorted arrays serialized to strings — deterministic bytes on any
+    engine and partition count. At 100 TB the df floor is the safety
+    valve: ultra-rare terms (the long tail that dominates term count)
+    never materialize postings, and per-term posting state is bounded
+    by df, aggregated via sort_array(collect_set) instead of an
+    ordered shuffle.
+    """
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("token")
+    ).distinct()
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_set("doc_id")), lambda d: d.cast("string")),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= INVIDX_MIN_DF)
+        .select("token", "df", "postings")
+    )

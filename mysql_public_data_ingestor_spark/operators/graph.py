@@ -1,0 +1,185 @@
+"""Graph analytics over the part co-purchase graph.
+
+The graph: nodes are parts, an undirected edge links two parts that
+appear in the same order (the classic market-basket graph — the same
+shape as a near-dup document graph or a user-interaction graph).
+Derived on the fly from ``lineitem`` with one self-join on the order
+key, so the whole pipeline is declarative and Catalyst-optimized.
+
+Scale notes (100 TB):
+- Edge construction self-joins lineitem on ``l_orderkey`` — a
+  co-partitioned equi-join (one shuffle each side on the order key);
+  per-order fanout is choose(items, 2) with items bounded by the order
+  size (~7 in TPC-H), so the edge set is linear in lineitem.
+- Triangle counting uses the degree-ordered orientation (each edge
+  points from its lower-(degree, id) endpoint), which bounds every
+  node's out-degree by O(sqrt(m)); the wedge join's fanout is then
+  O(m^1.5) worst case instead of O(sum deg^2) — the standard
+  MapReduce/graph-engine trick (Suri & Vassilvitskii, WWW'11).
+- Everything is equi-joins and aggregations: no cartesian products,
+  no driver-side iteration; wedge closure is a single equi-join on the
+  canonical (min, max) edge key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import Tables
+
+# Distinct undirected co-purchase edges with value-canonical endpoints
+# (u < v). DuckDB twin of _edges() below.
+_SQL_EDGES = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+"""
+
+
+def _edges(t: Tables) -> DataFrame:
+    """Distinct undirected edges (u < v) of the co-purchase graph."""
+    li = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.select(
+        F.col("l_orderkey").alias("b_orderkey"), F.col("l_partkey").alias("b_partkey")
+    ).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b_partkey").alias("v"))
+        .distinct()
+    )
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree: count of incident undirected edges."""
+    ends = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    return ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+
+
+@register(
+    "graph_degree_histogram",
+    oracle=_SQL_EDGES
+    + """
+    , deg AS (
+      SELECT node, count(*) AS degree
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY node
+    )
+    SELECT degree, count(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph: for each degree,
+    how many parts have it.
+
+    The first question asked of any large graph (power-law check, hub
+    detection). Two aggregations after the edge build; the histogram is
+    at most max-degree rows, so the result is tiny regardless of input
+    scale.
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        _degrees(_edges(t))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_SQL_EDGES
+    + """
+    , deg AS (
+      SELECT node, count(*) AS degree
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY node
+    ), orient AS (
+      -- each edge directed from its lower-(degree, id) endpoint
+      SELECT CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.v ELSE e.u END AS t
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ), wedges AS (
+      SELECT e1.s AS apex,
+             least(e1.t, e2.t)    AS lo,
+             greatest(e1.t, e2.t) AS hi
+      FROM orient e1 JOIN orient e2
+        ON e1.s = e2.s AND e1.t < e2.t
+    ), tri AS (
+      SELECT count(*) AS n_triangles
+      FROM wedges w JOIN edges e ON w.lo = e.u AND w.hi = e.v
+    ), base AS (
+      SELECT (SELECT count(*) FROM deg)   AS n_nodes,
+             (SELECT count(*) FROM edges) AS n_edges,
+             (SELECT CAST(sum(degree * (degree - 1) / 2) AS BIGINT) FROM deg)
+               AS n_wedges
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           3.0 * n_triangles / n_wedges AS global_clustering
+    FROM base, tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count and global clustering coefficient of the
+    co-purchase graph, via degree-ordered wedge closure.
+
+    Each edge is oriented from its lower-(degree, id) endpoint, so
+    every triangle has exactly one apex with two out-edges — counted
+    once, and the wedge join's per-node fanout is bounded by the
+    orientation (out-degree <= O(sqrt(m))). Wedge closure is an
+    equi-join against the canonical (u < v) edge set — no OR-join, no
+    cartesian. ``global_clustering = 3 * triangles / wedges``.
+    """
+    t = Tables(spark, sf_dir)
+    edges = _edges(t).persist()
+    deg = _degrees(edges)
+
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    orient = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+
+    e1 = orient.select(F.col("s"), F.col("t").alias("t1"))
+    e2 = orient.select(F.col("s"), F.col("t").alias("t2"))
+    wedges = e1.join(e2, "s").where(F.col("t1") < F.col("t2")).select(
+        F.least("t1", "t2").alias("lo"), F.greatest("t1", "t2").alias("hi")
+    )
+    tri = wedges.join(
+        edges, (F.col("lo") == F.col("u")) & (F.col("hi") == F.col("v"))
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+    base = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("degree") * (F.col("degree") - 1) / 2)).cast("long").alias("n_wedges"),
+    ).crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
+
+    return base.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")).alias("global_clustering"),
+    )

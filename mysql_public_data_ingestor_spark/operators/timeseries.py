@@ -328,3 +328,158 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
     return daily.select(
         "event_type", "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
     )
+
+
+ZSCORE_LOOKBACK = 24  # trailing hours in the anomaly baseline
+ZSCORE_THRESHOLD = 2.5
+
+
+@register(
+    "events_rolling_zscore",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_start,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), windowed AS (
+      SELECT event_type, hour_start, n_events,
+             CAST(sum(n_events)            OVER w AS BIGINT) AS base_sum,
+             CAST(sum(n_events * n_events) OVER w AS BIGINT) AS base_sumsq,
+             count(*)                      OVER w            AS base_n
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                   ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    ), scored AS (
+      SELECT event_type, hour_start, n_events,
+             base_sum * 1.0 / base_n AS base_mean,
+             sqrt((base_sumsq - base_sum * 1.0 * base_sum / base_n) / base_n)
+               AS base_std
+      FROM windowed WHERE base_n = {ZSCORE_LOOKBACK}
+    )
+    SELECT event_type, hour_start, n_events, base_mean,
+           (n_events - base_mean) / base_std AS zscore
+    FROM scored
+    WHERE base_std > 0
+      AND abs((n_events - base_mean) / base_std) >= {ZSCORE_THRESHOLD}
+    """,
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on per-type hourly event
+    volumes: flag hours whose count deviates >= 2.5 sigma from the
+    trailing-24-observation baseline (baseline excludes the current
+    hour).
+
+    The mean and variance come from *integer* window sums (sum and
+    sum-of-squares of counts), so the baseline is exact and
+    order-independent; the only FP ops are the final mean/std/z
+    divisions — an identical expression tree in any engine. One shuffle
+    to the hourly rollup, one per-type ordered window; baseline state
+    is O(lookback) per key, so the operator streams at any scale.
+    """
+    t = Tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    n = F.col("n_events")
+    windowed = hourly.select(
+        "event_type",
+        "hour_start",
+        "n_events",
+        F.sum(n).over(w).cast("long").alias("base_sum"),
+        F.sum(n * n).over(w).cast("long").alias("base_sumsq"),
+        F.count(F.lit(1)).over(w).alias("base_n"),
+    ).where(F.col("base_n") == ZSCORE_LOOKBACK)
+
+    mean = F.col("base_sum") * F.lit(1.0) / F.col("base_n")
+    std = F.sqrt(
+        (F.col("base_sumsq") - F.col("base_sum") * F.lit(1.0) * F.col("base_sum") / F.col("base_n"))
+        / F.col("base_n")
+    )
+    scored = windowed.select(
+        "event_type",
+        "hour_start",
+        "n_events",
+        mean.alias("base_mean"),
+        std.alias("base_std"),
+    )
+    z = (F.col("n_events") - F.col("base_mean")) / F.col("base_std")
+    return (
+        scored.where(F.col("base_std") > 0)
+        .where(F.abs(z) >= ZSCORE_THRESHOLD)
+        .select("event_type", "hour_start", "n_events", "base_mean", z.alias("zscore"))
+    )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_id END IGNORE NULLS) OVER w AS touch_event_id,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN ts END IGNORE NULLS) OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts,
+           touch_event_id, touch_type,
+           epoch_us(ts) - epoch_us(touch_ts) AS us_since_touch
+    FROM ordered
+    WHERE event_type = 'purchase' AND touch_event_id IS NOT NULL
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase, the most recent
+    preceding view/click by the same user, with the exact microsecond
+    gap.
+
+    The marketing-attribution primitive. One per-user ordered window
+    with conditional ``last(..., ignorenulls)`` — no self-join, no
+    as-of join machinery; the frame ends at 1 PRECEDING so a purchase
+    never attributes to itself. Total order within a user is
+    (ts, event_id) so ties can't flip engines. The gap is integer
+    microseconds (exact); timestamps never pass through FP.
+    """
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    touched = t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_event_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    return (
+        touched.where((F.col("event_type") == "purchase") & F.col("touch_event_id").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "touch_event_id",
+            "touch_type",
+            (F.unix_micros("ts") - F.unix_micros("touch_ts")).alias("us_since_touch"),
+        )
+    )

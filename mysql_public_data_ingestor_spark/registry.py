@@ -187,6 +187,7 @@ def _ensure_loaded() -> None:
         advanced,
         corpus,
         dedup,
+        graph,
         multimodal,
         pipeline,
         relational,

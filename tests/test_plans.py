@@ -165,3 +165,27 @@ def test_centroid_outliers_broadcasts_centroids(spark, sf_dir):
 
 def test_passage_windows_no_cartesian(spark, sf_dir):
     assert_no_cartesian(q("dedup_passage_windows", spark, sf_dir))
+
+
+def test_graph_triangle_no_cartesian(spark, sf_dir):
+    df = q("graph_triangle_count", spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_rolling_zscore_single_window_shuffle(spark, sf_dir):
+    df = q("events_rolling_zscore", spark, sf_dir)
+    # one exchange to the hourly rollup, one to the per-type window
+    assert count_exchanges(df) <= 2, physical_plan(df)
+
+
+def test_attribution_single_shuffle_no_self_join(spark, sf_dir):
+    df = q("events_attribution_last_touch", spark, sf_dir)
+    plan = physical_plan(df)
+    assert count_exchanges(df) <= 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_inverted_index_pruned_scan(spark, sf_dir):
+    df = q("text_inverted_index", spark, sf_dir)
+    schemas = scan_read_schemas(df)
+    assert schemas and all("lang" not in s and "source" not in s for s in schemas), schemas
