@@ -599,3 +599,68 @@ def udtf_props_kv_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE e.props IS NOT NULL
         """
     )
+
+
+@register(
+    "events_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props::JSON, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           sum(CAST(json_extract_string(props::JSON, '$.k') AS BIGINT)) * 1.0 / count(*)
+             AS avg_k
+    FROM events WHERE props IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through the VARIANT type (Spark 4):
+    ``parse_json`` once, then typed ``variant_get`` extraction —
+    binary-encoded variant beats per-access JSON string re-parsing and
+    is the engine-native path for schema-on-read columns.
+
+    Aggregation is exact (integer sum / count); the average divides as
+    the identical double expression in both engines.
+    """
+    t = Tables(spark, sf_dir)
+    v = (
+        t.events.where(F.col("props").isNotNull())
+        .select("event_type", F.parse_json("props").alias("v"))
+        .select("event_type", F.expr("variant_get(v, '$.k', 'long')").alias("k"))
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        (F.sum("k") * F.lit(1.0) / F.count(F.lit(1))).alias("avg_k"),
+    )
+
+
+@register(
+    "sql_pipe_syntax_segments",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) / 100.0 AS total_acctbal
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_pipe_syntax_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>`` operator chains): the same
+    logical plan as the classic form, written as a linear dataflow.
+    Parses to identical Catalyst plans — zero cost, improved
+    composability for generated SQL.
+    """
+    _views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        FROM customer
+        |> WHERE c_acctbal > 0
+        |> AGGREGATE count(*) AS n_customers,
+                     sum(CAST(floor(c_acctbal * 100.0D + 0.5D) AS BIGINT)) / 100.0D
+                       AS total_acctbal
+           GROUP BY c_mktsegment
+        """
+    )

@@ -483,3 +483,56 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.unix_micros("ts") - F.unix_micros("touch_ts")).alias("us_since_touch"),
         )
     )
+
+
+@register(
+    "events_session_window_builtin",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30 * 60000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the engine-native ``session_window`` grouping
+    (30-minute inactivity gap) — the built-in twin of the manual
+    lag/flag/sum pipeline in ``events_sessionization``.
+
+    ``session_window`` merges per-key overlapping gap-windows inside
+    the aggregation operator itself: one shuffle on the user key, no
+    analytic-window pass, and the identical operator works unchanged in
+    Structured Streaming with state eviction. The window's ``end`` is
+    by definition last-event + gap; the oracle mirrors that.
+
+    Semantics note: the built-in closes a session when the gap is
+    >= the duration (a new event exactly at the boundary starts a new
+    session), hence the oracle's ``>=``.
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -188,6 +188,7 @@ def _ensure_loaded() -> None:
         corpus,
         dedup,
         graph,
+        layout,
         multimodal,
         pipeline,
         relational,

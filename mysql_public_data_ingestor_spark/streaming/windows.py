@@ -139,3 +139,51 @@ def stream_stream_interval_join(
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") < F.col("c_ts") + F.expr(f"INTERVAL {horizon}")),
     ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"), "c_ts", "p_ts")
+
+
+def running_totals_per_user_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of ``running_totals_per_user``
+    — the Spark 4 stateful-processor API with explicit, typed,
+    composable state (ValueState here; ListState/MapState/timers
+    available), backed by the RocksDB state store.
+
+    Prefer this over applyInPandasWithState on Spark 4+: state schema
+    evolution, multiple state variables, and timers come for free.
+    Runtime requires ``google.protobuf`` (the state-server worker
+    protocol); the test suite skips where it is absent.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            prior = self._state.get() if self._state.exists() else None
+            n, total = (prior[0], prior[1]) if prior else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            (user_id,) = key
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark = events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return (
+        events.groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=_RUNNING_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -63,3 +63,40 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     n = back.count()
     exp = t.orders.filter(F.year("o_orderdate") == 1996).count()
     assert n == exp > 0
+
+
+def test_xml_column_roundtrip(spark, sf_dir):
+    """Native XML functions (Spark 4): to_xml -> from_xml is lossless
+    for a typed struct column."""
+    t = Tables(spark, sf_dir)
+    df = t.orders.select("o_orderkey", "o_totalprice").limit(100)
+    xml = df.select(
+        "o_orderkey",
+        F.to_xml(F.struct("o_orderkey", "o_totalprice")).alias("xml"),
+    )
+    back = xml.select(
+        "o_orderkey",
+        F.from_xml("xml", "o_orderkey BIGINT, o_totalprice DOUBLE").alias("p"),
+    ).select("o_orderkey", F.col("p.o_totalprice").alias("price"))
+    exp = {r.o_orderkey: r.o_totalprice for r in df.collect()}
+    got = {r.o_orderkey: r.price for r in back.collect()}
+    assert got == exp
+
+
+def test_observe_metrics_single_pass(spark, sf_dir):
+    """df.observe collects pipeline health metrics during the normal
+    action — no second scan. The accumulator pattern for row-count /
+    null-count auditing inside a 100 TB job."""
+    from pyspark.sql import Observation
+
+    t = Tables(spark, sf_dir)
+    obs = Observation("audit")
+    df = t.orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_custkeys"),
+    )
+    df.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["n_rows"] == t.orders.count()
+    assert m["null_custkeys"] == 0

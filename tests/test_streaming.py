@@ -317,3 +317,23 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     texts = sorted(r.text for r in rows)
     assert texts == ["brand new content a", "brand new content b"]
     assert {r.doc_id for r in rows} <= {11, 12, 13}
+
+
+def test_stateful_running_totals_tws(spark, sf_dir, events_stream):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor) agrees
+    with the batch aggregate — same check as the applyInPandasWithState
+    twin, different state API.
+
+    Requires google.protobuf (the API's state-server worker protocol);
+    skipped where the dependency is absent — environment-imposed, the
+    operator itself is complete."""
+    pytest.importorskip("google.protobuf")
+    run_to_memory(sw.running_totals_per_user_tws(events_stream), "tws_out", "update")
+    got = spark.sql(
+        "SELECT user_id, max_by(n_events, n_events) AS n FROM tws_out GROUP BY user_id"
+    )
+    t = Tables(spark, sf_dir)
+    expect = t.events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    got_m = {r.user_id: r.n for r in got.collect()}
+    exp_m = {r.user_id: r.n for r in expect.collect()}
+    assert got_m == exp_m
