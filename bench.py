@@ -47,6 +47,15 @@ HEADLINE = [
     "corpus_decontaminate_ngram_overlap",
     "corpus_pack_sequences",
     "embedding_centroid_outliers",
+    # round-2 batch 2: graph / anomaly / attribution / layout / DQ /
+    # variant / UDTF surface
+    "graph_degree_histogram",
+    "events_rolling_zscore",
+    "events_attribution_last_touch",
+    "events_variant_props",
+    "layout_zorder_stats",
+    "dq_expectations_orders",
+    "udtf_props_kv_flatten",
 ]
 
 
@@ -148,6 +157,15 @@ def _report_deltas(timings: dict[str, float], total: float, sf: float) -> None:
         pct = 100.0 * (total - prev["value"]) / prev["value"]
         print(f"[bench]   TOTAL: {prev['value']:.2f}s -> {total:.2f}s ({pct:+.0f}%)",
               file=sys.stderr)
+    common = [n for n in timings if n in prev_q]
+    if common and len(common) != len(timings):
+        now_c = sum(timings[n] for n in common)
+        then_c = sum(prev_q[n] for n in common)
+        print(
+            f"[bench]   LIKE-FOR-LIKE ({len(common)} queries in both rounds): "
+            f"{then_c:.2f}s -> {now_c:.2f}s ({100.0 * (now_c - then_c) / then_c:+.0f}%)",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -148,27 +148,36 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges(t).persist()
     deg = _degrees(edges)
 
+    # Degree attach: the node table is O(sqrt(edges))-ish (dimension
+    # vs fact) — broadcast it so the edge list never shuffles here.
     du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
     orient = (
-        edges.join(du, "u")
-        .join(dv, "v")
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
         .select(
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
     )
 
+    # Wedge generation shuffles `orient` on the apex once (the second
+    # join side reuses the same exchange); the closing probe
+    # broadcasts the canonical edge list, so the O(m^1.5) wedge stream
+    # is consumed map-side and partially counted without ever being
+    # shuffled. When the edge list outgrows the broadcast budget
+    # (~100M+ edges), drop the hint: the same plan degrades to a
+    # shuffle join on (lo, hi) — correct, one extra exchange.
     e1 = orient.select(F.col("s"), F.col("t").alias("t1"))
     e2 = orient.select(F.col("s"), F.col("t").alias("t2"))
     wedges = e1.join(e2, "s").where(F.col("t1") < F.col("t2")).select(
         F.least("t1", "t2").alias("lo"), F.greatest("t1", "t2").alias("hi")
     )
     tri = wedges.join(
-        edges, (F.col("lo") == F.col("u")) & (F.col("hi") == F.col("v"))
+        F.broadcast(edges), (F.col("lo") == F.col("u")) & (F.col("hi") == F.col("v"))
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
 
     base = deg.agg(
