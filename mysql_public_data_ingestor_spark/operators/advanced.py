@@ -573,14 +573,15 @@ def udtf_props_kv_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     The UDTF surface demo: schema-on-read over a semi-structured
     column whose key set is unknown at plan time — exactly where a
     table function beats a fixed ``get_json_object`` projection. The
-    UDTF runs Arrow-batched per partition; output is one row per
+    UDTF is Arrow-optimized (``useArrow=True``: columnar batch
+    transfer instead of pickled rows); output is one row per
     (event, key), values serialized as strings.
     """
     import json
 
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="prop_key string, prop_value string")
+    @udtf(returnType="prop_key string, prop_value string", useArrow=True)
     class JsonKv:
         def eval(self, props: str):
             if props is None:
@@ -662,5 +663,48 @@ def sql_pipe_syntax_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                      sum(CAST(floor(c_acctbal * 100.0D + 0.5D) AS BIGINT)) / 100.0D
                        AS total_acctbal
            GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "sql_lateral_customer_order_profile",
+    oracle="""
+    SELECT c.c_custkey, l.n_orders, l.max_price, l.last_order_date
+    FROM customer c,
+    LATERAL (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(max(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT) / 100.0
+               AS max_price,
+             max(o_orderdate) AS last_order_date
+      FROM orders o WHERE o.o_custkey = c.c_custkey
+    ) l
+    WHERE l.n_orders > 0
+    """,
+)
+def sql_lateral_customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join: a multi-column per-customer
+    order profile computed by a correlated aggregate — the SQL surface
+    where one correlated subquery returns several measures at once
+    (a scalar subquery would need one rescan per measure).
+
+    Catalyst decorrelates the lateral aggregate into a grouped
+    aggregation joined back on the key — the same physical plan a
+    hand-written groupBy+join produces, so the per-customer "loop" in
+    the SQL never executes as a loop.
+    """
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.n_orders, l.max_price, l.last_order_date
+        FROM customer c,
+        LATERAL (
+          SELECT count(*) AS n_orders,
+                 CAST(max(floor(o_totalprice * 100.0D + 0.5D)) AS BIGINT) / 100.0D
+                   AS max_price,
+                 max(o_orderdate) AS last_order_date
+          FROM orders o WHERE o.o_custkey = c.c_custkey
+        ) l
+        WHERE l.n_orders > 0
         """
     )

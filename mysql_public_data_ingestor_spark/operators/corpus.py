@@ -859,16 +859,20 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered shuffle.
     """
     t = Tables(spark, sf_dir)
+    # array_distinct BEFORE explode dedups (doc, token) pairs inside
+    # the row — no pre-shuffle distinct; collect_set dedups nothing
+    # further but keeps the aggregation single-shuffle.
     toks = t.documents.select(
-        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("token")
-    ).distinct()
+        "doc_id",
+        F.explode(F.array_distinct(whitespace_tokens(F.col("text")))).alias("token"),
+    )
+    postings = F.sort_array(F.collect_set("doc_id"))
     return (
         toks.groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.array_join(
-                F.transform(F.sort_array(F.collect_set("doc_id")), lambda d: d.cast("string")),
-                ",",
+                F.transform(postings, lambda d: d.cast("string")), ","
             ).alias("postings"),
         )
         .where(F.col("df") >= INVIDX_MIN_DF)

@@ -1,0 +1,237 @@
+"""Probabilistic sketch operators, built deterministically so even the
+sketches are value-verified against the DuckDB oracle.
+
+Both sketches use the classic universal hash family
+``h(x) = ((a*x + b) mod P) mod W`` with P = 2^31 - 1 and fixed odd
+(a, b) seeds — exact int64 arithmetic, bit-identical in any engine, so
+the sketch CONTENTS (not just the query answers) are reproducible.
+This is the production property that matters: mergeable, re-computable
+sketches that two clusters (or two engines) agree on byte-for-byte.
+
+Scale shape:
+- A Count-Min sketch is a (depth x width) counter table built by one
+  explode + groupBy — partial aggregation makes the shuffle carry at
+  most depth*width rows per task, regardless of input size.
+- A Bloom filter is the distinct set of set-bit positions — bounded by
+  M bits however large the build side is. Probing broadcasts the bit
+  set; the big probe side never shuffles. This is exactly Spark's own
+  runtime-bloom-pushdown trick, expressed as data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import Tables
+
+_P = 2_147_483_647  # 2^31 - 1 (prime)
+
+# Count-Min: depth 4, width 512
+CM_W = 512
+CM_SEEDS = [(1_103_515_245, 12_345), (214_013, 2_531_011), (69_069, 362_437), (75, 74)]
+
+# Bloom: 3 hashes into 8192 bits
+BLOOM_M = 8192
+BLOOM_SEEDS = [(2_654_435_761, 1), (40_503, 30_011), (97, 1_000_003)]
+
+
+def _uhash(x: Column, a: int, b: int, w: int) -> Column:
+    return ((x.cast("long") * F.lit(a) + F.lit(b)) % F.lit(_P)) % F.lit(w)
+
+
+def _sql_uhash(x: str, a: int, b: int, w: int) -> str:
+    return f"((({x} * {a} + {b}) % {_P}) % {w})"
+
+
+@register(
+    "sketch_countmin_heavy_hitters",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id FROM events
+    ), exact AS (
+      SELECT user_id, count(*) AS exact_n FROM ev GROUP BY user_id
+    ), top AS (
+      SELECT user_id, exact_n FROM exact
+      ORDER BY exact_n DESC, user_id LIMIT 20
+    ), cells AS (
+      {" UNION ALL ".join(
+          f"SELECT {j} AS depth, {_sql_uhash('user_id', a, b, CM_W)} AS bucket, "
+          "count(*) AS c FROM ev GROUP BY 1, 2"
+          for j, (a, b) in enumerate(CM_SEEDS)
+      )}
+    ), probes AS (
+      {" UNION ALL ".join(
+          f"SELECT user_id, exact_n, {j} AS depth, "
+          f"{_sql_uhash('user_id', a, b, CM_W)} AS bucket FROM top"
+          for j, (a, b) in enumerate(CM_SEEDS)
+      )}
+    )
+    SELECT p.user_id, p.exact_n,
+           CAST(min(c.c) AS BIGINT) AS cm_estimate,
+           CAST(min(c.c) - p.exact_n AS BIGINT) AS overcount
+    FROM probes p JOIN cells c ON c.depth = p.depth AND c.bucket = p.bucket
+    GROUP BY p.user_id, p.exact_n
+    """,
+)
+def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (depth 4 x width 512) over per-user event
+    counts, probed for the exact top-20 heavy hitters: estimate = min
+    over rows of the hashed counter, always >= the exact count.
+
+    Build is one explode(depth) + groupBy(depth, bucket) — the shuffle
+    after partial aggregation is bounded by depth*width rows per task
+    no matter how many events stream through. The probe side joins the
+    (at most depth*width)-row sketch, broadcast. Deterministic hashes
+    make the sketch cells byte-identical to the oracle's.
+    """
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id")
+
+    cells = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("depth"),
+                            _uhash(F.col("user_id"), a, b, CM_W).alias("bucket"),
+                        )
+                        for j, (a, b) in enumerate(CM_SEEDS)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .groupBy(F.col("cell.depth").alias("depth"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id"))
+        .limit(20)
+    )
+    probes = top.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        _uhash(F.col("user_id"), a, b, CM_W).alias("bucket"),
+                    )
+                    for j, (a, b) in enumerate(CM_SEEDS)
+                ]
+            )
+        ).alias("probe"),
+    ).select("user_id", "exact_n", F.col("probe.depth").alias("depth"), F.col("probe.bucket").alias("bucket"))
+
+    return (
+        probes.join(F.broadcast(cells), ["depth", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cm_estimate"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
+@register(
+    "sketch_bloom_semijoin_prefilter",
+    oracle=f"""
+    WITH build AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), bits AS (
+      {" UNION ALL ".join(
+          f"SELECT DISTINCT {_sql_uhash('k', a, b, BLOOM_M)} AS bit FROM build"
+          for a, b in BLOOM_SEEDS
+      )}
+    ), bitset AS (
+      SELECT DISTINCT bit FROM bits
+    ), probe AS (
+      SELECT c_custkey AS k FROM customer
+    ), hits AS (
+      SELECT p.k, count(*) AS n_hits
+      FROM (
+        {" UNION ALL ".join(
+            f"SELECT k, {_sql_uhash('k', a, b, BLOOM_M)} AS bit FROM probe"
+            for a, b in BLOOM_SEEDS
+        )}
+      ) p JOIN bitset s ON s.bit = p.bit
+      GROUP BY p.k
+    ), flagged AS (
+      SELECT p.k,
+             CASE WHEN coalesce(h.n_hits, 0) = {len(BLOOM_SEEDS)} THEN 1 ELSE 0 END
+               AS candidate,
+             CASE WHEN EXISTS (SELECT 1 FROM build b WHERE b.k = p.k)
+                  THEN 1 ELSE 0 END AS actual
+      FROM probe p LEFT JOIN hits h ON h.k = p.k
+    )
+    SELECT CAST(count(*) AS BIGINT)        AS n_probed,
+           CAST(sum(candidate) AS BIGINT)  AS n_candidates,
+           CAST(sum(actual) AS BIGINT)     AS n_members,
+           CAST(sum(candidate) - sum(actual) AS BIGINT) AS n_false_positives
+    FROM flagged
+    """,
+)
+def sketch_bloom_semijoin_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filter: build an 8192-bit / 3-hash
+    Bloom filter over urgent-order customer keys, probe every customer
+    through it, and audit the sketch against the exact semi-join
+    (candidates ⊇ members; the gap is the false-positive count).
+
+    The 100 TB pattern: the filter's set-bit positions are a DataFrame
+    bounded by M bits regardless of build-side size; broadcast to the
+    probe side, it prunes the expensive join's input WITHOUT shuffling
+    the big table — the declarative twin of Spark's runtime bloom
+    pushdown, with the filter itself persistable and mergeable (union
+    of bit sets = filter of union).
+    """
+    t = Tables(spark, sf_dir)
+    build = (
+        t.orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bitset = (
+        build.select(
+            F.explode(
+                F.array(*[_uhash(F.col("k"), a, b, BLOOM_M) for a, b in BLOOM_SEEDS])
+            ).alias("bit")
+        ).distinct()
+    )
+    probe = t.customer.select(F.col("c_custkey").alias("k"))
+    probe_bits = probe.select(
+        "k",
+        F.explode(
+            F.array(*[_uhash(F.col("k"), a, b, BLOOM_M) for a, b in BLOOM_SEEDS])
+        ).alias("bit"),
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bitset), "bit")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    actual = build.withColumn("actual_flag", F.lit(1))
+    flagged = (
+        probe.join(hits, "k", "left")
+        .join(F.broadcast(actual), "k", "left")
+        .select(
+            F.when(F.coalesce(F.col("n_hits"), F.lit(0)) == len(BLOOM_SEEDS), 1)
+            .otherwise(0)
+            .alias("candidate"),
+            F.coalesce(F.col("actual_flag"), F.lit(0)).alias("actual"),
+        )
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum("candidate").cast("long").alias("n_candidates"),
+        F.sum("actual").cast("long").alias("n_members"),
+        (F.sum("candidate") - F.sum("actual")).cast("long").alias("n_false_positives"),
+    )

@@ -193,6 +193,7 @@ def _ensure_loaded() -> None:
         pipeline,
         relational,
         similarity,
+        sketches,
         stats,
         text,
         timeseries,

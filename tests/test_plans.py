@@ -189,3 +189,21 @@ def test_inverted_index_pruned_scan(spark, sf_dir):
     df = q("text_inverted_index", spark, sf_dir)
     schemas = scan_read_schemas(df)
     assert schemas and all("lang" not in s and "source" not in s for s in schemas), schemas
+
+
+def test_countmin_estimate_never_undercounts(spark, sf_dir):
+    rows = q("sketch_countmin_heavy_hitters", spark, sf_dir).collect()
+    assert rows and all(r.cm_estimate >= r.exact_n for r in rows)
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    r = q("sketch_bloom_semijoin_prefilter", spark, sf_dir).collect()[0]
+    # every true member must survive the pre-filter
+    assert r.n_candidates >= r.n_members
+    assert r.n_false_positives == r.n_candidates - r.n_members
+    assert r.n_false_positives >= 0
+
+
+def test_bloom_probe_broadcasts_bitset(spark, sf_dir):
+    df = q("sketch_bloom_semijoin_prefilter", spark, sf_dir)
+    assert has_broadcast_join(df)
