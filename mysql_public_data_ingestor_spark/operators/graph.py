@@ -192,3 +192,83 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_triangles",
         (F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")).alias("global_clustering"),
     )
+
+
+PR_ITERS = 10
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+PR_SCALE = 1_000_000  # ranks held in integer micro-units
+
+
+@register("graph_pagerank_copurchase", oracle=None)
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph, 10 fixed power iterations,
+    computed in *integer micro-units* so the result is bit-identical
+    under any partitioning (the driver's rows-only check still sees a
+    stable row set; `tests/test_pagerank.py` pins exact values against
+    an independent single-machine replica).
+
+    Why integers: FP summation order across shuffle partitions is
+    nondeterministic, so a double-typed PageRank differs run to run in
+    the low bits. Holding ranks in int64 micro-units with integer
+    division for the neighbor contribution makes every iteration an
+    order-independent int64 sum — deterministic at any scale — at the
+    cost of ~1e-6 truncation per hop (documented, bounded by
+    iters/SCALE).
+
+    Shape per iteration: one groupBy(dst) over the edge contribution
+    stream; degrees and ranks join the (node-sized) tables broadcast.
+    The iteration count is fixed — the driver-side loop is bounded and
+    each round is localCheckpointed to keep lineage flat (the same
+    discipline as `connected_components`).
+
+    The rows-only oracle omission is inherent: 10 chained aggregations
+    are not a single SQL expression (a recursive CTE cannot aggregate
+    in the recursive term).
+    """
+    t = Tables(spark, sf_dir)
+    edges = _edges(t)
+    # undirected -> both directions carry rank
+    both = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("out_deg"))
+    nodes = deg.select(F.col("u").alias("node"), "out_deg")
+    n_nodes = nodes.count()
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n_nodes)
+
+    ranks = nodes.select(
+        "node", "out_deg", F.lit(PR_SCALE // n_nodes).cast("long").alias("rank_u")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(PR_ITERS):
+        contrib = (
+            both.join(
+                ranks.select(
+                    F.col("node").alias("u"),
+                    (F.col("rank_u") / F.col("out_deg")).cast("long").alias("share"),
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("share").alias("in_sum"))
+        )
+        ranks = (
+            ranks.join(contrib, "node", "left")
+            .select(
+                "node",
+                "out_deg",
+                (
+                    F.lit(base)
+                    + (F.coalesce(F.col("in_sum"), F.lit(0)) * PR_DAMP_NUM / PR_DAMP_DEN)
+                    .cast("long")
+                ).alias("rank_u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return ranks.select(
+        "node",
+        F.col("rank_u").alias("rank_micro"),
+        (F.col("rank_u") / F.lit(float(PR_SCALE))).alias("rank"),
+    )

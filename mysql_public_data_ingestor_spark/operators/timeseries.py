@@ -536,3 +536,59 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_events",
         )
     )
+
+
+WAU_WINDOW_DAYS = 7
+
+
+@register(
+    "events_rolling_active_users",
+    oracle=f"""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ), contrib AS (
+      SELECT DISTINCT user_id, day + INTERVAL (off) DAY AS day
+      FROM user_days, unnest(range(0, {WAU_WINDOW_DAYS})) AS t(off)
+    ), dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM user_days GROUP BY day
+    ), wau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS wau FROM contrib GROUP BY day
+    )
+    SELECT d.day, d.dau, w.wau
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement counts: per day, exact DAU and trailing-7-day
+    WAU (days with no DAU row are excluded — they have no anchor in the
+    fixture's dense stream).
+
+    Windowed COUNT(DISTINCT) doesn't exist; the scalable identity is
+    contribution-explode: each (user, active-day) pair contributes to
+    the {WAU_WINDOW_DAYS} calendar days whose trailing window covers
+    it, then WAU is a plain distinct-count per day. The explode factor
+    is window/granularity (7) — constant — and both distincts shuffle
+    (user, day) pairs, never raw events. The same shape gives MAU with
+    a 30-day range.
+    """
+    t = Tables(spark, sf_dir)
+    user_days = t.events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    contrib = (
+        user_days.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(WAU_WINDOW_DAYS - 1))
+            ).alias("off"),
+            "day",
+        )
+        .select(
+            "user_id",
+            (F.col("day") + F.make_dt_interval(F.col("off"))).alias("day"),
+        )
+        .distinct()
+    )
+    dau = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = contrib.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    return dau.join(wau, "day").select("day", "dau", "wau")

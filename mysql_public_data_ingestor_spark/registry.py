@@ -191,6 +191,7 @@ def _ensure_loaded() -> None:
         layout,
         multimodal,
         pipeline,
+        privacy,
         relational,
         similarity,
         sketches,
