@@ -55,7 +55,11 @@ HEADLINE = [
     "events_variant_props",
     "layout_zorder_stats",
     "dq_expectations_orders",
-    "udtf_props_kv_flatten",
+    # engine-native variant_explode twin of udtf_props_kv_flatten (the
+    # scale path for semi-structured flatten; the Python UDTF itself is
+    # the extension-point demo — registered + oracle-gated, but ~28x
+    # slower by construction, so it is not a headline plan)
+    "events_kv_flatten_native",
 ]
 
 

@@ -134,6 +134,15 @@ def test_repetition_stats_no_python(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_kv_flatten_native_no_python(spark, sf_dir):
+    """The variant_explode kv flatten must run entirely JVM-side —
+    no Python UDTF / Arrow eval nodes (that is the whole point of the
+    twin vs udtf_props_kv_flatten)."""
+    plan = physical_plan(q("events_kv_flatten_native", spark, sf_dir))
+    for node in ("ArrowEvalPython", "BatchEvalPython", "PythonUDTF", "EvalPythonUDTF"):
+        assert node not in plan, plan
+
+
 def test_sample_hash_mod_is_pure_scan_filter(spark, sf_dir):
     """Hash-mod sampling must stay a row-local scan predicate: zero
     exchanges, and the (huge) text column pruned from the read."""
