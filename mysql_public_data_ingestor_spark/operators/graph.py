@@ -43,19 +43,34 @@ _SQL_EDGES = """
 
 
 def _edges(t: Tables) -> DataFrame:
-    """Distinct undirected edges (u < v) of the co-purchase graph."""
-    li = t.lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.select(
-        F.col("l_orderkey").alias("b_orderkey"), F.col("l_partkey").alias("b_partkey")
-    ).alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b_partkey")),
+    """Distinct undirected edges (u < v) of the co-purchase graph.
+
+    One shuffle instead of a self-join: group each order's distinct
+    parts into a sorted array (``collect_set`` is bounded by order
+    size, ~7 for TPC-H), generate the within-order pairs map-side from
+    the array, then dedup edges. The self-join formulation shuffles
+    ``li`` twice more (distinct + join repartition) for the same rows.
+    """
+    arr = F.sort_array(F.collect_set("l_partkey"))
+    baskets = (
+        t.lineitem.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(arr.alias("parts"))
+    )
+    # pairs (parts[i], parts[j]) for i < j; the two-arg lambda is
+    # (element, index), and slice() is 1-based.
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
         )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b_partkey").alias("v"))
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("e"))
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .distinct()
     )
 
