@@ -878,3 +878,54 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") >= INVIDX_MIN_DF)
         .select("token", "df", "postings")
     )
+
+
+@register(
+    "corpus_bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKENS}) AS w FROM documents
+    ), wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f
+      FROM toks WHERE len(w) >= 2 GROUP BY w
+    ), pairs AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, f
+      FROM wf, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    )
+    SELECT pair, CAST(sum(f) AS BIGINT) AS n_pair
+    FROM pairs GROUP BY pair
+    """,
+)
+def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding training primitive: corpus-wide adjacent
+    character-pair frequencies — the statistic behind every BPE merge
+    step (Sennrich et al., ACL'16: count pairs over the *distinct*
+    word table weighted by word frequency, never over raw tokens).
+
+    Scale shape: shuffle 1 reduces the corpus to its vocabulary
+    (groupBy word — partial-agg'd, so the shuffle carries one row per
+    distinct word per task); pair explosion then runs over the tiny
+    vocab table map-side, and shuffle 2 aggregates by pair key whose
+    cardinality is bounded by alphabet**2, not data size. A 100 TB
+    corpus costs one vocab-sized reshuffle per merge iteration, which
+    is exactly how distributed BPE trainers structure it.
+    """
+    t = Tables(spark, sf_dir)
+    words = (
+        cpu_repartition(t.documents, "doc_id")
+        .select(F.explode(whitespace_tokens(F.col("text"))).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pair_idx = F.sequence(F.lit(1), F.length("w") - 1)
+    return (
+        words.select(
+            F.explode(F.transform(pair_idx, lambda i: F.substring(F.col("w"), i, 2))).alias(
+                "pair"
+            ),
+            "f",
+        )
+        .groupBy("pair")
+        .agg(F.sum("f").alias("n_pair"))
+    )

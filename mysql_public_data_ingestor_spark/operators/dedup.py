@@ -523,3 +523,73 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs)
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH norm AS (
+{_SQL_SHINGLES}
+    ), keyed AS (
+      SELECT n.doc_id, d.lang, d.n_chars // 100 AS len_bucket,
+             list_distinct(list_transform(n.shingles,
+               s -> ('0x' || substr(sha256(s), 1, 15))::BIGINT)) AS hs
+      FROM norm n JOIN documents d USING (doc_id)
+      WHERE len(n.shingles) > 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.hs, b.hs)) * 1.0
+                 / least(len(a.hs), len(b.hs)), 6) AS containment
+    FROM keyed a JOIN keyed b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.hs, b.hs)) * 1.0
+          / least(len(a.hs), len(b.hs)) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: |A ∩ B| / min(|A|, |B|) over
+    3-word-shingle hash sets — catches the sub/superset pairs (a doc
+    embedded inside a longer one) that symmetric Jaccard misses, the
+    standard second pass of a corpus dedup (Broder's containment
+    coefficient).
+
+    Blocked on ``lang`` only (no length bucket — containment pairs
+    differ in length by construction); the self-join stays an equi-join
+    on the block key, and the set math runs on portable int64 shingle
+    hashes, so shuffles carry hashes, not text. At 100 TB the lang
+    block alone is too coarse — compose with the LSH band join
+    (``dedup_minhash_lsh``) as the candidate generator and keep this
+    operator as the exact verifier on candidate pairs.
+    """
+    t = Tables(spark, sf_dir)
+    bases_udf = shingle_base_hash_udf(SHINGLE_K)
+    keyed = (
+        cpu_repartition(t.documents, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            bases_udf(F.col("text")).alias("hs"),
+        )
+        .filter(F.size("hs") > 0)
+        .localCheckpoint(eager=False)  # feeds both join sides; hash once
+    )
+    a = keyed.select(F.col("doc_id").alias("doc_a"), "lang", F.col("hs").alias("ha"))
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("hs").alias("hb")
+    )
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    containment = inter / F.least(F.size("ha"), F.size("hb"))
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .withColumn("containment_raw", containment)
+        .filter(F.col("containment_raw") >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a", "doc_b", F.round(F.col("containment_raw"), 6).alias("containment")
+        )
+    )

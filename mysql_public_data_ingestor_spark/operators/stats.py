@@ -251,3 +251,69 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tidy.select(
         "rule", "n_violations", "n_checked", (F.col("n_violations") == 0).alias("passed")
     )
+
+
+@register(
+    "stats_linear_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sx,
+             CAST(sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sy,
+             CAST(sum(CAST(floor(l_quantity * l_quantity * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sxx,
+             CAST(sum(CAST(floor(l_extendedprice * l_extendedprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS syy,
+             CAST(sum(CAST(floor(l_quantity * l_extendedprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n AS DOUBLE) * sxx - sx * sx)
+                      * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS slope,
+           CAST(floor((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                            / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+                      / CAST(n AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS intercept,
+           CAST(floor(((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                      / ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy))
+                      * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS r2
+    FROM s
+    """,
+)
+def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit (price ~ quantity): slope, intercept, R^2 from
+    the same exact sufficient statistics as ``stats_corr_*`` — the
+    engine-portable alternative to ``regr_slope``/``regr_intercept``,
+    whose streaming-double summation order varies run to run.
+
+    One partial-aggregated shuffle on a 3-value key; the fit assembles
+    from six exact numbers per group. This is the distributed-OLS
+    shape: at 100 TB the shuffle carries six int64s per (group, task),
+    nothing else.
+    """
+    t = Tables(spark, sf_dir)
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    unscale = lambda col: col.cast("double") / F.lit(1e4)  # noqa: E731
+    s = t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        unscale(F.sum(quantize(x, 4))).alias("sx"),
+        unscale(F.sum(quantize(y, 4))).alias("sy"),
+        unscale(F.sum(quantize(x * x, 4))).alias("sxx"),
+        unscale(F.sum(quantize(y * y, 4))).alias("syy"),
+        unscale(F.sum(quantize(x * y, 4))).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    intercept = (F.col("sy") - slope * F.col("sx")) / nd
+    r2 = (cov_n * cov_n) / (var_x * var_y)
+    return s.select(
+        "l_returnflag",
+        "n",
+        _q6(slope).alias("slope"),
+        _q6(intercept).alias("intercept"),
+        _q6(r2).alias("r2"),
+    )

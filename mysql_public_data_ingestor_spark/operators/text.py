@@ -467,3 +467,68 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("passes_repetition"),
         )
     )
+
+
+# Feature-hashing classifier: dimension and weight scale shared by the
+# Spark plan and the oracle SQL. Weights are derived deterministically
+# from the token's sha256 (a fixed random projection in [-1, 1] milli-
+# quantized) — the *plumbing* under test is hashed-feature scoring at
+# zero shuffles; swapping in trained weights is a broadcast-map change.
+CLS_WEIGHT_MOD = 2001      # milli-weights in [-1000, 1000]
+
+
+@register(
+    "text_quality_classifier_score",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(1.0 / (1.0 + exp(-(CAST(list_sum(list_transform(toks,
+                   t -> (('0x' || substr(sha256(t), 1, 15))::BIGINT % {CLS_WEIGHT_MOD})
+                        - {(CLS_WEIGHT_MOD - 1) // 2})) AS DOUBLE)
+                 / (1000.0 * len(toks))))), 6) AS score,
+           (1.0 / (1.0 + exp(-(CAST(list_sum(list_transform(toks,
+                   t -> (('0x' || substr(sha256(t), 1, 15))::BIGINT % {CLS_WEIGHT_MOD})
+                        - {(CLS_WEIGHT_MOD - 1) // 2})) AS DOUBLE)
+                 / (1000.0 * len(toks))))) >= 0.5) AS keep
+    FROM feat
+    """,
+)
+def text_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier (fasttext-style
+    inference shape): token -> 60-bit portable hash -> milli-quantized
+    weight, per-document mean activation through a sigmoid, thresholded
+    keep flag.
+
+    The 100 TB story is the plan: ZERO shuffles — tokenize, weight-map,
+    and reduce all happen inside one projection over the scan
+    (``F.aggregate`` over the token array), so scoring a corpus costs
+    exactly one pass with no exchange (plan-asserted). The weight sum
+    is integer (milli-units) — FP order can't flip the value hash; the
+    sigmoid is applied once to an identical double on both engines.
+    """
+    t = Tables(spark, sf_dir)
+    toks = whitespace_tokens(F.col("text"))
+    half = (CLS_WEIGHT_MOD - 1) // 2
+    w = lambda tok: (  # noqa: E731
+        F.conv(F.substring(F.sha2(tok, 256), 1, 15), 16, 10).cast("long")
+        % CLS_WEIGHT_MOD
+        - half
+    )
+    milli_sum = F.aggregate(
+        F.transform(toks, w), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n = F.size(toks)
+    activation = milli_sum.cast("double") / (1000.0 * n)
+    score = 1.0 / (1.0 + F.exp(-activation))
+    return t.documents.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_tokens"),
+        F.round(score, 6).alias("score"),
+        (score >= 0.5).alias("keep"),
+    )

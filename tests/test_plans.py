@@ -143,6 +143,27 @@ def test_kv_flatten_native_no_python(spark, sf_dir):
         assert node not in plan, plan
 
 
+def test_classifier_score_zero_exchanges(spark, sf_dir):
+    """Hashed-feature classifier scoring must be a single pass over the
+    scan — tokenize/weight/reduce fused into one projection, zero
+    exchanges."""
+    df = q("text_quality_classifier_score", spark, sf_dir)
+    assert count_exchanges(df) == 0, physical_plan(df)
+
+
+def test_bpe_pair_counts_bounded_shuffles(spark, sf_dir):
+    """BPE pair counting: vocab groupBy + pair groupBy, both
+    partial-aggregated; nothing else shuffles and nothing is cartesian."""
+    df = q("corpus_bpe_pair_counts", spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_exchanges(df) <= 3, physical_plan(df)
+
+
+def test_containment_no_cartesian(spark, sf_dir):
+    """Containment self-join must stay an equi-join on the block key."""
+    assert_no_cartesian(q("dedup_containment", spark, sf_dir))
+
+
 def test_sample_hash_mod_is_pure_scan_filter(spark, sf_dir):
     """Hash-mod sampling must stay a row-local scan predicate: zero
     exchanges, and the (huge) text column pruned from the read."""
