@@ -72,7 +72,11 @@ def main() -> None:
     # warm the JVM + parquet footers with one cheap query, and the
     # Python/Arrow UDF workers with a trivial pandas UDF (so per-query
     # timings measure steady-state, not one-time worker startup)
-    specs["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # twice: the first execution JITs parquet scan + hash-agg codegen,
+    # the second catches stragglers so the first *timed* query isn't
+    # paying one-time compilation (observed up to ~2.5 s of it).
+    for _ in range(2):
+        specs["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     from pyspark.sql import functions as F
 
     @F.pandas_udf("long")

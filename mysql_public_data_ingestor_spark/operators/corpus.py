@@ -929,3 +929,48 @@ def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pair")
         .agg(F.sum("f").alias("n_pair"))
     )
+
+
+SAMPLE_K_PER_GROUP = 3
+
+
+@register(
+    "sample_k_per_group",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                        doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {SAMPLE_K_PER_GROUP}
+    """,
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample: rank each group by the
+    sha256 hash of the key and keep the first k — the reproducible
+    (engine- and run-stable) replacement for reservoir sampling, the
+    standard way to pull a fixed-size per-stratum eyeball sample from
+    a 100 TB corpus.
+
+    Scale shape: one shuffle on the group key; Spark's window TopK
+    pushes a per-partition rank filter below the exchange (partial
+    top-k), so the shuffle carries at most k rows per (group, task) —
+    not the whole group. Hash order ties break on doc_id, so output is
+    unique for any input.
+    """
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("lang").orderBy(
+            sha256_prefix_i64(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        t.documents.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= SAMPLE_K_PER_GROUP)
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )
