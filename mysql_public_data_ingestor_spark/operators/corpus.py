@@ -30,6 +30,7 @@ from ..functions.exact import quantize
 from ..functions.partitioning import cpu_repartition
 from ..functions.textnorm import (
     normalized_text,
+    sha256_hex,
     sha256_prefix_i64,
     shingle_base_hash_udf,
     whitespace_tokens,
@@ -973,4 +974,58 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
         .where(F.col("rk") <= SAMPLE_K_PER_GROUP)
         .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+@register(
+    "corpus_domain_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, lang, n_chars,
+             len({_SQL_TOKENS}) AS n_tokens,
+             sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_unique_docs,
+           round(1.0 - count(DISTINCT h) * 1.0 / count(*), 6) AS dup_ratio,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS mean_tokens
+    FROM d GROUP BY source
+    """,
+)
+def corpus_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) corpus report: volume, exact-dup ratio,
+    language spread, token accounting — the table a data-mixing
+    decision reads first (which domains are big, which are dirty,
+    which are duplicated).
+
+    One aggregation keyed by source; the dup ratio rides on the
+    normalized-text sha256 so the shuffle's distinct-count state
+    carries 64-byte hashes, never text. All ratios are single
+    divisions of exact integers.
+    """
+    t = Tables(spark, sf_dir)
+    d = cpu_repartition(t.documents, "doc_id").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(whitespace_tokens(F.col("text"))).alias("n_tokens"),
+        sha256_hex(normalized_text(F.col("text"))).alias("h"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("h")).alias("n_unique_docs"),
+        F.round(
+            F.lit(1.0) - F.count_distinct(F.col("h")) / F.count(F.lit(1)), 6
+        ).alias("dup_ratio"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_tokens"
+        ),
     )

@@ -532,3 +532,87 @@ def text_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(score, 6).alias("score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+@register(
+    "text_lm_cross_entropy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), bi AS (
+      SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1, toks[CAST(i AS INTEGER) + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 2
+    ), lm AS (
+      SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY w1
+    ), scored AS (
+      SELECT b.doc_id,
+             CAST(floor(ln(CAST(ctx.c1 AS DOUBLE) / CAST(lm.c12 AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS nll_q
+      FROM bi b JOIN lm USING (w1, w2) JOIN ctx USING (w1)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(nll_q) AS DOUBLE) / 1000000.0 / count(*), 6)
+             AS cross_entropy
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own bigram LM —
+    the CCNet/Wenzek-style perplexity filter: documents that the
+    corpus-level language model finds surprising (high cross-entropy)
+    are boilerplate/garbled candidates; very low ones are templated.
+
+    Shape: doc bigrams are built map-side from the token array (keep
+    multiplicity); the LM (bigram count / context count) derives from
+    the SAME exploded rows with two vocab-bounded aggregations; scoring
+    joins doc bigrams to the LM on the bigram key. Per-bigram negative
+    log-likelihoods quantize to int64 micro-nats BEFORE the per-doc sum
+    so aggregation order can't flip the hash. At 100 TB the LM table is
+    vocab^2-bounded (broadcastable for real vocabularies after a
+    min-count floor); the scoring join is a plain equi-join carrying
+    (doc_id, hash-sized keys), no text.
+    """
+    t = Tables(spark, sf_dir)
+    toks = whitespace_tokens(F.col("text"))
+    docs = cpu_repartition(t.documents, "doc_id").select("doc_id", toks.alias("toks"))
+    bi = (
+        docs.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    lm = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    nll_q = F.floor(
+        F.log(F.col("c1").cast("double") / F.col("c12").cast("double")) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        bi.join(F.broadcast(lm), ["w1", "w2"])
+        .join(F.broadcast(ctx), ["w1"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(nll_q).alias("sum_q"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("sum_q").cast("double") / F.lit(1e6) / F.col("n_bigrams"), 6
+            ).alias("cross_entropy"),
+        )
+    )

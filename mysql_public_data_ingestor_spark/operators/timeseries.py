@@ -592,3 +592,54 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     dau = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     wau = contrib.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
     return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+@register(
+    "events_user_path_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), trans AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM trans GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           round(CAST(t.n AS DOUBLE) / CAST(tt.n_from AS DOUBLE), 6) AS p
+    FROM trans t JOIN totals tt USING (from_type)
+    """,
+)
+def events_user_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered pair of consecutive event types within a user's stream, the
+    count and conditional probability P(next | prev) — the product-
+    analytics path model (and the input to behavioral anomaly scoring).
+
+    One shuffle on user_id for the lag window, then aggregation on a
+    key bounded by |event_type|^2 — independent of event volume. The
+    per-user ordering is (ts, event_id) so ties can't reorder between
+    engines or runs; probabilities are a single integer division.
+    """
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return trans.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_from").cast("double"), 6).alias("p"),
+    )

@@ -164,6 +164,21 @@ def test_containment_no_cartesian(spark, sf_dir):
     assert_no_cartesian(q("dedup_containment", spark, sf_dir))
 
 
+def test_path_transitions_partitioned_window(spark, sf_dir):
+    """Markov transitions: the lag window is per-user, never global."""
+    df = q("events_user_path_transitions", spark, sf_dir)
+    assert "SinglePartition" not in physical_plan(df)
+    assert_no_cartesian(df)
+
+
+def test_lm_cross_entropy_broadcasts_lm(spark, sf_dir):
+    """LM scoring join: the bigram LM and context tables broadcast;
+    doc bigrams never reshuffle for the join."""
+    plan = physical_plan(q("text_lm_cross_entropy", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_sample_hash_mod_is_pure_scan_filter(spark, sf_dir):
     """Hash-mod sampling must stay a row-local scan predicate: zero
     exchanges, and the (huge) text column pruned from the read."""
