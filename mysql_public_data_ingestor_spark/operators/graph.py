@@ -287,3 +287,87 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank_u").alias("rank_micro"),
         (F.col("rank_u") / F.lit(float(PR_SCALE))).alias("rank"),
     )
+
+
+MIN_PAIR_ORDERS = 2    # support floor for association rules
+
+
+@register(
+    "graph_market_basket_lift",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li
+    ), item AS (
+      SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1
+    ), pair AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(count(*) AS BIGINT) AS c_uv
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT u, v, c_uv,
+           round(CAST(c_uv AS DOUBLE) / n_orders, 6) AS support,
+           round(CAST(c_uv AS DOUBLE) / cu.c, 6) AS confidence_u_v,
+           round(CAST(n_orders AS DOUBLE) * c_uv / (cu.c * cv.c), 6) AS lift
+    FROM pair
+    JOIN item cu ON cu.p = u
+    JOIN item cv ON cv.p = v
+    CROSS JOIN n
+    WHERE c_uv >= {MIN_PAIR_ORDERS}
+    """,
+)
+def graph_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchases: support, confidence and
+    lift for every part pair bought together in >= MIN_PAIR_ORDERS
+    orders (the A-priori first pass / recommender prior).
+
+    Reuses the basket build: pair counts explode map-side from
+    per-order part arrays (one groupBy l_orderkey), then aggregate on
+    the pair key; item supports and the order total are dimension-
+    sized and broadcast, so the pair table never reshuffles for the
+    ratio join. The support floor prunes the long tail BEFORE the
+    join — at 100 TB that floor is what keeps the rule table
+    dimension-sized. All ratios are single divisions of exact counts.
+    """
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    arr = F.sort_array(F.collect_set("l_partkey"))
+    baskets = li.groupBy("l_orderkey").agg(arr.alias("parts"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    pair = (
+        baskets.select(F.explode(pairs).alias("e"))
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c_uv"))
+        .where(F.col("c_uv") >= MIN_PAIR_ORDERS)
+    )
+    item = li.groupBy(F.col("l_partkey")).agg(F.count(F.lit(1)).alias("c"))
+    n = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    cu = item.select(F.col("l_partkey").alias("u"), F.col("c").alias("c_u"))
+    cv = item.select(F.col("l_partkey").alias("v"), F.col("c").alias("c_v"))
+    nd = F.col("n_orders").cast("double")
+    return (
+        pair.join(F.broadcast(cu), "u")
+        .join(F.broadcast(cv), "v")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "u",
+            "v",
+            "c_uv",
+            F.round(F.col("c_uv").cast("double") / nd, 6).alias("support"),
+            F.round(F.col("c_uv").cast("double") / F.col("c_u"), 6).alias(
+                "confidence_u_v"
+            ),
+            F.round(nd * F.col("c_uv") / (F.col("c_u") * F.col("c_v")), 6).alias("lift"),
+        )
+    )

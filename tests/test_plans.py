@@ -164,6 +164,16 @@ def test_containment_no_cartesian(spark, sf_dir):
     assert_no_cartesian(q("dedup_containment", spark, sf_dir))
 
 
+def test_market_basket_broadcasts_supports(spark, sf_dir):
+    """Association rules: item supports and the order total broadcast;
+    the pair table joins without reshuffling; nothing is cartesian
+    (the 1-row total attaches via BroadcastNestedLoopJoin, which is
+    fine — assert no CartesianProduct node instead)."""
+    plan = physical_plan(q("graph_market_basket_lift", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_path_transitions_partitioned_window(spark, sf_dir):
     """Markov transitions: the lag window is per-user, never global."""
     df = q("events_user_path_transitions", spark, sf_dir)
