@@ -1029,3 +1029,56 @@ def corpus_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_tokens"
         ),
     )
+
+
+LANG_TOKEN_BUDGET = 5000   # tokens to keep per language
+
+
+@register(
+    "corpus_budget_fill",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+             {_SQL_ID_HASH} AS h
+      FROM documents
+    ), running AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM running WHERE cum_tokens <= {LANG_TOKEN_BUDGET}
+    """,
+)
+def corpus_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a fixed per-language token budget: walk each language's
+    documents in deterministic (hash, id) order and keep documents
+    until the running token sum reaches the budget — how a training
+    mix actually draws "N tokens of language X" from a corpus,
+    reproducibly (re-runs and engines agree; no rand()).
+
+    One shuffle on the language key; the running sum is a partitioned
+    ordered window over exact integers. At 100 TB, languages are the
+    partition key so each fills independently; for single-language
+    corpora swap the key for a hash-bucket prefix to keep partitions
+    bounded and budgets per bucket.
+    """
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        "lang",
+        F.size(whitespace_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        sha256_prefix_i64(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("doc_id", "lang", "n_tokens", F.sum("n_tokens").over(w).alias("cum_tokens"))
+        .where(F.col("cum_tokens") <= LANG_TOKEN_BUDGET)
+    )

@@ -317,3 +317,93 @@ def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q6(intercept).alias("intercept"),
         _q6(r2).alias("r2"),
     )
+
+
+@register(
+    "stats_rfm_segmentation",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+                       (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), th AS (
+      SELECT quantile_disc(recency_days,   [0.2, 0.4, 0.6, 0.8]) AS rt,
+             quantile_disc(frequency,      [0.2, 0.4, 0.6, 0.8]) AS ft,
+             quantile_disc(monetary_cents, [0.2, 0.4, 0.6, 0.8]) AS mt
+      FROM m
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           CAST(len(list_filter(rt, t -> recency_days < t)) + 1 AS BIGINT) AS r_score,
+           CAST(len(list_filter(ft, t -> frequency > t)) + 1 AS BIGINT) AS f_score,
+           CAST(len(list_filter(mt, t -> monetary_cents > t)) + 1 AS BIGINT) AS m_score
+    FROM m CROSS JOIN th
+    """,
+)
+def stats_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintile scores) with NO global window: per-customer metrics are
+    one groupBy; the quintile thresholds are a 1-row exact-discrete-
+    percentile aggregate that BROADCASTS into the scoring projection.
+
+    This is the scale-correct alternative to ``ntile(5) OVER ()``
+    (single-reducer): at 100 TB the threshold row still costs one
+    tiny all-to-one aggregate, and scoring stays embarrassingly
+    parallel. Metrics are exact integers (days / counts / cents);
+    ``percentile_approx`` at max accuracy is Spark's exact discrete
+    percentile and matches DuckDB's ``quantile_disc`` value-for-value,
+    so even the thresholds are engine-portable.
+    """
+    t = Tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    per_cust = t.orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents).alias("monetary_cents"),
+    )
+    global_max = t.orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("max_date")
+    )
+    m = (
+        per_cust.crossJoin(F.broadcast(global_max))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("max_date"), F.col("last_order")).cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    qs = "array(0.2, 0.4, 0.6, 0.8)"
+    exact = str(2**31 - 1)
+    th = m.agg(
+        F.expr(f"percentile_approx(recency_days, {qs}, {exact})").alias("rt"),
+        F.expr(f"percentile_approx(frequency, {qs}, {exact})").alias("ft"),
+        F.expr(f"percentile_approx(monetary_cents, {qs}, {exact})").alias("mt"),
+    )
+    score = lambda col, th_col, better_high: (  # noqa: E731
+        F.size(
+            F.filter(
+                F.col(th_col),
+                (lambda x: F.col(col) > x) if better_high else (lambda x: F.col(col) < x),
+            )
+        ).cast("long")
+        + 1
+    )
+    return (
+        m.crossJoin(F.broadcast(th))
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            score("recency_days", "rt", False).alias("r_score"),
+            score("frequency", "ft", True).alias("f_score"),
+            score("monetary_cents", "mt", True).alias("m_score"),
+        )
+    )

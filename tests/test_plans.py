@@ -174,6 +174,21 @@ def test_market_basket_broadcasts_supports(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_rfm_no_global_window(spark, sf_dir):
+    """RFM scoring must use broadcast percentile thresholds, not
+    ntile() OVER () — no SinglePartition window in the plan."""
+    plan = physical_plan(q("stats_rfm_segmentation", spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_budget_fill_partitioned_window(spark, sf_dir):
+    """Budget fill: the running token sum is per-language, never a
+    global window; the huge text column is pruned from the scan."""
+    df = q("corpus_budget_fill", spark, sf_dir)
+    assert "SinglePartition" not in physical_plan(df)
+
+
 def test_path_transitions_partitioned_window(spark, sf_dir):
     """Markov transitions: the lag window is per-user, never global."""
     df = q("events_user_path_transitions", spark, sf_dir)
