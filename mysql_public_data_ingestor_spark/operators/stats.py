@@ -407,3 +407,41 @@ def stats_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             score("monetary_cents", "mt", True).alias("m_score"),
         )
     )
+
+
+@register(
+    "agg_median_p90_disc",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(quantile_disc(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT), 0.5)
+                AS BIGINT) AS median_cents,
+           CAST(quantile_disc(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT), 0.9)
+                AS BIGINT) AS p90_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_median_p90_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete median / p90 of order value per priority:
+    ``percentile_approx`` at max accuracy degenerates to the exact
+    discrete percentile (and matches DuckDB's ``quantile_disc``
+    value-for-value on int64 cents — no interpolation FP anywhere).
+
+    At 100 TB you lower the accuracy knob and the SAME plan becomes
+    the bounded-memory KLL sketch (mergeable partial aggregate, one
+    shuffle on a 5-value key); ``percentiles_approx`` registers that
+    path. This query pins the exact end of the dial.
+    """
+    t = Tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    exact = str(2**31 - 1)
+    return (
+        t.orders.select("o_orderpriority", cents.alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"percentile_approx(cents, 0.5, {exact})").alias("median_cents"),
+            F.expr(f"percentile_approx(cents, 0.9, {exact})").alias("p90_cents"),
+        )
+    )
