@@ -12,7 +12,7 @@ here ever materializes per-group value lists.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import quantize
@@ -444,4 +444,71 @@ def agg_median_p90_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"percentile_approx(cents, 0.5, {exact})").alias("median_cents"),
             F.expr(f"percentile_approx(cents, 0.9, {exact})").alias("p90_cents"),
         )
+    )
+
+
+@register(
+    "stats_cohort_ltv_triangle",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ), joined AS (
+      SELECT f.cohort_month,
+             date_diff('month', f.cohort_month, date_trunc('month', o.o_orderdate))
+               AS months_since,
+             CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN firsts f USING (o_custkey)
+    ), cell AS (
+      SELECT cohort_month, months_since,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM joined GROUP BY cohort_month, months_since
+    )
+    SELECT cohort_month, months_since, revenue_cents, n_orders,
+           CAST(sum(revenue_cents) OVER (PARTITION BY cohort_month ORDER BY months_since
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_revenue_cents
+    FROM cell
+    """,
+)
+def stats_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by first-order
+    month; each cell is (cohort, months-since-acquisition) revenue with
+    a running cumulative — the LTV curve every subscription/commerce
+    warehouse reports.
+
+    Shape: first-order month is one groupBy on the customer key; the
+    fact joins back on the same key (co-partitioned); cells aggregate
+    on a (months x months)-bounded key, so the cumulative window runs
+    over a TINY table — the partitioned running sum is per-cohort.
+    Revenue is exact int64 cents end to end.
+    """
+    t = Tables(spark, sf_dir)
+    firsts = t.orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    joined = t.orders.join(firsts, "o_custkey").select(
+        "cohort_month",
+        (
+            (F.year(F.col("o_orderdate")) - F.year(F.col("cohort_month"))) * 12
+            + (F.month(F.col("o_orderdate")) - F.month(F.col("cohort_month")))
+        ).cast("long").alias("months_since"),
+        cents.alias("cents"),
+    )
+    cell = joined.groupBy("cohort_month", "months_since").agg(
+        F.sum("cents").alias("revenue_cents"), F.count(F.lit(1)).alias("n_orders")
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        "cohort_month",
+        "months_since",
+        "revenue_cents",
+        "n_orders",
+        F.sum("revenue_cents").over(w).alias("cum_revenue_cents"),
     )
