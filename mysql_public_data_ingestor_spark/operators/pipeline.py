@@ -215,3 +215,155 @@ def pipeline_survival_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tidy.select(
         "stage_idx", "stage", "n_docs", "n_tokens", retained.alias("retained_pct")
     )
+
+
+# Full-prep pipeline constants (shared by plan and oracle).
+PIPE_MIN_SCORE = 0.47        # hashed-classifier floor
+PIPE_CE_LO, PIPE_CE_HI = 3.30, 3.50   # LM cross-entropy keep band
+_W_MOD = 2001                # milli-weights in [-1000, 1000]
+
+
+@register(
+    "pipeline_corpus_prep_full",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
+             sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, h, CAST(len(toks) AS BIGINT) AS n_tokens,
+             1.0 / (1.0 + exp(-(CAST(list_sum(list_transform(toks,
+                     t -> (('0x' || substr(sha256(t), 1, 15))::BIGINT % {_W_MOD}) - 1000))
+                   AS DOUBLE) / (1000.0 * len(toks))))) AS score
+      FROM base
+    ), bi AS (
+      SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1, toks[CAST(i AS INTEGER) + 1] AS w2
+      FROM base, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 2
+    ), lm AS (
+      SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY w1
+    ), ce AS (
+      SELECT b.doc_id,
+             round(CAST(sum(CAST(floor(ln(CAST(ctx.c1 AS DOUBLE) / CAST(lm.c12 AS DOUBLE))
+                                       * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 / count(*), 6) AS ce
+      FROM bi b JOIN lm USING (w1, w2) JOIN ctx USING (w1)
+      GROUP BY b.doc_id
+    ), flagged AS (
+      SELECT s.doc_id, s.lang, s.h, s.n_tokens,
+             (s.score >= {PIPE_MIN_SCORE}) AS keep_q,
+             (s.score >= {PIPE_MIN_SCORE} AND ce.ce IS NOT NULL
+              AND ce.ce BETWEEN {PIPE_CE_LO} AND {PIPE_CE_HI}) AS keep_ppl
+      FROM scored s LEFT JOIN ce ON s.doc_id = ce.doc_id
+    ), winners AS (
+      SELECT *,
+             (keep_ppl AND doc_id = min(CASE WHEN keep_ppl THEN doc_id END)
+                                    OVER (PARTITION BY h)) AS keep_final
+      FROM flagged
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                       AS docs_in,
+           CAST(count(CASE WHEN keep_q THEN 1 END) AS BIGINT)     AS docs_quality,
+           CAST(count(CASE WHEN keep_ppl THEN 1 END) AS BIGINT)   AS docs_ppl,
+           CAST(count(CASE WHEN keep_final THEN 1 END) AS BIGINT) AS docs_final,
+           CAST(coalesce(sum(CASE WHEN keep_final THEN n_tokens END), 0) AS BIGINT)
+             AS tokens_final
+    FROM winners GROUP BY lang
+    """,
+)
+def pipeline_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-2 flagship composition, as ONE declarative plan:
+    hashed-classifier quality floor -> bigram-LM cross-entropy band
+    (CCNet-style) -> exact dedup (min-doc winner per normalized hash)
+    -> per-language survival + token accounting.
+
+    Why one plan matters: Catalyst pushes the classifier floor (a
+    zero-shuffle projection) below everything, the LM broadcast-joins
+    doc bigrams once, the dedup winner is a single hash-partitioned
+    window (no self-join), and the accounting reuses the same
+    partitioning. At 100 TB this runs as: one corpus scan + one
+    vocab-bounded LM build + one hash shuffle — no materialized
+    intermediates between "stages".
+    """
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    toks = whitespace_tokens(F.col("text"))
+    w_fn = lambda tok: (  # noqa: E731
+        F.conv(F.substring(F.sha2(tok, 256), 1, 15), 16, 10).cast("long") % _W_MOD - 1000
+    )
+    milli = F.aggregate(F.transform(toks, w_fn), F.lit(0).cast("long"), lambda a, x: a + x)
+    score = 1.0 / (1.0 + F.exp(-(milli.cast("double") / (1000.0 * F.size(toks)))))
+    base = t.documents.select(
+        "doc_id",
+        "lang",
+        toks.alias("toks"),
+        sha256_hex(normalized_text(F.col("text"))).alias("h"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        score.alias("score"),
+    )
+    bi = (
+        base.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    lm = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    nll_q = F.floor(
+        F.log(F.col("c1").cast("double") / F.col("c12").cast("double")) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    ce = (
+        bi.join(F.broadcast(lm), ["w1", "w2"])
+        .join(F.broadcast(ctx), ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(nll_q).cast("double") / F.lit(1e6) / F.count(F.lit(1)), 6
+            ).alias("ce")
+        )
+    )
+    keep_q = F.col("score") >= PIPE_MIN_SCORE
+    keep_ppl = (
+        keep_q
+        & F.col("ce").isNotNull()
+        & F.col("ce").between(PIPE_CE_LO, PIPE_CE_HI)
+    )
+    flagged = (
+        base.drop("toks")
+        .join(ce, "doc_id", "left")
+        .select(
+            "doc_id", "lang", "h", "n_tokens",
+            keep_q.alias("keep_q"), keep_ppl.alias("keep_ppl"),
+        )
+    )
+    min_surv = F.min(F.when(F.col("keep_ppl"), F.col("doc_id"))).over(
+        Window.partitionBy("h")
+    )
+    winners = flagged.withColumn(
+        "keep_final", F.col("keep_ppl") & (F.col("doc_id") == min_surv)
+    )
+    cnt_if = lambda c: F.count(F.when(c, F.lit(1)))  # noqa: E731
+    return winners.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        cnt_if(F.col("keep_q")).alias("docs_quality"),
+        cnt_if(F.col("keep_ppl")).alias("docs_ppl"),
+        cnt_if(F.col("keep_final")).alias("docs_final"),
+        F.coalesce(
+            F.sum(F.when(F.col("keep_final"), F.col("n_tokens"))), F.lit(0)
+        ).cast("long").alias("tokens_final"),
+    )

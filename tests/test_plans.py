@@ -277,3 +277,10 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
 def test_bloom_probe_broadcasts_bitset(spark, sf_dir):
     df = q("sketch_bloom_semijoin_prefilter", spark, sf_dir)
     assert has_broadcast_join(df)
+
+
+def test_corpus_prep_full_broadcasts_lm_no_cartesian(spark, sf_dir):
+    df = q("pipeline_corpus_prep_full", spark, sf_dir)
+    assert_no_cartesian(df)
+    # the bigram LM and context tables must broadcast into the doc-side join
+    assert has_broadcast_join(df)
