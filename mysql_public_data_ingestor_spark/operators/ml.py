@@ -1,0 +1,250 @@
+"""Distributed ML primitives over the ``embeddings`` / ``lineitem``
+tables: deterministic Lloyd k-means and a feature-engineering pack.
+
+K-means is THE canonical iterative algorithm a training-data pipeline
+needs (IVF index training, SemDeDup clustering, mixture balancing).
+The classic MLlib implementation collects centroids to the driver each
+round; here the whole fixed-iteration fit is ONE declarative DataFrame
+DAG — centroids stay DataFrames, each assignment is a broadcast join +
+partial-aggregated argmin (``min(struct(dist, cid))`` — a map-side
+combinable reduction, NOT a row_number window), and every arithmetic
+step is int64-quantized so the result is bit-identical across engines,
+partition counts, and scheduling orders.
+
+Scale notes (100 TB corpus, K clusters, D dims):
+- the exploded corpus (N*D rows) broadcast-joins the K*D centroid
+  table — no corpus-side shuffle to score distances;
+- per-(vec,cid) distances partial-aggregate before the one shuffle on
+  vec_id (shuffle rows = N*K, map-side combined from N*K*D);
+- centroid recompute shuffles K*D rows after partial aggregation —
+  constant-sized, independent of N;
+- at ITERS iterations the plan depth grows linearly; past ~4 rounds
+  you'd ``localCheckpoint`` per round exactly like
+  ``dedup.connected_components`` does. Two rounds keeps the whole fit
+  visible to Catalyst as one plan.
+
+Reference scope note: the reference ingestor (main.go) has no ML
+surface; this module belongs to the driver-mandated LLM-pipeline
+surface (SemDeDup/IVF-style clustering, feature scaling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import quantize
+from ..registry import register
+from ..tables import Tables
+
+KMEANS_K = 8          # clusters; init = embeddings of vec_id 0..K-1
+KMEANS_ITERS = 2      # fixed Lloyd rounds (assign -> recompute, twice)
+_QC = 9               # centroid-sum quantization scale (10^-9)
+_QD = 12              # per-dim squared-distance quantization scale
+
+
+def _exploded_embeddings(t: Tables) -> DataFrame:
+    """(vec_id, pos 1-based, v double) — one row per vector dimension."""
+    return t.embeddings.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v")
+    ).select("vec_id", (F.col("pos0") + 1).cast("long").alias("pos"), "v")
+
+
+def _assign(ex: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (vec_id, cid, dist2q).
+
+    dist2q = sum over dims of floor((v-c)^2 * 10^12 + 0.5) — an int64,
+    so the sum is associative/commutative (order-free across engines
+    and partitionings) and the argmin is exact. The argmin itself is
+    ``min(struct(dist2q, cid))`` — partial-aggregatable, tie-broken by
+    the smaller cid, no window shuffle.
+    """
+    d = F.col("v") - F.col("c")
+    dists = (
+        ex.join(F.broadcast(centroids), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(quantize(d * d, _QD)).alias("dist2q"))
+    )
+    best = dists.groupBy("vec_id").agg(F.min(F.struct("dist2q", "cid")).alias("b"))
+    return best.select("vec_id", F.col("b.cid").alias("cid"), F.col("b.dist2q").alias("dist2q"))
+
+
+def _recompute(ex: DataFrame, assign: DataFrame) -> DataFrame:
+    """Exact fixed-point centroid mean per (cid, pos) — the same recipe
+    as ``corpus.embedding_centroid_outliers`` (int64 coordinate sums,
+    one division), so both engines produce identical double centroids.
+    """
+    return (
+        ex.join(assign.select("vec_id", "cid"), "vec_id")
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(quantize(F.col("v"), _QC)).cast("double")
+                / (F.lit(float(10**_QC)) * F.count(F.lit(1)).cast("double"))
+            ).alias("c")
+        )
+    )
+
+
+_SQL_EX = """
+      SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS v
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS pos) p
+"""
+
+
+def _sql_assign(ex: str, cents: str) -> str:
+    return f"""
+      SELECT vec_id, cid, dist2q FROM (
+        SELECT d.vec_id, d.cid, d.dist2q,
+               row_number() OVER (PARTITION BY d.vec_id ORDER BY d.dist2q, d.cid) AS rn
+        FROM (
+          SELECT e.vec_id, c.cid,
+                 sum(CAST(floor((e.v - c.c) * (e.v - c.c) * 1000000000000.0 + 0.5)
+                          AS BIGINT)) AS dist2q
+          FROM {ex} e JOIN {cents} c USING (pos)
+          GROUP BY e.vec_id, c.cid
+        ) d
+      ) WHERE rn = 1
+"""
+
+
+def _sql_recompute(ex: str, assign: str) -> str:
+    return f"""
+      SELECT a.cid, e.pos,
+             CAST(sum(CAST(floor(e.v * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / (1000000000.0 * CAST(count(*) AS DOUBLE)) AS c
+      FROM {ex} e JOIN {assign} a USING (vec_id)
+      GROUP BY a.cid, e.pos
+"""
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+    WITH ex AS ({_SQL_EX}
+    ), c0 AS (
+      SELECT vec_id AS cid, pos, v AS c FROM ex WHERE vec_id < {KMEANS_K}
+    ), a1 AS ({_sql_assign("ex", "c0")}
+    ), c1 AS ({_sql_recompute("ex", "a1")}
+    ), a2 AS ({_sql_assign("ex", "c1")}
+    )
+    SELECT cid                                    AS cluster_id,
+           CAST(count(*) AS BIGINT)               AS n_points,
+           round(CAST(sum(dist2q) AS DOUBLE) / 1000000000000.0 / count(*), 6)
+                                                  AS avg_sq_dist,
+           min(vec_id)                            AS min_vec_id
+    FROM a2 GROUP BY cid
+    """
+
+
+SEMDEDUP_TAU = 0.3    # same near-dup bar as dedup_embedding_cosine
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH ex AS ({_SQL_EX}
+    ), c0 AS (
+      SELECT vec_id AS cid, pos, v AS c FROM ex WHERE vec_id < {KMEANS_K}
+    ), a1 AS ({_sql_assign("ex", "c0")}
+    ), cells AS (
+      SELECT vec_id, cid AS cell FROM a1
+    ), pairs AS (
+      SELECT ca.vec_id AS va, cb.vec_id AS vb
+      FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id <> cb.vec_id
+      JOIN embeddings ea ON ea.vec_id = ca.vec_id
+      JOIN embeddings eb ON eb.vec_id = cb.vec_id
+      WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)
+            >= {SEMDEDUP_TAU}
+    ), d AS (
+      SELECT va, CAST(count(*) AS BIGINT) AS n_dups,
+             CAST(count(*) FILTER (vb < va) AS BIGINT) AS n_better
+      FROM pairs GROUP BY va
+    )
+    SELECT c.vec_id, c.cell,
+           coalesce(d.n_dups, 0)                               AS n_dups,
+           CASE WHEN coalesce(d.n_better, 0) = 0 THEN 1 ELSE 0 END AS keep
+    FROM cells c LEFT JOIN d ON d.va = c.vec_id
+    """
+
+
+@register("dedup_semantic_cells", oracle=_semdedup_oracle())
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-then-dedup over the embedding space.
+
+    Assign every vector to its nearest k-means cell (one exact Lloyd
+    assignment against the deterministic init centroids), then find
+    near-duplicate pairs ONLY within cells — the pairwise work drops
+    from O(N^2) to sum over cells of O(n_c^2), which is the entire
+    point of SemDeDup at 100 TB. A vector survives (``keep=1``) unless
+    a smaller-id near-duplicate shares its cell — the deterministic
+    stand-in for "keep one exemplar per semantic duplicate group".
+
+    Unlike ``dedup_embedding_cosine`` (blocked by the GIVEN label),
+    the blocking key here is COMPUTED — the real pipeline shape when no
+    labels exist. Plan: broadcast centroid join -> cell equi-self-join
+    (no cartesian) -> per-vector counts -> left join back.
+    """
+    t = Tables(spark, sf_dir)
+    ex = _exploded_embeddings(t)
+    c0 = ex.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("v").alias("c")
+    )
+    cells = _assign(ex, c0).select("vec_id", F.col("cid").alias("cell")).localCheckpoint()
+    emb = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    m = emb.join(cells, "vec_id")
+    a = m.select(F.col("vec_id").alias("va"), "cell", F.col("v").alias("xa"))
+    b = m.select(F.col("vec_id").alias("vb"), F.col("cell").alias("cell_b"), F.col("v").alias("xb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("xa"), F.col("xb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.col("xa"), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col("xb"), F.lit(0.0), lambda acc, x: acc + x * x))
+    pairs = (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("va") != F.col("vb")))
+        .filter(F.round(dot / (na * nb), 6) >= SEMDEDUP_TAU)
+        .select("va", "vb")
+    )
+    d = pairs.groupBy("va").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.count(F.when(F.col("vb") < F.col("va"), F.lit(1))).alias("n_better"),
+    )
+    return cells.join(d, cells.vec_id == d.va, "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce(F.col("n_dups"), F.lit(0).cast("long")).alias("n_dups"),
+        F.when(F.coalesce(F.col("n_better"), F.lit(0)) == 0, 1).otherwise(0).alias("keep"),
+    )
+
+
+@register("ml_kmeans_lloyd", oracle=_kmeans_oracle())
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fixed Lloyd iterations of k-means over the embedding corpus,
+    as ONE declarative plan — no driver-side centroid collect, no RNG
+    (init = the first K vectors, the same convention as
+    ``ann_ivf_topk``).
+
+    Output: per-cluster size, mean squared distance (the inertia/N
+    convergence metric), and the smallest member id as a stable sample.
+    Every quantity is exact fixed-point, so the fit is reproducible
+    bit-for-bit — the property that makes a 100 TB IVF/SemDeDup
+    clustering job re-runnable and auditable.
+    """
+    t = Tables(spark, sf_dir)
+    ex = _exploded_embeddings(t)
+    cents = ex.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("v").alias("c")
+    )
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        assign = _assign(ex, cents)
+        cents = _recompute(ex, assign)
+    return assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(
+            F.sum("dist2q").cast("double") / F.lit(1e12) / F.count(F.lit(1)), 6
+        ).alias("avg_sq_dist"),
+        F.min("vec_id").alias("min_vec_id"),
+    ).select(
+        F.col("cid").alias("cluster_id"), "n_points", "avg_sq_dist", "min_vec_id"
+    )

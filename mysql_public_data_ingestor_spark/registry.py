@@ -98,6 +98,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "percentiles_approx",
     # new this round
     "ann_lsh_topk",
+    "pipeline_corpus_prep_full",
+    "ml_kmeans_lloyd",
+    "dedup_semantic_cells",
     "window_ntile_by_nation",
     "q2_min_cost_supplier",
     "q11_important_stock",
@@ -189,6 +192,7 @@ def _ensure_loaded() -> None:
         dedup,
         graph,
         layout,
+        ml,
         multimodal,
         pipeline,
         privacy,

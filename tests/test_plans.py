@@ -284,3 +284,17 @@ def test_corpus_prep_full_broadcasts_lm_no_cartesian(spark, sf_dir):
     assert_no_cartesian(df)
     # the bigram LM and context tables must broadcast into the doc-side join
     assert has_broadcast_join(df)
+
+
+def test_kmeans_broadcasts_centroids_no_cartesian(spark, sf_dir):
+    df = q("ml_kmeans_lloyd", spark, sf_dir)
+    assert_no_cartesian(df)
+    # both Lloyd rounds must score distances via a broadcast centroid join
+    assert has_broadcast_join(df)
+    # argmin is a partial-aggregated min(struct), never a row_number window
+    assert "Window" not in physical_plan(df)
+
+
+def test_semdedup_pairs_stay_cell_blocked(spark, sf_dir):
+    df = q("dedup_semantic_cells", spark, sf_dir)
+    assert_no_cartesian(df)
