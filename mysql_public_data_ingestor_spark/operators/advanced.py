@@ -752,3 +752,79 @@ def sql_lateral_customer_order_profile(spark: SparkSession, sf_dir: str) -> Data
         WHERE l.n_orders > 0
         """
     )
+
+
+MV_CUTOFF = "1997-07-01"  # base/delta split for the incremental merge
+
+
+@register(
+    "mv_incremental_agg_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate < TIMESTAMP '{MV_CUTOFF}'
+      GROUP BY o_orderpriority
+    ), delta AS (
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate >= TIMESTAMP '{MV_CUTOFF}'
+      GROUP BY o_orderpriority
+    ), merged AS (
+      SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      GROUP BY o_orderpriority
+    ), f_all AS (
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT m.o_orderpriority, m.n_orders,
+           round(m.cents / 100.0, 2) AS total_price,
+           CASE WHEN m.n_orders = f.n AND m.cents = f.cents THEN 1 ELSE 0 END
+             AS matches_full
+    FROM merged m JOIN f_all f USING (o_orderpriority)
+    """,
+)
+def mv_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance via mergeable partial
+    aggregates: a pre-computed BASE state (orders before the cutoff)
+    merges with a DELTA state (orders since) by unioning the partial
+    (count, exact-cents-sum) states and re-aggregating — never
+    rescanning history. ``matches_full`` proves in-plan that the merge
+    equals the from-scratch aggregate.
+
+    At 100 TB this is the nightly-refresh pattern: the base state is
+    table-sized-independent (one row per group), the delta scan is
+    partition-pruned to the new data, and because count/sum states are
+    commutative monoids the merge is a tiny groupBy. (AVG would carry
+    (sum, count); percentiles would carry a sketch — same shape.)
+    """
+    t = Tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    cutoff = F.lit(MV_CUTOFF).cast("timestamp")
+
+    def state(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents")
+        )
+
+    base = state(t.orders.filter(F.col("o_orderdate") < cutoff))
+    delta = state(t.orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n_orders"), F.sum("cents").alias("cents"))
+    )
+    full = state(t.orders).withColumnsRenamed({"n": "n_full", "cents": "cents_full"})
+    return merged.join(full, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("cents") / 100.0, 2).alias("total_price"),
+        F.when(
+            (F.col("n_orders") == F.col("n_full")) & (F.col("cents") == F.col("cents_full")), 1
+        )
+        .otherwise(0)
+        .alias("matches_full"),
+    )

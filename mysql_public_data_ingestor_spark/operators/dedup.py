@@ -593,3 +593,66 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", F.round(F.col("containment_raw"), 6).alias("containment")
         )
     )
+
+
+FUZZY_EDIT_MAX = 3  # max edit distance for a name-pair match
+
+
+@register(
+    "dedup_fuzzy_name_pairs",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_name
+    ), blocked AS (
+      SELECT p_name, n_parts, string_split(p_name, ' ')[-1] AS block_key
+      FROM names
+    )
+    SELECT a.p_name                                   AS name_a,
+           b.p_name                                   AS name_b,
+           a.block_key,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+           a.n_parts                                  AS n_parts_a,
+           b.n_parts                                  AS n_parts_b
+    FROM blocked a JOIN blocked b
+      ON a.block_key = b.block_key AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_EDIT_MAX}
+    """,
+)
+def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: fuzzy-match catalog names with blocking.
+
+    The naive form is an O(N^2) cross join with a per-pair edit
+    distance; the scale form is (1) collapse to DISTINCT names with
+    occurrence counts — the shuffle carries names, not rows — then
+    (2) equi-join on a cheap blocking key (here the head noun, i.e.
+    the last token) so Levenshtein only runs inside blocks. Both
+    engines compute the same Levenshtein, so pairs match
+    value-for-value.
+    """
+    t = Tables(spark, sf_dir)
+    names = t.part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    blocked = names.select(
+        "p_name", "n_parts", F.element_at(F.split("p_name", " "), -1).alias("block_key")
+    )
+    a = blocked.select(
+        F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_parts_a"), "block_key"
+    )
+    b = blocked.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        F.col("block_key").alias("block_b"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, (F.col("block_key") == F.col("block_b")) & (F.col("name_a") < F.col("name_b")))
+        .filter(dist <= FUZZY_EDIT_MAX)
+        .select(
+            "name_a",
+            "name_b",
+            "block_key",
+            dist.cast("long").alias("edit_dist"),
+            "n_parts_a",
+            "n_parts_b",
+        )
+    )

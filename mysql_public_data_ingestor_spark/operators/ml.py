@@ -248,3 +248,80 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("cid").alias("cluster_id"), "n_points", "avg_sq_dist", "min_vec_id"
     )
+
+
+def _feature_oracle() -> str:
+    return """
+    WITH st AS (
+      SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               AS sum_c,
+             CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                      * CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               AS sumsq_c,
+             quantile_disc(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT),
+                           [0.25, 0.5, 0.75]) AS th
+      FROM lineitem
+    )
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_extendedprice AS price,
+           round((l_extendedprice - mn) / (mx - mn), 6) AS price_minmax,
+           round((CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) - sum_c / n)
+                 / sqrt((sumsq_c - sum_c * sum_c / n) / n), 6) AS price_z,
+           CAST(len(list_filter(th, t -> CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) > t))
+                + 1 AS BIGINT) AS price_quartile,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt
+    FROM lineitem CROSS JOIN st
+    """
+
+
+@register("ml_feature_scaling_pack", oracle=_feature_oracle())
+def ml_feature_scaling_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-engineering pack: min-max scaling, z-score, exact
+    quartile binning, and a sqrt transform of ``l_extendedprice`` —
+    the fit+transform step of an ML feature pipeline as one plan.
+
+    The "fit" (min/max/moments/quartiles) is ONE all-to-one aggregate
+    whose single row broadcasts into the per-row "transform"
+    projection — the scale-correct replacement for sklearn-style
+    two-pass fitting. Moments come from exact int64 cent sums (the
+    sum of squares in decimal(38,0) so 100 TB can't overflow), the
+    quartiles from the exact discrete percentile, and sqrt is
+    IEEE-correctly-rounded in both engines — every derived feature is
+    bit-identical cross-engine.
+    """
+    t = Tables(spark, sf_dir)
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
+    exact = str(2**31 - 1)
+    st = t.lineitem.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).cast("double").alias("sum_c"),
+        F.sum((cents * cents).cast("decimal(38,0)")).cast("double").alias("sumsq_c"),
+        F.expr(
+            f"percentile_approx(cast(floor(l_extendedprice * 100.0 + 0.5) as long),"
+            f" array(0.25, 0.5, 0.75), {exact})"
+        ).alias("th"),
+    )
+    z = (cents - F.col("sum_c") / F.col("n")) / F.sqrt(
+        (F.col("sumsq_c") - F.col("sum_c") * F.col("sum_c") / F.col("n")) / F.col("n")
+    )
+    return (
+        t.lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.col("l_extendedprice").alias("price"),
+            F.round(
+                (F.col("l_extendedprice") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6
+            ).alias("price_minmax"),
+            F.round(z, 6).alias("price_z"),
+            (F.size(F.filter(F.col("th"), lambda x: cents > x)) + 1)
+            .cast("long")
+            .alias("price_quartile"),
+            F.round(F.sqrt(F.col("l_extendedprice")), 6).alias("price_sqrt"),
+        )
+    )

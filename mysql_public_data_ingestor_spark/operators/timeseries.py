@@ -643,3 +643,62 @@ def events_user_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("n_from").cast("double"), 6).alias("p"),
     )
+
+
+# Truncated-EWMA constants: 8 lag terms of alpha * (1-alpha)^j. The
+# weights are Python doubles embedded as literals in BOTH plans, so the
+# weighted sum is the same FP expression tree (left-associated adds) in
+# both engines.
+EWMA_ALPHA = 0.3
+EWMA_TERMS = 8
+_EWMA_W = [EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** j for j in range(EWMA_TERMS)]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"coalesce({'value' if j == 0 else f'lag(value, {j}) OVER w'}, 0.0) * {w!r}"
+        for j, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {'value' if j == 0 else f'lag(value, {j}) OVER w'} IS NULL "
+        f"THEN 0.0 ELSE {w!r} END)"
+        for j, w in enumerate(_EWMA_W)
+    )
+    return f"""
+    SELECT event_id, user_id, ts, value,
+           round(({num}) / ({den}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@register("events_ewma_value", oracle=_ewma_oracle())
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average of ``value`` per
+    user — the smoothing primitive behind anomaly baselines and metric
+    dashboards.
+
+    The textbook EWMA is a recursion (state = f(previous state)), which
+    neither engine's windows express; truncating at 8 terms (weight
+    tail < 6% of mass at alpha=0.3) turns it into a fixed weighted sum
+    of lags — one shuffle on user_id, no state, no UDF, and partial
+    windows renormalize by the weights actually present. The same
+    unrolling is how you'd write it over 100 TB: the window frame is
+    O(TERMS) per row regardless of history length.
+    """
+    from functools import reduce
+    from operator import add
+
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [
+        F.col("value") if j == 0 else F.lag("value", j).over(w) for j in range(EWMA_TERMS)
+    ]
+    num = reduce(add, [F.coalesce(lag, F.lit(0.0)) * F.lit(wt) for lag, wt in zip(lags, _EWMA_W)])
+    den = reduce(
+        add,
+        [F.when(lag.isNull(), F.lit(0.0)).otherwise(F.lit(wt)) for lag, wt in zip(lags, _EWMA_W)],
+    )
+    return t.events.select(
+        "event_id", "user_id", "ts", "value", F.round(num / den, 6).alias("ewma")
+    )

@@ -298,3 +298,24 @@ def test_kmeans_broadcasts_centroids_no_cartesian(spark, sf_dir):
 def test_semdedup_pairs_stay_cell_blocked(spark, sf_dir):
     df = q("dedup_semantic_cells", spark, sf_dir)
     assert_no_cartesian(df)
+
+
+def test_ewma_single_user_shuffle(spark, sf_dir):
+    df = q("events_ewma_value", spark, sf_dir)
+    # one window over user_id: exactly one exchange, no join
+    assert count_exchanges(df) == 1, physical_plan(df)
+
+
+def test_fuzzy_pairs_blocked_join_no_cartesian(spark, sf_dir):
+    df = q("dedup_fuzzy_name_pairs", spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_feature_pack_broadcasts_fit_row(spark, sf_dir):
+    df = q("ml_feature_scaling_pack", spark, sf_dir)
+    # the 1-row fit aggregate must broadcast into the transform projection
+    assert has_broadcast_join(df)
+    # transform side reads only the 3 needed columns
+    assert any(
+        "l_extendedprice" in s and "l_quantity" not in s for s in scan_read_schemas(df)
+    ), scan_read_schemas(df)
