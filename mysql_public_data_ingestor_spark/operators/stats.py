@@ -512,3 +512,209 @@ def stats_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.sum("revenue_cents").over(w).alias("cum_revenue_cents"),
     )
+
+
+import math as _math
+
+# Benford expected first-digit shares, embedded as identical double
+# literals in both plans (no runtime log10 — libm-free determinism).
+_BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def _benford_oracle() -> str:
+    p_case = " ".join(f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in _BENFORD_P.items())
+    return f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders
+    ), obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM digits GROUP BY digit
+    ), tot AS (
+      SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM obs
+    )
+    SELECT digit, n_obs,
+           round(CAST(n_obs AS DOUBLE) / n_total, 6)              AS obs_pct,
+           round(CASE digit {p_case} END, 6)                      AS exp_pct,
+           round((n_obs - n_total * (CASE digit {p_case} END))
+                 * (n_obs - n_total * (CASE digit {p_case} END))
+                 / (n_total * (CASE digit {p_case} END)), 6)      AS chi2_contrib
+    FROM obs CROSS JOIN tot
+    """
+
+
+@register("dq_benford_order_totals", oracle=_benford_oracle())
+def dq_benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals — the classic fraud /
+    synthetic-data detector: compare the observed leading-digit
+    distribution against log10(1 + 1/d) and emit per-digit chi-square
+    contributions.
+
+    The leading digit comes from the INTEGER cents string (never
+    through log10 at runtime, so no libm divergence); the expected
+    shares are compile-time literals. One 9-row aggregate + a 1-row
+    broadcast total: trivially 100 TB-safe.
+    """
+    t = Tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    obs = (
+        t.orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n_total"))
+    p = F.col("digit")
+    exp_pct = None
+    for d, pv in _BENFORD_P.items():
+        exp_pct = (
+            F.when(p == d, F.lit(pv)) if exp_pct is None else exp_pct.when(p == d, F.lit(pv))
+        )
+    diff = F.col("n_obs") - F.col("n_total") * exp_pct
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs").cast("double") / F.col("n_total"), 6).alias("obs_pct"),
+        F.round(exp_pct, 6).alias("exp_pct"),
+        F.round(diff * diff / (F.col("n_total") * exp_pct), 6).alias("chi2_contrib"),
+    )
+
+
+EQUIDEPTH_DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def _equidepth_oracle() -> str:
+    qs = ", ".join(str(q) for q in EQUIDEPTH_DECILES)
+    return f"""
+    WITH c AS (
+      SELECT l_orderkey, l_extendedprice,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ), th AS (
+      SELECT quantile_disc(cents, [{qs}]) AS edges FROM c
+    )
+    SELECT CAST(len(list_filter(edges, t -> cents > t)) + 1 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT)  AS n_rows,
+           min(l_extendedprice)      AS min_price,
+           max(l_extendedprice)      AS max_price
+    FROM c CROSS JOIN th
+    GROUP BY 1
+    """
+
+
+@register("agg_equidepth_histogram", oracle=_equidepth_oracle())
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of line-item prices: bucket edges
+    are exact discrete percentiles computed in ONE pass, broadcast into
+    the bucketing projection, then a 10-key aggregate.
+
+    The complement of ``agg_histogram_order_totals`` (fixed-width):
+    equi-depth is what query optimizers and drift monitors actually
+    want. Same scale shape as the RFM thresholds — no global sort, no
+    ntile window; the only all-to-one step is the percentile sketch
+    merge.
+    """
+    t = Tables(spark, sf_dir)
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
+    c = t.lineitem.select("l_orderkey", "l_extendedprice", cents.alias("cents"))
+    exact = str(2**31 - 1)
+    qs = ", ".join(str(q) for q in EQUIDEPTH_DECILES)
+    th = c.agg(F.expr(f"percentile_approx(cents, array({qs}), {exact})").alias("edges"))
+    return (
+        c.crossJoin(F.broadcast(th))
+        .select(
+            (F.size(F.filter(F.col("edges"), lambda x: F.col("cents") > x)) + 1)
+            .cast("long")
+            .alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "diag_key_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ), coc AS (
+      SELECT cnt, CAST(count(*) AS BIGINT) AS m FROM counts GROUP BY cnt
+    ), blocks AS (
+      SELECT cnt, m,
+             CAST(coalesce(sum(m) OVER (ORDER BY cnt
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS r0
+      FROM coc
+    ), s AS (
+      SELECT CAST(sum(cnt * (m * r0 + (m * (m + 1)) // 2)) AS BIGINT) AS s_sum
+      FROM blocks
+    ), a AS (
+      SELECT CAST(count(*) AS BIGINT)  AS n_keys,
+             CAST(sum(cnt) AS BIGINT)  AS n_rows,
+             max(cnt)                  AS max_cnt,
+             quantile_disc(cnt, 0.5)   AS p50_cnt,
+             quantile_disc(cnt, 0.99)  AS p99_cnt,
+             (SELECT k FROM counts ORDER BY cnt DESC, k LIMIT 1) AS top_key
+      FROM counts
+    )
+    SELECT n_rows, n_keys, max_cnt, top_key, p50_cnt, p99_cnt,
+           round((2.0 * s_sum) / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+                 - (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE), 6) AS gini
+    FROM a CROSS JOIN s
+    """,
+)
+def diag_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the diagnostic you run BEFORE picking a
+    salting factor or enabling AQE skew handling: per-key frequency
+    percentiles, the heaviest key, and the exact Gini coefficient of
+    the key distribution.
+
+    Scale shape: the raw table collapses to (key, cnt) in one partial
+    aggregate; everything after runs on the count-of-counts table,
+    whose size is the number of DISTINCT frequencies (tiny even when
+    there are billions of keys), so the Gini needs no global sort of
+    keys. Gini uses the block formula sum(cnt * (m*r0 + m(m+1)/2)) —
+    pure int64 until two final divisions.
+    """
+    t = Tables(spark, sf_dir)
+    counts = t.lineitem.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    coc = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("m"))
+    w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, -1)
+    blocks = coc.select(
+        "cnt", "m", F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long").alias("r0")
+    )
+    s = blocks.agg(
+        F.sum(
+            F.col("cnt") * (F.col("m") * F.col("r0") + F.expr("(m * (m + 1)) DIV 2"))
+        ).alias("s_sum")
+    )
+    exact = str(2**31 - 1)
+    a = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.expr(f"percentile_approx(cnt, 0.5, {exact})").alias("p50_cnt"),
+        F.expr(f"percentile_approx(cnt, 0.99, {exact})").alias("p99_cnt"),
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("k").alias("k"))).alias("top"),
+    )
+    nk = F.col("n_keys").cast("double")
+    nr = F.col("n_rows").cast("double")
+    return a.crossJoin(s).select(
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        F.col("top.k").alias("top_key"),
+        "p50_cnt",
+        "p99_cnt",
+        F.round(
+            (F.lit(2.0) * F.col("s_sum")) / (nk * nr) - (nk + F.lit(1.0)) / nk, 6
+        ).alias("gini"),
+    )

@@ -702,3 +702,89 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.events.select(
         "event_id", "user_id", "ts", "value", F.round(num / den, 6).alias("ewma")
     )
+
+
+@register(
+    "events_attribution_position_based",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_id, user_id, ts, event_type,
+             first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS purchase_event_id
+      FROM events
+    ), touches AS (
+      SELECT user_id, purchase_event_id, event_id AS touch_event_id, ts
+      FROM assigned
+      WHERE event_type IN ('view', 'click') AND purchase_event_id IS NOT NULL
+    ), ranked AS (
+      SELECT user_id, purchase_event_id, touch_event_id,
+             row_number() OVER (PARTITION BY user_id, purchase_event_id
+                                ORDER BY ts, touch_event_id) AS pos,
+             count(*)   OVER (PARTITION BY user_id, purchase_event_id) AS n_touches
+      FROM touches
+    )
+    SELECT purchase_event_id, touch_event_id, user_id,
+           CAST(pos AS BIGINT) AS pos, CAST(n_touches AS BIGINT) AS n_touches,
+           round(CASE WHEN n_touches = 1 THEN 1.0
+                      WHEN n_touches = 2 THEN 0.5
+                      WHEN pos = 1 OR pos = n_touches THEN 0.4
+                      ELSE 0.2 / (n_touches - 2) END, 6) AS credit
+    FROM ranked
+    """,
+)
+def events_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every
+    view/click attributes to the user's NEXT purchase; within each
+    purchase's touch sequence the first and last touches get 40%
+    credit each and the middles split the remaining 20%.
+
+    Complements ``events_attribution_last_touch`` (single-touch): the
+    assignment is one forward-looking conditional window (no
+    self-join), the credit split one backward ranking window — two
+    shuffles total, both on user-prefixed keys, so a 100 TB event log
+    never builds a touches x purchases join.
+    """
+    t = Tables(spark, sf_dir)
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    assigned = t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.first(
+            F.when(F.col("event_type") == "purchase", F.col("event_id")), ignorenulls=True
+        )
+        .over(w_fwd)
+        .alias("purchase_event_id"),
+    )
+    touches = assigned.where(
+        F.col("event_type").isin("view", "click") & F.col("purchase_event_id").isNotNull()
+    ).select("user_id", "purchase_event_id", F.col("event_id").alias("touch_event_id"), "ts")
+    w_grp = Window.partitionBy("user_id", "purchase_event_id")
+    ranked = touches.select(
+        "user_id",
+        "purchase_event_id",
+        "touch_event_id",
+        F.row_number().over(w_grp.orderBy("ts", "touch_event_id")).cast("long").alias("pos"),
+        F.count(F.lit(1)).over(w_grp).cast("long").alias("n_touches"),
+    )
+    credit = (
+        F.when(F.col("n_touches") == 1, F.lit(1.0))
+        .when(F.col("n_touches") == 2, F.lit(0.5))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n_touches")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n_touches") - 2))
+    )
+    return ranked.select(
+        "purchase_event_id",
+        "touch_event_id",
+        "user_id",
+        "pos",
+        "n_touches",
+        F.round(credit, 6).alias("credit"),
+    )

@@ -319,3 +319,22 @@ def test_feature_pack_broadcasts_fit_row(spark, sf_dir):
     assert any(
         "l_extendedprice" in s and "l_quantity" not in s for s in scan_read_schemas(df)
     ), scan_read_schemas(df)
+
+
+def test_attribution_position_based_no_join(spark, sf_dir):
+    df = q("events_attribution_position_based", spark, sf_dir)
+    # pure window pipeline: no join operator of any kind in the plan
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+
+
+def test_benford_and_equidepth_broadcast_their_one_row_state(spark, sf_dir):
+    for name in ("dq_benford_order_totals", "agg_equidepth_histogram"):
+        df = q(name, spark, sf_dir)
+        assert_no_cartesian(df)
+        assert has_broadcast_join(df), name
+
+
+def test_skew_profile_no_cartesian(spark, sf_dir):
+    df = q("diag_key_skew_profile", spark, sf_dir)
+    assert_no_cartesian(df)
