@@ -60,6 +60,12 @@ HEADLINE = [
     # the extension-point demo — registered + oracle-gated, but ~28x
     # slower by construction, so it is not a headline plan)
     "events_kv_flatten_native",
+    # round-2 batch 3: flagship composition + ML/clustering + smoothing
+    "pipeline_corpus_prep_full",
+    "ml_kmeans_lloyd",
+    "dedup_semantic_cells",
+    "ml_feature_scaling_pack",
+    "events_ewma_value",
 ]
 
 
