@@ -137,13 +137,23 @@ def _kmeans_oracle() -> str:
 
 
 SEMDEDUP_TAU = 0.3    # same near-dup bar as dedup_embedding_cosine
+SEMDEDUP_MIN_K = 8    # cell-count floor for tiny corpora
+
+# K = max(8, ceil(sqrt(N))): with K cells the expected work is
+# N*K (assignment) + N^2/K (within-cell pairs); K = sqrt(N) balances
+# the two at O(N^1.5) total. A fixed K would leave the pair term
+# O(N^2/K) — still quadratic in corpus size. Both engines compute K
+# from the same count via IEEE sqrt/ceil, so the seeds are identical.
+_SQL_SEMDEDUP_K = (
+    f"(SELECT greatest({SEMDEDUP_MIN_K}, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
+)
 
 
 def _semdedup_oracle() -> str:
     return f"""
     WITH ex AS ({_SQL_EX}
     ), c0 AS (
-      SELECT vec_id AS cid, pos, v AS c FROM ex WHERE vec_id < {KMEANS_K}
+      SELECT vec_id AS cid, pos, v AS c FROM ex WHERE vec_id < {_SQL_SEMDEDUP_K}
     ), a1 AS ({_sql_assign("ex", "c0")}
     ), cells AS (
       SELECT vec_id, cid AS cell FROM a1
@@ -178,6 +188,15 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     a smaller-id near-duplicate shares its cell — the deterministic
     stand-in for "keep one exemplar per semantic duplicate group".
 
+    The cell count SCALES with the corpus: K = max(8, ceil(sqrt(N))),
+    computed as a 1-row aggregate broadcast into the seed filter (no
+    driver-side count). Assignment costs N*K row-pairs and the
+    within-cell join N^2/K, so K = sqrt(N) makes the whole operator
+    O(N^1.5) — a 10^10-vector corpus gets K = 10^5 cells (the SemDeDup
+    paper's regime) instead of 8 quadratic mega-cells. The broadcast
+    centroid table is K*D rows; past ~10^8 entries you would shard the
+    assignment join instead of broadcasting — noted, not needed here.
+
     Unlike ``dedup_embedding_cosine`` (blocked by the GIVEN label),
     the blocking key here is COMPUTED — the real pipeline shape when no
     labels exist. Plan: broadcast centroid join -> cell equi-self-join
@@ -185,8 +204,15 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = Tables(spark, sf_dir)
     ex = _exploded_embeddings(t)
-    c0 = ex.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"), "pos", F.col("v").alias("c")
+    kdf = t.embeddings.agg(
+        F.greatest(
+            F.lit(SEMDEDUP_MIN_K).cast("long"),
+            F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long"),
+        ).alias("k")
+    )
+    c0 = (
+        ex.join(F.broadcast(kdf), F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cid"), "pos", F.col("v").alias("c"))
     )
     cells = _assign(ex, c0).select("vec_id", F.col("cid").alias("cell")).localCheckpoint()
     emb = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
