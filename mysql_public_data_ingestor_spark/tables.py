@@ -44,13 +44,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet, read as raw nanos via
-        # spark.sql.legacy.parquet.nanosAsLong. Convert with *integer*
-        # division (doubles lose precision at 1.7e18) to microseconds —
-        # exactly what DuckDB's reader yields, so oracle parity holds.
+        # The fixture's ts column has shipped in two physical forms:
+        # TIMESTAMP(NANOS), which Spark reads as raw nanos (long) under
+        # spark.sql.legacy.parquet.nanosAsLong, and plain TIMESTAMP_NTZ
+        # micros. Normalize both to session-UTC TIMESTAMP so every
+        # downstream operator sees one type and DuckDB (naive micros)
+        # parity holds. Integer division for the nanos path — doubles
+        # lose precision at 1.7e18.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

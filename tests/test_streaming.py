@@ -18,8 +18,11 @@ def events_stream(spark, sf_dir):
     from mysql_public_data_ingestor_spark.session import tune
 
     tune(spark)
-    # raw parquet schema (ts as nanos long via nanosAsLong), converted
-    # to microsecond timestamps exactly like the batch loader
+    # normalize ts to a session-UTC TIMESTAMP exactly like the batch
+    # loader, whichever physical form the fixture shipped with (raw
+    # nanos long via nanosAsLong, or native TIMESTAMP_NTZ micros)
+    from pyspark.sql.types import LongType
+
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(raw_schema)
@@ -27,7 +30,9 @@ def events_stream(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(df, name: str, output_mode: str):
