@@ -1082,3 +1082,60 @@ def corpus_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", "n_tokens", F.sum("n_tokens").over(w).alias("cum_tokens"))
         .where(F.col("cum_tokens") <= LANG_TOKEN_BUDGET)
     )
+
+
+# Training-output sharding: number of shard files a shuffled corpus is
+# written into (real pipelines use thousands; the math is identical).
+N_SHARDS = 8
+
+
+@register(
+    "corpus_shuffle_shard",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {_SQL_ID_HASH} AS hkey
+      FROM documents
+    )
+    SELECT doc_id, source,
+           hkey % {N_SHARDS}                      AS shard_id,
+           CAST(row_number() OVER (
+             PARTITION BY hkey % {N_SHARDS}
+             ORDER BY hkey, doc_id) AS BIGINT)    AS pos_in_shard
+    FROM h
+    """,
+)
+def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training output.
+
+    Training runs need the corpus in pseudo-random order, split into N
+    shard files, and the shuffle must be *reproducible* (resume, debug,
+    data-lineage audits). ``orderBy(rand())`` fails all three; ordering
+    by a key hash is a pure function of the data: shard =
+    ``sha256(doc_id) % N``, within-shard order = hash ascending. Every
+    engine and every re-run produces the identical layout.
+
+    Scale: shard assignment is row-local (map-side); the within-shard
+    position is a window partitioned by ``shard_id`` — N independent
+    sorts, no global single-reducer ordering. Writing the result as
+    ``.repartition(N, "shard_id").sortWithinPartitions("h")`` streams
+    each shard file in order with exactly one shuffle.
+    """
+    t = Tables(spark, sf_dir)
+    h = sha256_prefix_i64(F.col("doc_id").cast("string"))
+    d = t.documents.select("doc_id", "source", h.alias("hkey"))
+    w = Window.partitionBy("shard_id").orderBy("hkey", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            (F.col("hkey") % N_SHARDS).alias("shard_id"),
+            "hkey",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "shard_id",
+            F.row_number().over(w).cast("long").alias("pos_in_shard"),
+        )
+    )

@@ -718,3 +718,82 @@ def diag_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(2.0) * F.col("s_sum")) / (nk * nr) - (nk + F.lit(1.0)) / nk, 6
         ).alias("gini"),
     )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT relation, n_orphans, n_checked, (n_orphans = 0) AS passed
+    FROM (
+      SELECT 'lineitem.l_orderkey->orders' AS relation,
+             CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans,
+             CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_checked
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT),
+             CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+             CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT),
+             CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+             CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+                   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+             CAST((SELECT count(*) FROM orders) AS BIGINT)
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             CAST((SELECT count(*) FROM customer c WHERE NOT EXISTS
+                   (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT),
+             CAST((SELECT count(*) FROM customer) AS BIGINT)
+    )
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's FK edges:
+    one row per relation with orphan and checked counts.
+
+    The warehouse-wide companion to ``dq_expectations_orders``: every
+    fact->dim edge is probed with a left-anti join. Small key sides
+    (supplier, part, customer, nation) broadcast, so those probes are
+    map-side; the fact->fact edge (lineitem->orders) stays a shuffle
+    anti-join on the join key — at 100 TB that is the one to prefilter
+    with a key bloom filter (``sketch_bloom_semijoin_prefilter`` is the
+    demonstrated pattern). Each edge's count is an independent job over
+    a pruned two-column scan; results union into a constant-size frame.
+    """
+    t = Tables(spark, sf_dir)
+
+    def orphan_count(fact: DataFrame, fk: str, dim: DataFrame, pk: str, broadcast_dim: bool):
+        keys = dim.select(pk)
+        if broadcast_dim:
+            keys = F.broadcast(keys)
+        return fact.join(keys, fact[fk] == keys[pk], "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+
+    edges = [
+        ("lineitem.l_orderkey->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey", False),
+        ("lineitem.l_partkey->part", t.lineitem, "l_partkey", t.part, "p_partkey", True),
+        ("lineitem.l_suppkey->supplier", t.lineitem, "l_suppkey", t.supplier, "s_suppkey", True),
+        ("orders.o_custkey->customer", t.orders, "o_custkey", t.customer, "c_custkey", True),
+        ("customer.c_nationkey->nation", t.customer, "c_nationkey", t.nation, "n_nationkey", True),
+    ]
+    out = None
+    for name, fact, fk, dim, pk, bcast in edges:
+        checked = fact.agg(F.count(F.lit(1)).alias("n_checked"))
+        row = (
+            orphan_count(fact, fk, dim, pk, bcast)
+            .crossJoin(F.broadcast(checked))
+            .select(
+                F.lit(name).alias("relation"),
+                F.col("n_orphans"),
+                F.col("n_checked"),
+                (F.col("n_orphans") == 0).alias("passed"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

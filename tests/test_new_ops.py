@@ -108,3 +108,40 @@ def test_path_transitions_probabilities_sum_to_one(spark, sf_dir):
         by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.p
     for s, total in by_from.items():
         assert math.isclose(total, 1.0, abs_tol=1e-4), (s, total)
+
+
+def test_shuffle_shard_is_permutation_and_balanced(spark, sf_dir):
+    """Every doc appears exactly once; positions are 1..n contiguous per
+    shard; assignment is a pure function of doc_id (stable under
+    re-evaluation); shard sizes stay within a loose binomial envelope."""
+    rows = corpus.corpus_shuffle_shard(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r.pos_in_shard)
+    assert set(by_shard) <= set(range(corpus.N_SHARDS))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # loose balance: no shard takes more than 3x its fair share
+    fair = n_docs / corpus.N_SHARDS
+    assert all(len(p) < 3 * fair for p in by_shard.values())
+    again = {
+        (r.doc_id, r.shard_id, r.pos_in_shard)
+        for r in corpus.corpus_shuffle_shard(spark, sf_dir).collect()
+    }
+    assert again == {(r.doc_id, r.shard_id, r.pos_in_shard) for r in rows}
+
+
+def test_referential_integrity_clean_fixture_passes(spark, sf_dir):
+    """The TPC-H-ish fixture is referentially intact: all edges pass,
+    and n_checked equals the fact table's row count per edge."""
+    rows = {r.relation: r for r in stats.dq_referential_integrity(spark, sf_dir).collect()}
+    assert len(rows) == 5
+    n_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    n_ord = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert rows["lineitem.l_orderkey->orders"].n_checked == n_li
+    assert rows["orders.o_custkey->customer"].n_checked == n_ord
+    for r in rows.values():
+        assert r.passed and r.n_orphans == 0
