@@ -66,6 +66,11 @@ HEADLINE = [
     "dedup_semantic_cells",
     "ml_feature_scaling_pack",
     "events_ewma_value",
+    # round-2 batch 4: training-output layout + embedding compression
+    "corpus_shuffle_shard",
+    "dq_referential_integrity",
+    "embedding_random_projection",
+    "embedding_int8_quant_stats",
 ]
 
 

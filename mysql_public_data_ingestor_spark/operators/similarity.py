@@ -376,3 +376,137 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= IVF_TOP_K)
         .select("query_id", "neighbor_id", "cell", "cosine", "rnk")
     )
+
+
+# ----------------------------------------------------------------------
+# Embedding compression: random projection + int8 scalar quantization —
+# the two standard "shrink the vectors before you index them" steps of
+# a production vector-search / dedup pipeline.
+# ----------------------------------------------------------------------
+
+PROJ_DIMS = 8  # target dimensionality of the random projection
+
+
+def _projection_matrix() -> list[list[float]]:
+    """Fixed pseudo-random projection rows (same shader-noise family as
+    the LSH hyperplanes, offset so the two matrices differ)."""
+    return [
+        [math.sin(2.0 + (p * DIM + d) * 78.233) for d in range(DIM)]
+        for p in range(PROJ_DIMS)
+    ]
+
+
+def _projection_oracle() -> str:
+    cols = ",\n           ".join(
+        "round(list_inner_product(v, ["
+        + ", ".join(repr(w) for w in row)
+        + f"]), 6) AS p{j}"
+        for j, row in enumerate(_projection_matrix())
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT vec_id,
+           {cols}
+    FROM emb
+    """
+
+
+@register("embedding_random_projection", oracle=_projection_oracle())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss-style random projection 64 -> 8 dims.
+
+    The dimensionality-reduction step that precedes LSH/IVF indexing at
+    scale: distances are approximately preserved while per-vector cost
+    drops 8x. The projection matrix is a fixed deterministic literal
+    embedded identically in both engines (same discipline as the LSH
+    hyperplanes), so projected values are reproducible anywhere.
+
+    Scale: pure row-local projection — map-side only, no shuffle, stays
+    in whole-stage codegen as JVM ``aggregate``/``zip_with`` folds over
+    the array column. At 100 TB this runs at scan speed.
+    """
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    proj_cols = [
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.array(*[F.lit(w) for w in row]), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias(f"p{j}")
+        for j, row in enumerate(_projection_matrix())
+    ]
+    return emb.select("vec_id", *proj_cols)
+
+
+# per-row squared reconstruction error is quantized to 1e-9 units so the
+# corpus-wide sum is an order-independent int64 (functions/exact pattern)
+_Q_ERR_SCALE = 1_000_000_000
+
+
+@register(
+    "embedding_int8_quant_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), scales AS (
+      SELECT pos, max(abs(x)) AS scale FROM e GROUP BY pos
+    ), q AS (
+      SELECT e.pos, e.x, s.scale,
+             CAST(floor(e.x / s.scale * 127.0 + 0.5) AS BIGINT) AS qv
+      FROM e JOIN scales s ON e.pos = s.pos
+    )
+    SELECT pos,
+           round(any_value(scale), 6)                       AS scale,
+           count(*)                                         AS n,
+           min(qv)                                          AS min_q,
+           max(qv)                                          AS max_q,
+           CAST(sum(CAST(floor(
+             (x - qv * scale / 127.0) * (x - qv * scale / 127.0)
+             * {_Q_ERR_SCALE} + 0.5) AS BIGINT)) AS BIGINT) AS sq_err_1e9
+    FROM q
+    GROUP BY pos
+    """,
+)
+def embedding_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding corpus, with
+    per-dimension calibration + reconstruction-error audit.
+
+    The "fit" is the per-dimension max-|x| scale (one partial-agg
+    shuffle over (pos, |x|)); the "transform" quantizes each value to
+    q in [-127, 127] and the audit reports per-dimension quantized
+    range and total squared reconstruction error. Error sums are
+    per-row quantized to 1e-9 units then int64-summed, so the result
+    is bit-identical under any partitioning (functions/exact
+    discipline).
+
+    Scale: explode(pos, x) streams — the shuffle key is the dimension
+    index (64 keys, perfectly balanced); scales broadcast back for the
+    transform. At 100 TB the calibration pass reads one column and the
+    audit is a constant 64-row result.
+    """
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x")
+    ).select("vec_id", (F.col("pos0") + 1).cast("long").alias("pos"), "x")
+    scales = e.groupBy("pos").agg(F.max(F.abs(F.col("x"))).alias("scale"))
+    q = e.join(F.broadcast(scales), "pos").select(
+        "pos",
+        "x",
+        "scale",
+        F.floor(F.col("x") / F.col("scale") * 127.0 + F.lit(0.5)).cast("long").alias("qv"),
+    )
+    err = F.col("x") - F.col("qv") * F.col("scale") / F.lit(127.0)
+    return q.groupBy("pos").agg(
+        F.round(F.any_value(F.col("scale")), 6).alias("scale"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("qv").alias("min_q"),
+        F.max("qv").alias("max_q"),
+        F.sum(F.floor(err * err * _Q_ERR_SCALE + F.lit(0.5)).cast("long")).alias("sq_err_1e9"),
+    )

@@ -53,7 +53,11 @@ def get_spark(app_name: str = "mysql_public_data_ingestor_spark") -> SparkSessio
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs all N executor threads inside the driver JVM, so
+        # the driver heap IS the cluster memory: 8g with 32 threads is
+        # GC-bound on the heavy queries (measured -23% bench total going
+        # 8g->24g). On a real cluster this knob moves to executor memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
         .getOrCreate()

@@ -145,3 +145,50 @@ def test_referential_integrity_clean_fixture_passes(spark, sf_dir):
     assert rows["orders.o_custkey->customer"].n_checked == n_ord
     for r in rows.values():
         assert r.passed and r.n_orphans == 0
+
+
+def test_random_projection_matches_numpy(spark, sf_dir):
+    """Projected values equal a numpy matmul of the same fixed matrix."""
+    import numpy as np
+
+    from mysql_public_data_ingestor_spark.operators import similarity as sim
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    P = np.asarray(sim._projection_matrix())
+    rows = sim.embedding_random_projection(spark, sf_dir).collect()
+    assert len(rows) == len(emb)
+    for r in rows[:50]:
+        want = P @ emb[r.vec_id]
+        got = np.array([getattr(r, f"p{j}") for j in range(sim.PROJ_DIMS)])
+        assert np.allclose(got, np.round(want, 6), atol=1e-6)
+
+
+def test_int8_quant_stats_bounds_and_error(spark, sf_dir):
+    """Quantized range stays in [-127, 127]; each dim's scale is the
+    corpus max-|x|; mean squared reconstruction error is below the
+    uniform-quantizer bound (scale/127)^2 / 4 per dimension."""
+    import numpy as np
+
+    from mysql_public_data_ingestor_spark.operators import similarity as sim
+
+    M = np.array(
+        [
+            r.embedding
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    rows = sim.embedding_int8_quant_stats(spark, sf_dir).collect()
+    assert len(rows) == M.shape[1]
+    for r in rows:
+        d = r.pos - 1
+        assert -127 <= r.min_q <= r.max_q <= 127
+        assert abs(r.scale - round(float(np.max(np.abs(M[:, d]))), 6)) < 1e-6
+        step = r.scale / 127.0
+        mse = (r.sq_err_1e9 / 1e9) / r.n
+        assert mse <= step * step / 4.0 + 1e-9

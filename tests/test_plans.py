@@ -338,3 +338,32 @@ def test_benford_and_equidepth_broadcast_their_one_row_state(spark, sf_dir):
 def test_skew_profile_no_cartesian(spark, sf_dir):
     df = q("diag_key_skew_profile", spark, sf_dir)
     assert_no_cartesian(df)
+
+
+def test_random_projection_is_shuffle_free(spark, sf_dir):
+    """JL projection must run at scan speed: no Exchange in the plan."""
+    df = q("embedding_random_projection", spark, sf_dir)
+    assert count_exchanges(df) == 0, physical_plan(df)
+
+
+def test_shuffle_shard_single_exchange(spark, sf_dir):
+    """Shard assignment is map-side; only the per-shard position window
+    shuffles — exactly one Exchange, keyed by shard."""
+    df = q("corpus_shuffle_shard", spark, sf_dir)
+    assert count_exchanges(df) == 1, physical_plan(df)
+
+
+def test_referential_integrity_dims_broadcast(spark, sf_dir):
+    """Dim probes are broadcast anti-joins; no cartesian anywhere."""
+    df = q("dq_referential_integrity", spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_int8_quant_calibration_broadcasts_scales(spark, sf_dir):
+    """The 64-row per-dimension scale table broadcasts back into the
+    transform — the quantize pass must not shuffle the exploded rows
+    a second time."""
+    df = q("embedding_int8_quant_stats", spark, sf_dir)
+    assert has_broadcast_join(df), physical_plan(df)
