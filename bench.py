@@ -71,6 +71,8 @@ HEADLINE = [
     "dq_referential_integrity",
     "embedding_random_projection",
     "embedding_int8_quant_stats",
+    "sample_weighted_topk",
+    "stats_ttest_ab",
 ]
 
 

@@ -1139,3 +1139,58 @@ def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("long").alias("pos_in_shard"),
         )
     )
+
+
+# Weighted sampling: per-language sample size and the 60-bit hash range.
+WEIGHTED_K = 20
+_H_RANGE = float(1 << 60)
+
+
+@register(
+    "sample_weighted_topk",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ln((({_SQL_ID_HASH}) + 1.0) / {_H_RANGE!r})
+               / CAST(n_chars AS DOUBLE) AS es_key
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY es_key DESC, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT doc_id, lang, n_chars, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {WEIGHTED_K}
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis–Spirakis): per
+    language, the top-``WEIGHTED_K`` documents by the priority key
+    ``ln(u)/w`` where ``u = (sha256(doc_id)+1)/2^60`` and the weight
+    ``w`` is the document length.
+
+    The reproducible replacement for weighted reservoir sampling in a
+    training-mix builder (sample quality- or length-weighted documents
+    identically on every run/engine/partitioning). With u uniform and
+    keys ordered descending, selection probabilities match PPS
+    reservoir sampling exactly — but the sample is a pure function of
+    the data.
+
+    Scale: the key is row-local; per-group top-k is a rank window whose
+    filter pushes below the exchange (WindowGroupLimit), so the shuffle
+    carries at most k rows per language per map partition. The oracle
+    embeds the identical formula; ln() agrees across engines to <=1 ulp
+    and the gate verifies the selected rows value-for-value.
+    """
+    t = Tables(spark, sf_dir)
+    u = (sha256_prefix_i64(F.col("doc_id").cast("string")) + F.lit(1.0)) / F.lit(_H_RANGE)
+    keyed = t.documents.select(
+        "doc_id", "lang", "n_chars", (F.log(u) / F.col("n_chars").cast("double")).alias("es_key")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= WEIGHTED_K)
+        .select("doc_id", "lang", "n_chars", "rnk")
+    )

@@ -797,3 +797,80 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "stats_ttest_ab",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             user_id % 2 AS cohort,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_u
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ), s AS (
+      SELECT event_type, cohort,
+             count(*)                                    AS n,
+             CAST(sum(v_u) AS DOUBLE)                    AS sum_u,
+             CAST(sum(CAST(v_u AS HUGEINT) * v_u) AS DOUBLE) AS sumsq_u
+      FROM q GROUP BY event_type, cohort
+    ), wide AS (
+      SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b,
+             a.sum_u / 1e6 / a.n AS mean_a,
+             b.sum_u / 1e6 / b.n AS mean_b,
+             (a.sumsq_u / 1e12 - (a.sum_u / 1e6) * (a.sum_u / 1e6) / a.n) / (a.n - 1) AS var_a,
+             (b.sumsq_u / 1e12 - (b.sum_u / 1e6) * (b.sum_u / 1e6) / b.n) / (b.n - 1) AS var_b
+      FROM s a JOIN s b ON a.event_type = b.event_type AND a.cohort = 0 AND b.cohort = 1
+    )
+    SELECT event_type, n_a, n_b,
+           round(mean_a, 6) AS mean_a,
+           round(mean_b, 6) AS mean_b,
+           round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_welch
+    FROM wide
+    """,
+)
+def stats_ttest_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic between A/B cohorts (user_id
+    parity) per event type — the experimentation-platform primitive.
+
+    All sufficient statistics are exact int64/decimal sums of 1e-6-
+    quantized values (functions/exact discipline), so n/sum/sumsq are
+    bit-identical under any partitioning; the t statistic is then a
+    deterministic scalar expression over one row per (event_type,
+    cohort). One partial-agg shuffle on a tiny key domain — at 100 TB
+    the reduce side is |event_types| x 2 rows.
+    """
+    t = Tables(spark, sf_dir)
+    v_u = quantize(F.col("value"), 6)
+    s = (
+        t.events.filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_type", (F.col("user_id") % 2).alias("cohort"), v_u.alias("v_u"))
+        .groupBy("event_type", "cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_u").cast("double").alias("sum_u"),
+            F.sum((F.col("v_u") * F.col("v_u")).cast("decimal(38,0)")).cast("double").alias("sumsq_u"),
+        )
+    )
+    a = s.filter(F.col("cohort") == 0).select(
+        "event_type", F.col("n").alias("n_a"), F.col("sum_u").alias("sum_a"), F.col("sumsq_u").alias("ssq_a")
+    )
+    b = s.filter(F.col("cohort") == 1).select(
+        F.col("event_type").alias("et_b"), F.col("n").alias("n_b"), F.col("sum_u").alias("sum_b"), F.col("sumsq_u").alias("ssq_b")
+    )
+    mean_a = F.col("sum_a") / F.lit(1e6) / F.col("n_a")
+    mean_b = F.col("sum_b") / F.lit(1e6) / F.col("n_b")
+    var_a = (F.col("ssq_a") / F.lit(1e12) - (F.col("sum_a") / F.lit(1e6)) * (F.col("sum_a") / F.lit(1e6)) / F.col("n_a")) / (F.col("n_a") - 1)
+    var_b = (F.col("ssq_b") / F.lit(1e12) - (F.col("sum_b") / F.lit(1e6)) * (F.col("sum_b") / F.lit(1e6)) / F.col("n_b")) / (F.col("n_b") - 1)
+    return (
+        a.join(b, F.col("event_type") == F.col("et_b"))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round(mean_a, 6).alias("mean_a"),
+            F.round(mean_b, 6).alias("mean_b"),
+            F.round((mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")), 6).alias("t_welch"),
+        )
+    )

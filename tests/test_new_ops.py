@@ -192,3 +192,50 @@ def test_int8_quant_stats_bounds_and_error(spark, sf_dir):
         step = r.scale / 127.0
         mse = (r.sq_err_1e9 / 1e9) / r.n
         assert mse <= step * step / 4.0 + 1e-9
+
+
+def test_weighted_topk_matches_python_replica(spark, sf_dir):
+    """Selected rows equal an independent Python Efraimidis–Spirakis
+    replica over the same corpus."""
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    ).collect()
+    by_lang: dict = {}
+    for r in docs:
+        h = int(hashlib.sha256(str(r.doc_id).encode()).hexdigest()[:15], 16)
+        key = math.log((h + 1.0) / float(1 << 60)) / float(r.n_chars)
+        by_lang.setdefault(r.lang, []).append((-key, r.doc_id))
+    want = set()
+    for lang, rows in by_lang.items():
+        for rnk, (_, doc_id) in enumerate(sorted(rows), 1):
+            if rnk <= corpus.WEIGHTED_K:
+                want.add((doc_id, lang, rnk))
+    got = {
+        (r.doc_id, r.lang, r.rnk)
+        for r in corpus.sample_weighted_topk(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_ttest_ab_matches_numpy(spark, sf_dir):
+    """Welch t equals a numpy recomputation over the quantized values."""
+    import numpy as np
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id", "value"
+    ).collect()
+    rows = {r.event_type: r for r in stats.stats_ttest_ab(spark, sf_dir).collect()}
+    for et in ("purchase", "click"):
+        va = np.array([math.floor(r.value * 1e6 + 0.5) / 1e6 for r in ev
+                       if r.event_type == et and r.user_id % 2 == 0])
+        vb = np.array([math.floor(r.value * 1e6 + 0.5) / 1e6 for r in ev
+                       if r.event_type == et and r.user_id % 2 == 1])
+        t_want = (va.mean() - vb.mean()) / math.sqrt(
+            va.var(ddof=1) / len(va) + vb.var(ddof=1) / len(vb)
+        )
+        r = rows[et]
+        assert r.n_a == len(va) and r.n_b == len(vb)
+        assert abs(r.mean_a - round(va.mean(), 6)) < 2e-6
+        assert abs(r.t_welch - t_want) < 1e-4
