@@ -387,19 +387,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     `zip_with` arithmetic — JVM-side, no UDF.
     """
     t = Tables(spark, sf_dir)
+    # norm once per vector before the pair join (the folds are
+    # interpreted; recomputing norms per pair tripled the work —
+    # same expression tree, bit-identical doubles, oracle unchanged)
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
     emb = t.embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", norm)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"), F.col("nrm").alias("na")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("v").alias("vb"))
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(F.col("va"), F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(F.col("vb"), F.lit(0.0), lambda acc, x: acc + x * x))
-    cos = F.round(dot / (na * nb), 6)
+    cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", "label", cos.alias("cosine"))

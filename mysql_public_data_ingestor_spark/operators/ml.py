@@ -216,19 +216,27 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = _assign(ex, c0).select("vec_id", F.col("cid").alias("cell")).localCheckpoint()
     emb = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    m = emb.join(cells, "vec_id")
-    a = m.select(F.col("vec_id").alias("va"), "cell", F.col("v").alias("xa"))
-    b = m.select(F.col("vec_id").alias("vb"), F.col("cell").alias("cell_b"), F.col("v").alias("xb"))
+    # norm once per VECTOR, not per pair: the fold expressions are
+    # interpreted (outside codegen), so recomputing both norms inside
+    # the pair filter tripled the per-pair work. Same expression tree
+    # per vector -> bit-identical doubles -> oracle parity unchanged.
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    m = emb.join(cells, "vec_id").withColumn("nrm", norm)
+    a = m.select(F.col("vec_id").alias("va"), "cell", F.col("v").alias("xa"), F.col("nrm").alias("na"))
+    b = m.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cell").alias("cell_b"),
+        F.col("v").alias("xb"),
+        F.col("nrm").alias("nb"),
+    )
     dot = F.aggregate(
         F.zip_with(F.col("xa"), F.col("xb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(F.col("xa"), F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(F.col("xb"), F.lit(0.0), lambda acc, x: acc + x * x))
     pairs = (
         a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("va") != F.col("vb")))
-        .filter(F.round(dot / (na * nb), 6) >= SEMDEDUP_TAU)
+        .filter(F.round(dot / (F.col("na") * F.col("nb")), 6) >= SEMDEDUP_TAU)
         .select("va", "vb")
     )
     d = pairs.groupBy("va").agg(

@@ -65,17 +65,27 @@ def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break: (rounded score desc, vec_id asc).
     """
     t = Tables(spark, sf_dir)
-    emb = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # norms once per vector (the folds are interpreted; per-pair norm
+    # recomputation tripled the work — identical doubles, oracle safe)
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", norm)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
     scored = (
         corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
