@@ -256,7 +256,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tunable, the plan shape is the point.
     """
     t = Tables(spark, sf_dir)
-    emb = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn(
+        # norm once per vector; per-pair recomputation triples the
+        # interpreted-fold work (identical doubles, oracle safe)
+        "nrm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
     sig_udf = _signature_udf(_gaussian_planes())
     sigs = emb.select("vec_id", sig_udf(F.col("v")).alias("sig")).localCheckpoint()
     bands = (
@@ -279,7 +286,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     q_emb = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
     scored = (
         cands.join(F.broadcast(q_emb), F.col("query_id") == F.col("q_id"))
@@ -287,7 +297,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(dot / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -348,28 +358,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides so the argmax tie-break is cross-engine deterministic.
     """
     t = Tables(spark, sf_dir)
-    emb = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # norm once per vector; per-pair recomputation triples the
+    # interpreted-fold work (identical doubles, oracle safe)
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", norm)
     centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
     # cell assignment: argmax cosine over the broadcast centroid set,
     # deterministic tie-break on centroid_id
+    dot_assign = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
     scored = emb.join(F.broadcast(centroids)).select(
         "vec_id",
         "v",
+        "nrm",
         "centroid_id",
-        F.round(cosine(F.col("v"), F.col("cv")), 9).alias("sim"),
+        F.round(dot_assign / (F.col("nrm") * F.col("cn")), 9).alias("sim"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
     cells = (
         scored.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("centroid_id").alias("cell"))
+        .select("vec_id", "v", "nrm", F.col("centroid_id").alias("cell"))
     )
     queries = cells.filter(F.col("vec_id") < N_PROBE_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell"
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"), "cell"
     )
-    cands = cells.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv2"), "cell")
+    cands = cells.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv2"), F.col("nrm").alias("nn"), "cell"
+    )
+    dot_rank = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv2"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
     pairs = (
         cands.join(F.broadcast(queries), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -377,7 +401,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "cell",
-            F.round(cosine(F.col("qv"), F.col("cv2")), 6).alias("cosine"),
+            F.round(dot_rank / (F.col("qn") * F.col("nn")), 6).alias("cosine"),
         )
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
