@@ -214,13 +214,62 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
 PR_SCALE = 1_000_000  # ranks held in integer micro-units
 
 
-@register("graph_pagerank_copurchase", oracle=None)
+def _pagerank_oracle() -> str:
+    """10 unrolled iteration CTEs replicating the integer micro-unit
+    arithmetic exactly: share = trunc(rank/deg) (nonnegative, so trunc
+    == Spark's double->long cast), damped update = base +
+    trunc(in_sum*85/100.0). All intermediates stay far below 2^53, so
+    the double divisions are identical IEEE operations in both engines.
+    """
+    parts = [
+        _SQL_EDGES,
+        """
+    , both_e AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ), deg AS (
+      SELECT u, count(*) AS out_deg FROM both_e GROUP BY u
+    ), nn AS (
+      SELECT count(*) AS n_nodes FROM deg
+    ), r0 AS MATERIALIZED (
+      SELECT u AS node, out_deg,
+             CAST(({scale} // n_nodes) AS BIGINT) AS rank_u
+      FROM deg, nn
+    )""".format(scale=PR_SCALE),
+    ]
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            """
+    , c{i} AS MATERIALIZED (
+      SELECT b.v AS node,
+             CAST(sum(CAST(trunc(CAST(r.rank_u AS DOUBLE) / CAST(r.out_deg AS DOUBLE)) AS BIGINT)) AS BIGINT) AS in_sum
+      FROM both_e b JOIN {prev} r ON r.node = b.u
+      GROUP BY b.v
+    ), r{i} AS MATERIALIZED (
+      SELECT r.node, r.out_deg,
+             CAST(((({dden} - {dnum}) * {scale}) // ({dden} * nn.n_nodes))
+                  + CAST(trunc(CAST(coalesce(c.in_sum, 0) * {dnum} AS DOUBLE) / {dden}.0) AS BIGINT) AS BIGINT) AS rank_u
+      FROM {prev} r LEFT JOIN c{i} c ON c.node = r.node, nn
+    )""".format(i=i, prev=prev, scale=PR_SCALE, dnum=PR_DAMP_NUM, dden=PR_DAMP_DEN)
+        )
+        prev = "r%d" % i
+    parts.append(
+        """
+    SELECT node,
+           rank_u                                   AS rank_micro,
+           CAST(rank_u AS DOUBLE) / {scale}.0       AS rank
+    FROM {prev}
+    """.format(scale=PR_SCALE, prev=prev)
+    )
+    return "".join(parts)
+
+
+@register("graph_pagerank_copurchase", oracle=_pagerank_oracle())
 def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-purchase graph, 10 fixed power iterations,
     computed in *integer micro-units* so the result is bit-identical
-    under any partitioning (the driver's rows-only check still sees a
-    stable row set; `tests/test_pagerank.py` pins exact values against
-    an independent single-machine replica).
+    under any partitioning (`tests/test_pagerank.py` additionally pins
+    exact values against an independent single-machine replica).
 
     Why integers: FP summation order across shuffle partitions is
     nondeterministic, so a double-typed PageRank differs run to run in
@@ -236,9 +285,11 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     each round is localCheckpointed to keep lineage flat (the same
     discipline as `connected_components`).
 
-    The rows-only oracle omission is inherent: 10 chained aggregations
-    are not a single SQL expression (a recursive CTE cannot aggregate
-    in the recursive term).
+    Oracle: a recursive CTE cannot aggregate in its recursive term,
+    but the FIXED iteration count lets the DuckDB twin unroll all 10
+    iterations as chained MATERIALIZED CTEs (`_pagerank_oracle`) with
+    the identical integer arithmetic — so even this iterative operator
+    is hash-verified value-for-value, not rows-only.
     """
     t = Tables(spark, sf_dir)
     edges = _edges(t)
