@@ -10,6 +10,7 @@ import os
 import pytest
 
 from mysql_public_data_ingestor_spark.operators import corpus
+from mysql_public_data_ingestor_spark.tables import Tables
 
 
 def _write_documents(spark, tmp_path, rows):
@@ -244,3 +245,22 @@ def test_stats_pack_sanity(spark, sf_dir):
     assert sum(r.n_orders for r in hist) == n_orders
     for r in hist:
         assert r.bucket_lo == r.bucket * stats.HIST_WIDTH
+
+
+def test_events_ts_parity_survives_non_utc_session(spark, sf_dir):
+    """The loader pins session tz to UTC before normalizing ts, so a
+    driver session started in any timezone sees DuckDB-identical naive
+    timestamps (regression guard for the NTZ->LTZ cast path)."""
+    import duckdb
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        t = Tables(spark, sf_dir)
+        got = t.events.selectExpr("min(ts) AS lo", "max(ts) AS hi").collect()[0]
+        want = duckdb.sql(
+            f"SELECT min(ts), max(ts) FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchone()
+        assert str(got.lo) == str(want[0])
+        assert str(got.hi) == str(want[1])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
