@@ -284,3 +284,109 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("us_to_purchase"),
         )
     )
+
+
+@register(
+    "events_asof_nearest",
+    oracle="""
+    WITH c AS (
+      SELECT e.event_id AS click_id, e.user_id, e.ts,
+             pv.event_id AS prev_id, pv.ts AS prev_ts,
+             nx.event_id AS next_id, nx.ts AS next_ts
+      FROM events e
+      LEFT JOIN LATERAL (
+        SELECT p.event_id, p.ts FROM events p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts
+        ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+      ) pv ON true
+      LEFT JOIN LATERAL (
+        SELECT p.event_id, p.ts FROM events p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts > e.ts
+        ORDER BY p.ts ASC, p.event_id ASC LIMIT 1
+      ) nx ON true
+      WHERE e.event_type = 'click'
+    )
+    SELECT click_id, user_id, ts,
+           CASE WHEN next_id IS NULL
+                  OR (prev_id IS NOT NULL AND
+                      epoch_us(ts) - epoch_us(prev_ts) <= epoch_us(next_ts) - epoch_us(ts))
+                THEN prev_id ELSE next_id END AS purchase_id,
+           CASE WHEN next_id IS NULL
+                  OR (prev_id IS NOT NULL AND
+                      epoch_us(ts) - epoch_us(prev_ts) <= epoch_us(next_ts) - epoch_us(ts))
+                THEN epoch_us(ts) - epoch_us(prev_ts)
+                ELSE epoch_us(next_ts) - epoch_us(ts) END AS abs_us,
+           CASE WHEN next_id IS NULL
+                  OR (prev_id IS NOT NULL AND
+                      epoch_us(ts) - epoch_us(prev_ts) <= epoch_us(next_ts) - epoch_us(ts))
+                THEN 'prev' ELSE 'next' END AS direction
+    FROM c
+    WHERE prev_id IS NOT NULL OR next_id IS NOT NULL
+    """,
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional as-of: each click matched to its NEAREST purchase
+    by the same user (earlier-or-equal beats strictly-later on a tie),
+    with the distance and direction.
+
+    The variant financial/telemetry users reach for after plain
+    backward as-of — "closest quote to this trade, either side".
+    Implemented with the same union-tag + ordered-window idiom as
+    ``events_asof_enrichment``: one shuffle on user_id, one sort; the
+    preceding frame carries the latest prior purchase (max id at equal
+    ts — purchases sort before clicks), the following frame the
+    earliest later one (min id). No per-row subquery, no range join;
+    at 100 TB this is a single hash-partitioned sort per key, state
+    O(1) per row — exactly the streaming-friendly shape.
+    """
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    tagged = clicks.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_p"),
+        F.col("ts").alias("sort_ts"),
+        F.col("event_id").alias("sort_id"),
+    ).unionByName(
+        purchases.select(
+            F.lit(None).cast("long").alias("click_id"),
+            "user_id",
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit(1).alias("is_p"),
+            F.col("ts").alias("sort_ts"),
+            F.col("event_id").alias("sort_id"),
+        )
+    )
+    order = [F.col("sort_ts"), F.col("is_p").desc(), F.col("sort_id")]
+    w_prev = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    p_id = F.when(F.col("is_p") == 1, F.col("sort_id"))
+    p_ts = F.when(F.col("is_p") == 1, F.col("sort_ts"))
+    carried = tagged.select(
+        "click_id",
+        "user_id",
+        "ts",
+        "is_p",
+        F.last(p_id, ignorenulls=True).over(w_prev).alias("prev_id"),
+        F.last(p_ts, ignorenulls=True).over(w_prev).alias("prev_ts"),
+        F.first(p_id, ignorenulls=True).over(w_next).alias("next_id"),
+        F.first(p_ts, ignorenulls=True).over(w_next).alias("next_ts"),
+    ).filter((F.col("is_p") == 0) & (F.col("prev_id").isNotNull() | F.col("next_id").isNotNull()))
+    d_prev = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    d_next = F.unix_micros("next_ts") - F.unix_micros("ts")
+    take_prev = F.col("next_id").isNull() | (F.col("prev_id").isNotNull() & (d_prev <= d_next))
+    return carried.select(
+        "click_id",
+        "user_id",
+        "ts",
+        F.when(take_prev, F.col("prev_id")).otherwise(F.col("next_id")).alias("purchase_id"),
+        F.when(take_prev, d_prev).otherwise(d_next).alias("abs_us"),
+        F.when(take_prev, F.lit("prev")).otherwise(F.lit("next")).alias("direction"),
+    )

@@ -239,3 +239,39 @@ def test_ttest_ab_matches_numpy(spark, sf_dir):
         assert r.n_a == len(va) and r.n_b == len(vb)
         assert abs(r.mean_a - round(va.mean(), 6)) < 2e-6
         assert abs(r.t_welch - t_want) < 1e-4
+
+
+def test_asof_nearest_matches_python_scan(spark, sf_dir):
+    """purchase_id is the true argmin |ts diff| among the user's
+    purchases (prev wins ties), verified by a full Python rescan."""
+    from mysql_public_data_ingestor_spark.streaming.batch_equivalents import (
+        events_asof_nearest,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    purchases: dict = {}
+    for r in ev:
+        if r.event_type == "purchase":
+            purchases.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    got = {r.click_id: r for r in events_asof_nearest(spark, sf_dir).collect()}
+    n_checked = 0
+    for r in ev:
+        if r.event_type != "click" or r.user_id not in purchases:
+            continue
+        def us(d):
+            return (d.days * 86_400_000_000) + d.seconds * 1_000_000 + d.microseconds
+
+        best = None
+        for p_ts, p_id in purchases[r.user_id]:
+            if p_ts <= r.ts:
+                cand = (us(r.ts - p_ts), 0, -p_id)
+            else:
+                cand = (us(p_ts - r.ts), 1, p_id)
+            if best is None or cand < best:
+                best = cand
+        g = got[r.event_id]
+        assert g.abs_us == best[0]
+        assert g.purchase_id == (-best[2] if best[1] == 0 else best[2])
+        assert g.direction == ("prev" if best[1] == 0 else "next")
+        n_checked += 1
+    assert n_checked == len(got)
