@@ -367,3 +367,19 @@ def test_int8_quant_calibration_broadcasts_scales(spark, sf_dir):
     a second time."""
     df = q("embedding_int8_quant_stats", spark, sf_dir)
     assert has_broadcast_join(df), physical_plan(df)
+
+
+def test_asof_nearest_single_exchange(spark, sf_dir):
+    """Both as-of frames ride ONE user_id shuffle (union-tag idiom) —
+    no per-row subquery, no range join, no extra exchange."""
+    df = q("events_asof_nearest", spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_exchanges(df) == 1, physical_plan(df)
+
+
+def test_weighted_topk_rank_pushed_below_exchange(spark, sf_dir):
+    """Efraimidis–Spirakis top-k must push the rank filter below the
+    exchange (WindowGroupLimit) so the shuffle carries at most k rows
+    per group per map partition."""
+    plan = physical_plan(q("sample_weighted_topk", spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
