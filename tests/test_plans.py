@@ -383,3 +383,37 @@ def test_weighted_topk_rank_pushed_below_exchange(spark, sf_dir):
     per group per map partition."""
     plan = physical_plan(q("sample_weighted_topk", spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_headline_single_partition_only_feeds_final_aggregates(spark, sf_dir):
+    """Scale sweep over EVERY headline query: an Exchange SinglePartition
+    may only feed a constant-size final aggregate (HashAggregate /
+    ObjectHashAggregate — 32 partial rows in, one row out). A Sort or
+    Window consumer would mean a data-scaled single-reducer stage — the
+    classic scale-killer (window_ntile_percent_rank is the documented
+    non-headline exception that motivates this guard)."""
+    import re
+
+    import bench
+
+    def sp_consumers(plan: str) -> list[str]:
+        lines = plan.splitlines()
+        out = []
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            for j in range(i - 1, -1, -1):
+                m = re.match(r"\s*[:+\-\s]*([A-Za-z]+)", lines[j])
+                if m and m.group(1) != "Exchange":
+                    out.append(m.group(1))
+                    break
+        return out
+
+    offenders = {}
+    for name in bench.HEADLINE:
+        plan = physical_plan(q(name, spark, sf_dir))
+        bad = [c for c in sp_consumers(plan)
+               if c not in ("HashAggregate", "ObjectHashAggregate", "SortAggregate")]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
