@@ -27,6 +27,7 @@ from typing import Callable, Optional
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..logging_util import get_logger
 from ..sources.registry import SourcePlugin
@@ -107,12 +108,19 @@ class IngestEngine:
         pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields])
         df = self.spark.createDataFrame(pdf, schema=schema)
         # mandatory: one materialization shared by all sinks (else the
-        # source would be re-polled per sink — SURVEY §4 persist row)
+        # source would be re-polled per sink — SURVEY §4 persist row).
+        # Batch accounting rides the first sink write via observe()
+        # instead of a separate count() action — one pass per batch,
+        # not two; the first write populates the cache AND the metric.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            n = df.count()
             for target in self.targets:
                 self.sink(df, target)
+            n = int(obs.get["n"])
         finally:
             df.unpersist()
         self.batches_done += 1
