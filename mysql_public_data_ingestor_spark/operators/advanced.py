@@ -828,3 +828,83 @@ def mv_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("matches_full"),
     )
+
+
+@register(
+    "mv_incremental_join_merge",
+    oracle=f"""
+    WITH enrich AS (
+      SELECT o.o_orderkey, n.n_name, o.o_orderdate,
+             CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), merged AS (
+      SELECT * FROM enrich WHERE o_orderdate < TIMESTAMP '{MV_CUTOFF}'
+      UNION ALL
+      SELECT * FROM enrich WHERE o_orderdate >= TIMESTAMP '{MV_CUTOFF}'
+    ), m AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM merged GROUP BY n_name
+    ), f AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM enrich GROUP BY n_name
+    )
+    SELECT m.n_name, m.n_orders, round(m.cents / 100.0, 2) AS total_price,
+           CASE WHEN m.n_orders = f.n AND m.cents = f.cents THEN 1 ELSE 0 END
+             AS matches_full
+    FROM m JOIN f USING (n_name)
+    """,
+)
+def mv_incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view (orders
+    enriched with customer nation): the base MV rows (orders before the
+    cutoff, already joined) merge with freshly-joined DELTA rows by
+    simple union — only the delta ever touches the join again, history
+    is never re-joined. ``matches_full`` proves in-plan that base ∪
+    delta-join equals the from-scratch join.
+
+    The sibling of ``mv_incremental_agg_merge`` one level earlier in
+    the pipeline: join MVs are unioned row states, aggregate MVs are
+    merged partial-agg states. At 100 TB the delta scan is
+    partition-pruned to new data, the dims broadcast (zero fact
+    shuffle), and the nightly refresh cost is O(delta), not O(history).
+    """
+    t = Tables(spark, sf_dir)
+    cutoff = F.lit(MV_CUTOFF).cast("timestamp")
+    dims = t.customer.select("c_custkey", "c_nationkey").join(
+        F.broadcast(t.nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+
+    def enrich(orders):
+        return orders.select("o_orderkey", "o_custkey", cents.alias("cents")).join(
+            F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey")
+        ).select("o_orderkey", "n_name", "cents")
+
+    base_mv = enrich(t.orders.filter(F.col("o_orderdate") < cutoff))
+    delta_mv = enrich(t.orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base_mv.unionAll(delta_mv)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("cents"))
+    )
+    full = (
+        enrich(t.orders)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_full"), F.sum("cents").alias("cents_full"))
+    )
+    return merged.join(full, "n_name").select(
+        "n_name",
+        "n_orders",
+        F.round(F.col("cents") / 100.0, 2).alias("total_price"),
+        F.when(
+            (F.col("n_orders") == F.col("n_full")) & (F.col("cents") == F.col("cents_full")),
+            1,
+        )
+        .otherwise(0)
+        .alias("matches_full"),
+    )

@@ -874,3 +874,239 @@ def stats_ttest_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")), 6).alias("t_welch"),
         )
     )
+
+
+@register(
+    "dq_psi_value_drift",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_u,
+             epoch_us(ts) AS us
+      FROM events
+    ), b AS (
+      SELECT min(us) + max(us) AS lohi FROM e
+    ), p AS (
+      SELECT event_type, v_u,
+             CASE WHEN us * 2 <= lohi THEN 'base' ELSE 'cur' END AS period
+      FROM e CROSS JOIN b
+    ), th AS (
+      SELECT event_type,
+             quantile_disc(v_u, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+      FROM p WHERE period = 'base' GROUP BY event_type
+    ), binned AS (
+      SELECT p.event_type, p.period,
+             CAST(len(list_filter(edges, t -> v_u > t)) + 1 AS BIGINT) AS bucket
+      FROM p JOIN th ON p.event_type = th.event_type
+    ), counts AS (
+      SELECT event_type, bucket,
+             CAST(sum(CASE WHEN period = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+             CAST(sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM binned GROUP BY event_type, bucket
+    ), grid AS (
+      SELECT event_type, CAST(g.b AS BIGINT) AS bucket
+      FROM (SELECT DISTINCT event_type FROM binned)
+      CROSS JOIN (SELECT unnest(range(1, 11)) AS b) g
+    ), filled AS (
+      SELECT g.event_type, g.bucket,
+             coalesce(c.n_base, 0) AS n_base, coalesce(c.n_cur, 0) AS n_cur
+      FROM grid g LEFT JOIN counts c
+        ON g.event_type = c.event_type AND g.bucket = c.bucket
+    ), tot AS (
+      SELECT event_type, sum(n_base) AS tb, sum(n_cur) AS tc
+      FROM filled GROUP BY event_type
+    ), terms AS (
+      SELECT f.event_type, t.tb, t.tc,
+             CAST(floor(
+               ((f.n_base + 0.5) / (t.tb + 5.0) - (f.n_cur + 0.5) / (t.tc + 5.0))
+               * ln(((f.n_base + 0.5) / (t.tb + 5.0))
+                    / ((f.n_cur + 0.5) / (t.tc + 5.0)))
+               * 1000000000.0 + 0.5) AS BIGINT) AS term_nano
+      FROM filled f JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(max(tb) AS BIGINT) AS n_base,
+           CAST(max(tc) AS BIGINT) AS n_cur,
+           round(sum(term_nano) / 1000000000.0, 6) AS psi
+    FROM terms GROUP BY event_type
+    """,
+)
+def dq_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of ``value`` per event type between
+    the first and second half of the time range — the drift monitor a
+    feature store or training pipeline runs before every refresh.
+
+    Bin edges are the BASE period's exact discrete deciles (max-accuracy
+    ``percentile_approx`` == DuckDB ``quantile_disc``), broadcast into a
+    stateless bucketing projection; counts are one partial-agg shuffle
+    on a (|event_types| x 10)-bounded key. Laplace smoothing (+0.5 per
+    bucket) keeps empty buckets finite, and each PSI term is quantized
+    to integer nano-nats before the final sum so the statistic is
+    order-independent and cross-engine identical. At 100 TB: two scans
+    (edges, then counts) of pruned columns, reduce side bounded by the
+    type-domain — never by rows.
+    """
+    t = Tables(spark, sf_dir)
+    e = t.events.select(
+        "event_type",
+        quantize(F.col("value"), 6).alias("v_u"),
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    b = e.agg((F.min("us") + F.max("us")).alias("lohi"))
+    p = e.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        "v_u",
+        F.when(F.col("us") * 2 <= F.col("lohi"), "base").otherwise("cur").alias("period"),
+    )
+    exact = str(2**31 - 1)
+    qs = ", ".join(str(q) for q in EQUIDEPTH_DECILES)
+    th = (
+        p.filter(F.col("period") == "base")
+        .groupBy("event_type")
+        .agg(F.expr(f"percentile_approx(v_u, array({qs}), {exact})").alias("edges"))
+    )
+    binned = p.join(F.broadcast(th), "event_type").select(
+        "event_type",
+        "period",
+        (F.size(F.filter(F.col("edges"), lambda x: F.col("v_u") > x)) + 1)
+        .cast("long")
+        .alias("bucket"),
+    )
+    counts = binned.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("period") == "base", 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    grid = (
+        binned.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("bucket"))
+        .select("event_type", F.col("bucket").cast("long").alias("bucket"))
+    )
+    filled = (
+        grid.join(counts, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+    )
+    p_ = (F.col("n_base") + F.lit(0.5)) / (F.col("tb") + F.lit(5.0))
+    q_ = (F.col("n_cur") + F.lit(0.5)) / (F.col("tc") + F.lit(5.0))
+    terms = filled.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "tb",
+        "tc",
+        F.floor((p_ - q_) * F.log(p_ / q_) * F.lit(1e9) + F.lit(0.5))
+        .cast("long")
+        .alias("term_nano"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("tb").cast("long").alias("n_base"),
+        F.max("tc").cast("long").alias("n_cur"),
+        F.round(F.sum("term_nano") / F.lit(1e9), 6).alias("psi"),
+    )
+
+
+@register(
+    "stats_mann_whitney_ab",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             user_id % 2 AS cohort,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v_m
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), g AS (
+      SELECT event_type, v_m,
+             CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM q GROUP BY event_type, v_m
+    ), r AS (
+      SELECT event_type, ca, cnt,
+             coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY v_m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM g
+    ), s AS (
+      SELECT event_type,
+             CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cnt - ca) AS BIGINT) AS n_b,
+             CAST(sum(CAST(ca AS HUGEINT) * (2 * cum + cnt + 1)) AS DOUBLE) AS ra2,
+             CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS DOUBLE) AS tie3
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           round(ra2 / 2.0 - CAST(n_a AS DOUBLE) * (n_a + 1) / 2.0, 6) AS u_a,
+           round((ra2 / 2.0 - CAST(n_a AS DOUBLE) * (n_a + 1) / 2.0
+                  - CAST(n_a AS DOUBLE) * n_b / 2.0)
+                 / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                        * ((n_a + n_b + 1)
+                           - tie3 / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))),
+                 6) AS z
+    FROM s
+    """,
+)
+def stats_mann_whitney_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test with tie correction between A/B
+    user cohorts per event type — the non-parametric complement to
+    ``stats_ttest_ab`` for skewed metrics.
+
+    Ranks never materialize per row: values are quantized to 1e-3 and
+    pre-aggregated to a (event_type, value)-distinct table with tied
+    counts, so the rank window runs over the *distinct value domain*
+    (|domain|-bounded, far smaller than rows) ordered per event type.
+    ``2*cum + cnt + 1`` is twice the average rank of a tie group, so
+    every sufficient statistic (n_a, n_b, 2*R_a, tie-cubes) is an exact
+    integer sum — order-independent and cross-engine identical; only
+    the final U/z are floating point. One shuffle for the distinct-agg,
+    one for the per-type window.
+    """
+    t = Tables(spark, sf_dir)
+    q = t.events.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_type",
+        (F.col("user_id") % 2).alias("cohort"),
+        F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("v_m"),
+    )
+    g = q.groupBy("event_type", "v_m").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("ca"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v_m")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.select(
+        "event_type",
+        "ca",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.sum("ca").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("ca")).alias("n_b"),
+        F.sum(
+            (F.col("ca").cast("decimal(38,0)") * (2 * F.col("cum") + F.col("cnt") + 1))
+        )
+        .cast("double")
+        .alias("ra2"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("double")
+        .alias("tie3"),
+    )
+    n_a_d = F.col("n_a").cast("double")
+    n_b_d = F.col("n_b").cast("double")
+    n = F.col("n_a") + F.col("n_b")
+    u_a = F.col("ra2") / 2.0 - n_a_d * (F.col("n_a") + 1) / 2.0
+    var_u = n_a_d * n_b_d / 12.0 * ((n + 1) - F.col("tie3") / (n.cast("double") * (n - 1)))
+    return s.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(u_a, 6).alias("u_a"),
+        F.round((u_a - n_a_d * n_b_d / 2.0) / F.sqrt(var_u), 6).alias("z"),
+    )

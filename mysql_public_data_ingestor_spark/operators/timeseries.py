@@ -788,3 +788,94 @@ def events_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataF
         "n_touches",
         F.round(credit, 6).alias("credit"),
     )
+
+
+@register(
+    "events_seasonal_hourly_baseline",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             date_trunc('day', ts) AS day,
+             CAST(hour(ts) AS INT) AS hr,
+             sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS tot_u
+      FROM events GROUP BY 1, 2, 3
+    ), last_d AS (
+      SELECT max(day) AS last_day FROM h
+    ), base AS (
+      SELECT event_type, hr,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(tot_u) AS DOUBLE) AS sum_u,
+             CAST(sum(CAST(tot_u AS HUGEINT) * tot_u) AS DOUBLE) AS sumsq_u
+      FROM h CROSS JOIN last_d WHERE day < last_day
+      GROUP BY event_type, hr
+    ), cur AS (
+      SELECT event_type, hr, tot_u AS cur_u
+      FROM h CROSS JOIN last_d WHERE day = last_day
+    )
+    SELECT b.event_type, b.hr, b.n_days,
+           round(b.sum_u / b.n_days / 1000000.0, 6) AS baseline_mean,
+           round(c.cur_u / 1000000.0, 6) AS cur_value,
+           round(CASE WHEN b.n_days > 1
+                       AND (b.sumsq_u - b.sum_u * b.sum_u / b.n_days) > 0
+                 THEN (c.cur_u - b.sum_u / b.n_days)
+                      / sqrt((b.sumsq_u - b.sum_u * b.sum_u / b.n_days)
+                             / (b.n_days - 1))
+                 ELSE NULL END, 6) AS z
+    FROM base b JOIN cur c ON b.event_type = c.event_type AND b.hr = c.hr
+    """,
+)
+def events_seasonal_hourly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) baseline anomaly scoring: the final day's
+    hourly totals per event type are z-scored against the mean/std of
+    the same hour on every prior day — the ops-dashboard "is today
+    weird for 3pm?" primitive.
+
+    One hourly pre-aggregation (exact micro-unit sums) compresses the
+    stream to a (type, day, hour) table; the baseline is a second
+    aggregate over that table with exact integer sufficient statistics
+    (sum, sum-of-squares as decimal), so mean/std are order-independent.
+    The last-day boundary is a broadcast 1-row cross join — no driver
+    action. At 100 TB the reduce sides are calendar-bounded (days x 24
+    x |types|), never row-bounded.
+    """
+    t = Tables(spark, sf_dir)
+    h = (
+        t.events.select(
+            "event_type",
+            F.date_trunc("DAY", F.col("ts")).alias("day"),
+            F.hour(F.col("ts")).cast("int").alias("hr"),
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("v_u"),
+        )
+        .groupBy("event_type", "day", "hr")
+        .agg(F.sum("v_u").alias("tot_u"))
+    )
+    last_d = h.agg(F.max("day").alias("last_day"))
+    hb = h.crossJoin(F.broadcast(last_d))
+    base = (
+        hb.filter(F.col("day") < F.col("last_day"))
+        .groupBy("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("tot_u").cast("double").alias("sum_u"),
+            F.sum(F.col("tot_u").cast("decimal(38,0)") * F.col("tot_u"))
+            .cast("double")
+            .alias("sumsq_u"),
+        )
+    )
+    cur = hb.filter(F.col("day") == F.col("last_day")).select(
+        "event_type", "hr", F.col("tot_u").alias("cur_u")
+    )
+    mean_u = F.col("sum_u") / F.col("n_days")
+    ss = F.col("sumsq_u") - F.col("sum_u") * F.col("sum_u") / F.col("n_days")
+    z = F.when(
+        (F.col("n_days") > 1) & (ss > 0),
+        (F.col("cur_u") - mean_u) / F.sqrt(ss / (F.col("n_days") - 1)),
+    )
+    return base.join(cur, ["event_type", "hr"]).select(
+        "event_type",
+        "hr",
+        "n_days",
+        F.round(mean_u / F.lit(1e6), 6).alias("baseline_mean"),
+        F.round(F.col("cur_u") / F.lit(1e6), 6).alias("cur_value"),
+        F.round(z, 6).alias("z"),
+    )

@@ -275,3 +275,107 @@ def test_asof_nearest_matches_python_scan(spark, sf_dir):
         assert g.direction == ("prev" if best[1] == 0 else "next")
         n_checked += 1
     assert n_checked == len(got)
+
+
+def test_mann_whitney_matches_pandas_ranks(spark, sf_dir):
+    """U and z equal a pandas average-rank recomputation (the textbook
+    construction the distinct-value window replaces)."""
+    import pandas as pd  # noqa: F401
+
+    ev = __import__("pandas").read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+    got = {
+        r.event_type: r for r in stats.stats_mann_whitney_ab(spark, sf_dir).collect()
+    }
+    for et in ("purchase", "click"):
+        sub = ev[ev.event_type == et].copy()
+        sub["v_m"] = (sub.value * 1000.0 + 0.5).apply(math.floor)
+        sub["rk"] = sub.v_m.rank(method="average")
+        a = sub[sub.user_id % 2 == 0]
+        b = sub[sub.user_id % 2 == 1]
+        n_a, n_b = len(a), len(b)
+        n = n_a + n_b
+        u_a = a.rk.sum() - n_a * (n_a + 1) / 2.0
+        sizes = sub.groupby("v_m").size()
+        t3 = float((sizes**3 - sizes).sum())
+        var = n_a * n_b / 12.0 * ((n + 1) - t3 / (n * (n - 1)))
+        z = (u_a - n_a * n_b / 2.0) / math.sqrt(var)
+        r = got[et]
+        assert r.n_a == n_a and r.n_b == n_b
+        assert abs(r.u_a - u_a) < 1e-6
+        assert abs(r.z - z) < 1e-6
+
+
+def test_psi_totals_and_nonnegative(spark, sf_dir):
+    """Every event type appears once, base+cur partition the rows, and
+    PSI is non-negative (each Laplace-smoothed term is)."""
+    counts = (
+        __import__("pandas")
+        .read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+        .event_type.value_counts()
+        .to_dict()
+    )
+    rows = stats.dq_psi_value_drift(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(counts)
+    for r in rows:
+        assert r.n_base + r.n_cur == counts[r.event_type]
+        assert r.n_base > 0
+        assert r.psi >= 0.0
+
+
+def test_seasonal_baseline_matches_pandas(spark, sf_dir):
+    """baseline mean / cur value / z for every output cell equal a
+    pandas recomputation of the hourly totals."""
+    pd = __import__("pandas")
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    ev["day"] = ev.ts.dt.floor("D")
+    ev["hr"] = ev.ts.dt.hour
+    ev["v_u"] = (ev.value * 1e6 + 0.5).apply(math.floor)
+    h = ev.groupby(["event_type", "day", "hr"], as_index=False).v_u.sum()
+    last = h.day.max()
+    base = h[h.day < last]
+    cur = h[h.day == last]
+    from mysql_public_data_ingestor_spark.operators.timeseries import (
+        events_seasonal_hourly_baseline,
+    )
+
+    got = {
+        (r.event_type, r.hr): r
+        for r in events_seasonal_hourly_baseline(spark, sf_dir).collect()
+    }
+    checked = 0
+    for (et, hr), g in base.groupby(["event_type", "hr"]):
+        c = cur[(cur.event_type == et) & (cur.hr == hr)]
+        if c.empty:
+            assert (et, hr) not in got
+            continue
+        r = got[(et, hr)]
+        assert r.n_days == len(g)
+        mean_u = g.v_u.mean()
+        assert abs(r.baseline_mean - mean_u / 1e6) < 2e-6
+        assert abs(r.cur_value - c.v_u.iloc[0] / 1e6) < 2e-6
+        sd = g.v_u.std(ddof=1)
+        if len(g) > 1 and sd > 0:
+            assert abs(r.z - (c.v_u.iloc[0] - mean_u) / sd) < 1e-5
+        checked += 1
+    assert checked > 0 and len(got) == checked
+
+
+def test_mv_join_merge_proves_equality(spark, sf_dir):
+    """Every nation's merged (base ∪ delta-join) state equals the
+    from-scratch join, and the MV covers every order exactly once."""
+    from mysql_public_data_ingestor_spark.operators.advanced import (
+        mv_incremental_join_merge,
+    )
+
+    rows = mv_incremental_join_merge(spark, sf_dir).collect()
+    assert rows and all(r.matches_full == 1 for r in rows)
+    n_orders = len(
+        __import__("pandas").read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+        )
+    )
+    assert sum(r.n_orders for r in rows) == n_orders

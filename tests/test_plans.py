@@ -417,3 +417,35 @@ def test_headline_single_partition_only_feeds_final_aggregates(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_mann_whitney_window_is_partitioned(spark, sf_dir):
+    """The rank window runs per event type — a SinglePartition exchange
+    would mean the distinct-value table sorts on one reducer."""
+    df = q("stats_mann_whitney_ab", spark, sf_dir)
+    assert_no_cartesian(df)
+    assert "SinglePartition" not in physical_plan(df), physical_plan(df)
+
+
+def test_psi_edges_broadcast_no_cartesian(spark, sf_dir):
+    """Decile edges and totals reach the bucketing projection as
+    broadcasts; the only nested-loop join is the 1-row bounds row."""
+    df = q("dq_psi_value_drift", spark, sf_dir)
+    assert_no_cartesian(df)
+    assert "BroadcastHashJoin" in physical_plan(df), physical_plan(df)
+
+
+def test_mv_join_merge_dims_broadcast(spark, sf_dir):
+    """Base, delta, and full enrichment all broadcast the dim side —
+    the fact table never shuffles for the join."""
+    df = q("mv_incremental_join_merge", spark, sf_dir)
+    assert_no_cartesian(df)
+    assert physical_plan(df).count("BroadcastHashJoin") >= 3, physical_plan(df)
+
+
+def test_seasonal_baseline_bounded_shuffles(spark, sf_dir):
+    """Hourly pre-agg + calendar-bounded baseline/current join: no
+    cartesian, no global window."""
+    df = q("events_seasonal_hourly_baseline", spark, sf_dir)
+    assert_no_cartesian(df)
+    assert "Window" not in physical_plan(df)
