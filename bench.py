@@ -73,6 +73,11 @@ HEADLINE = [
     "embedding_int8_quant_stats",
     "sample_weighted_topk",
     "stats_ttest_ab",
+    # round-2 batch 5: drift / rank-test / seasonal / join-MV
+    "dq_psi_value_drift",
+    "stats_mann_whitney_ab",
+    "events_seasonal_hourly_baseline",
+    "mv_incremental_join_merge",
 ]
 
 
