@@ -78,6 +78,8 @@ HEADLINE = [
     "stats_mann_whitney_ab",
     "events_seasonal_hourly_baseline",
     "mv_incremental_join_merge",
+    "stats_jackknife_mean_ci",
+    "events_time_to_convert",
 ]
 
 

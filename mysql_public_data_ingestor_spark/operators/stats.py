@@ -1110,3 +1110,127 @@ def stats_mann_whitney_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u_a, 6).alias("u_a"),
         F.round((u_a - n_a_d * n_b_d / 2.0) / F.sqrt(var_u), 6).alias("z"),
     )
+
+
+JACK_BLOCKS = 32  # delete-one-block jackknife resampling granularity
+
+
+@register(
+    "stats_jackknife_mean_ci",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderpriority,
+             o_orderkey % {JACK_BLOCKS} AS blk,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), per AS (
+      SELECT o_orderpriority, blk,
+             CAST(count(*) AS BIGINT) AS n_i,
+             CAST(sum(cents) AS BIGINT) AS s_i
+      FROM o GROUP BY o_orderpriority, blk
+    ), tot AS (
+      SELECT o_orderpriority,
+             CAST(sum(n_i) AS BIGINT) AS n_all,
+             CAST(sum(s_i) AS BIGINT) AS s_all
+      FROM per GROUP BY o_orderpriority
+    ), ti AS (
+      SELECT p.o_orderpriority, t.n_all, t.s_all,
+             CAST(floor(CAST(t.s_all - p.s_i AS DOUBLE) * 1000000.0
+                        / (t.n_all - p.n_i) + 0.5) AS BIGINT) AS ti_u
+      FROM per p JOIN tot t USING (o_orderpriority)
+    ), tsum AS (
+      SELECT o_orderpriority, CAST(sum(ti_u) AS BIGINT) AS t_u
+      FROM ti GROUP BY o_orderpriority
+    ), dev AS (
+      SELECT i.o_orderpriority, i.n_all, i.s_all,
+             CAST(sum(
+               CAST({JACK_BLOCKS} * i.ti_u - s.t_u AS HUGEINT)
+               * ({JACK_BLOCKS} * i.ti_u - s.t_u)
+             ) AS DOUBLE) AS ssd
+      FROM ti i JOIN tsum s USING (o_orderpriority)
+      GROUP BY i.o_orderpriority, i.n_all, i.s_all
+    )
+    SELECT o_orderpriority, n_all AS n_orders,
+           round(CAST(s_all AS DOUBLE) / n_all / 100.0, 6) AS mean_total,
+           round(sqrt(({JACK_BLOCKS} - 1.0) / {JACK_BLOCKS}
+                      * ssd / ({JACK_BLOCKS} * {JACK_BLOCKS} * 1e12)) / 100.0, 6)
+             AS se_jack,
+           round(CAST(s_all AS DOUBLE) / n_all / 100.0
+                 - 1.96 * sqrt(({JACK_BLOCKS} - 1.0) / {JACK_BLOCKS}
+                               * ssd / ({JACK_BLOCKS} * {JACK_BLOCKS} * 1e12)) / 100.0,
+                 6) AS ci_lo,
+           round(CAST(s_all AS DOUBLE) / n_all / 100.0
+                 + 1.96 * sqrt(({JACK_BLOCKS} - 1.0) / {JACK_BLOCKS}
+                               * ssd / ({JACK_BLOCKS} * {JACK_BLOCKS} * 1e12)) / 100.0,
+                 6) AS ci_hi
+    FROM dev
+    """,
+)
+def stats_jackknife_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-block jackknife standard error + 95% CI for the mean
+    order total per priority — error bars at scale WITHOUT random
+    resampling: blocks are ``o_orderkey % 32``, so the estimate is a
+    pure function of the data (bootstrap needs RNG; block jackknife
+    doesn't, which is why it's the production choice for huge data).
+
+    One real shuffle (the (priority, block) partial agg — 160 balanced
+    keys); everything after operates on block summaries. Leave-one-out
+    means are quantized to integer micro-cents and deviations use the
+    identity ``theta_i - theta_bar = (B*ti - sum(ti)) / B`` so the
+    sum of squares is an exact integer — order-independent and
+    cross-engine identical; only the final sqrt is floating point.
+    """
+    t = Tables(spark, sf_dir)
+    B = JACK_BLOCKS
+    o = t.orders.select(
+        "o_orderpriority",
+        (F.col("o_orderkey") % B).alias("blk"),
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    per = o.groupBy("o_orderpriority", "blk").agg(
+        F.count(F.lit(1)).alias("n_i"), F.sum("cents").alias("s_i")
+    )
+    tot = per.groupBy("o_orderpriority").agg(
+        F.sum("n_i").alias("n_all"), F.sum("s_i").alias("s_all")
+    )
+    ti = per.join(F.broadcast(tot), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_all",
+        "s_all",
+        F.floor(
+            (F.col("s_all") - F.col("s_i")).cast("double")
+            * F.lit(1e6)
+            / (F.col("n_all") - F.col("n_i"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ti_u"),
+    )
+    tsum = ti.groupBy("o_orderpriority").agg(F.sum("ti_u").alias("t_u"))
+    dev = (
+        ti.join(F.broadcast(tsum), "o_orderpriority")
+        .groupBy("o_orderpriority", "n_all", "s_all")
+        .agg(
+            F.sum(
+                (B * F.col("ti_u") - F.col("t_u")).cast("decimal(38,0)")
+                * (B * F.col("ti_u") - F.col("t_u"))
+            )
+            .cast("double")
+            .alias("ssd")
+        )
+    )
+    mean_total = F.col("s_all").cast("double") / F.col("n_all") / F.lit(100.0)
+    se = (
+        F.sqrt(
+            F.lit((B - 1.0) / B) * F.col("ssd") / F.lit(float(B * B) * 1e12)
+        )
+        / F.lit(100.0)
+    )
+    return dev.select(
+        "o_orderpriority",
+        F.col("n_all").alias("n_orders"),
+        F.round(mean_total, 6).alias("mean_total"),
+        F.round(se, 6).alias("se_jack"),
+        F.round(mean_total - F.lit(1.96) * se, 6).alias("ci_lo"),
+        F.round(mean_total + F.lit(1.96) * se, 6).alias("ci_hi"),
+    )

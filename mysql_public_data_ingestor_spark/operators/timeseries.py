@@ -879,3 +879,67 @@ def events_seasonal_hourly_baseline(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.col("cur_u") / F.lit(1e6), 6).alias("cur_value"),
         F.round(z, 6).alias("z"),
     )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), lat AS (
+      SELECT epoch_us(p.p_ts) - epoch_us(v.v_ts) AS lat_us
+      FROM v JOIN p USING (user_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_disc(lat_us, 0.5) / 1000000.0, 6) AS p50_s,
+           round(quantile_disc(lat_us, 0.9) / 1000000.0, 6) AS p90_s,
+           round(quantile_disc(lat_us, 0.99) / 1000000.0, 6) AS p99_s,
+           round(CAST(sum(lat_us) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_s
+    FROM lat
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency distribution from first view to first subsequent
+    purchase per user: exact-discrete p50/p90/p99 and mean seconds —
+    the funnel's companion ("how fast do users convert", not just "how
+    many").
+
+    Per-user firsts are two aggs co-partitioned on user_id (same
+    shuffle key as the funnel); latencies are exact integer
+    microseconds, so the mean is order-independent and the percentiles
+    (max-accuracy ``percentile_approx`` == DuckDB ``quantile_disc``)
+    are exact data points. The final global reduce is a constant-size
+    percentile-sketch merge — the only SinglePartition step, carrying
+    one state per partition, never rows.
+    """
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = (
+        v.join(p, "user_id")
+        .select((F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts"))).alias("lat_us"))
+    )
+    exact = str(2**31 - 1)
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr(f"percentile_approx(lat_us, 0.5, {exact})") / F.lit(1e6), 6).alias("p50_s"),
+        F.round(F.expr(f"percentile_approx(lat_us, 0.9, {exact})") / F.lit(1e6), 6).alias("p90_s"),
+        F.round(F.expr(f"percentile_approx(lat_us, 0.99, {exact})") / F.lit(1e6), 6).alias("p99_s"),
+        F.round(F.sum("lat_us").cast("double") / F.count(F.lit(1)) / F.lit(1e6), 6).alias("mean_s"),
+    )

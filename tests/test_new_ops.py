@@ -379,3 +379,54 @@ def test_mv_join_merge_proves_equality(spark, sf_dir):
         )
     )
     assert sum(r.n_orders for r in rows) == n_orders
+
+
+def test_jackknife_matches_numpy(spark, sf_dir):
+    """Leave-one-block-out SE equals a numpy recomputation from the raw
+    cents, and the CI brackets the mean symmetrically."""
+    import numpy as np
+
+    pd = __import__("pandas")
+    od = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    od["cents"] = (od.o_totalprice * 100.0 + 0.5).apply(math.floor)
+    od["blk"] = od.o_orderkey % stats.JACK_BLOCKS
+    got = {r.o_orderpriority: r for r in stats.stats_jackknife_mean_ci(spark, sf_dir).collect()}
+    B = stats.JACK_BLOCKS
+    for prio, g in od.groupby("o_orderpriority"):
+        S, N = g.cents.sum(), len(g)
+        ti = []
+        for b in range(B):
+            m = g[g.blk == b]
+            ti.append(math.floor(float(S - m.cents.sum()) * 1e6 / (N - len(m)) + 0.5))
+        ti = np.array(ti, dtype=float) / 1e6  # leave-one-out means, cents
+        se = math.sqrt((B - 1) / B * ((ti - ti.mean()) ** 2).sum()) / 100.0
+        r = got[prio]
+        assert r.n_orders == N
+        assert abs(r.mean_total - S / N / 100.0) < 2e-6
+        assert abs(r.se_jack - se) < 1e-5
+        assert abs((r.ci_hi - r.ci_lo) - 2 * 1.96 * r.se_jack) < 5e-6
+
+
+def test_time_to_convert_matches_pandas(spark, sf_dir):
+    """n/mean equal a pandas recomputation; each percentile is an
+    actual latency with the right CDF position (exact-discrete)."""
+    pd = __import__("pandas")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"])
+    v = ev[ev.event_type == "view"].groupby("user_id").ts.min()
+    pur = ev[ev.event_type == "purchase"].merge(v.rename("v_ts"), on="user_id")
+    pur = pur[pur.ts > pur.v_ts]
+    p = pur.groupby("user_id").ts.min()
+    lat = (p - v.loc[p.index]).dt.total_seconds().to_numpy()
+    from mysql_public_data_ingestor_spark.operators.timeseries import (
+        events_time_to_convert,
+    )
+
+    r = events_time_to_convert(spark, sf_dir).collect()[0]
+    assert r.n_converted == len(lat)
+    assert abs(r.mean_s - lat.mean()) < 2e-6
+    n = len(lat)
+    for q, val in ((0.5, r.p50_s), (0.9, r.p90_s), (0.99, r.p99_s)):
+        assert (lat <= val + 1e-9).sum() / n >= q
+        assert (lat < val - 1e-9).sum() / n < q

@@ -449,3 +449,20 @@ def test_seasonal_baseline_bounded_shuffles(spark, sf_dir):
     df = q("events_seasonal_hourly_baseline", spark, sf_dir)
     assert_no_cartesian(df)
     assert "Window" not in physical_plan(df)
+
+
+def test_jackknife_group_keyed_throughout(spark, sf_dir):
+    """Block summaries join broadcast; no global exchange anywhere —
+    the only real shuffle is the 160-key (priority, block) agg."""
+    df = q("stats_jackknife_mean_ci", spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_time_to_convert_copartitioned_on_user(spark, sf_dir):
+    """Both firsts and the latency join share the user_id key; the
+    global percentile reduce merges constant-size sketch states."""
+    df = q("events_time_to_convert", spark, sf_dir)
+    assert_no_cartesian(df)
