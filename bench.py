@@ -80,6 +80,7 @@ HEADLINE = [
     "mv_incremental_join_merge",
     "stats_jackknife_mean_ci",
     "events_time_to_convert",
+    "stats_mad_robust_outliers",
 ]
 
 

@@ -1234,3 +1234,72 @@ def stats_jackknife_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_total - F.lit(1.96) * se, 6).alias("ci_lo"),
         F.round(mean_total + F.lit(1.96) * se, 6).alias("ci_hi"),
     )
+
+
+@register(
+    "stats_mad_robust_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_u
+      FROM events
+    ), med AS (
+      SELECT event_type, quantile_disc(v_u, 0.5) AS med_u
+      FROM e GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.v_u, m.med_u, abs(e.v_u - m.med_u) AS d_u
+      FROM e JOIN med m ON e.event_type = m.event_type
+    ), mad AS (
+      SELECT event_type, quantile_disc(d_u, 0.5) AS mad_u
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(max(d.med_u) / 1000000.0, 6) AS median_v,
+           round(max(m.mad_u) / 1000000.0, 6) AS mad_v,
+           CAST(sum(CASE WHEN abs(0.6745 * (d.v_u - d.med_u) / m.mad_u) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(max(abs(0.6745 * (d.v_u - d.med_u) / m.mad_u)), 6) AS max_abs_rz
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def stats_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier scoring via median / MAD (the 0.6745-scaled
+    modified z-score): unlike mean/std (``events_rolling_zscore``'s
+    basis), a few extreme values cannot drag the threshold — the
+    robust-statistics workhorse for fat-tailed metrics.
+
+    Two grouped exact-discrete-percentile passes (median of values,
+    then median of absolute deviations), each a constant-size sketch
+    state per event type, broadcast back between passes; the outlier
+    flags are then a row-local expression folded into one final
+    bounded-key aggregate. At 100 TB: two pruned scans, reduce sides
+    bounded by |event_types|, never by rows.
+    """
+    t = Tables(spark, sf_dir)
+    exact = str(2**31 - 1)
+    e = t.events.select(
+        "event_type", quantize(F.col("value"), 6).alias("v_u")
+    )
+    med = e.groupBy("event_type").agg(
+        F.expr(f"percentile_approx(v_u, 0.5, {exact})").alias("med_u")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "v_u", "med_u", F.abs(F.col("v_u") - F.col("med_u")).alias("d_u")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr(f"percentile_approx(d_u, 0.5, {exact})").alias("mad_u")
+    )
+    rz = F.abs(F.lit(0.6745) * (F.col("v_u") - F.col("med_u")) / F.col("mad_u"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.max("med_u") / F.lit(1e6), 6).alias("median_v"),
+            F.round(F.max("mad_u") / F.lit(1e6), 6).alias("mad_v"),
+            F.sum(F.when(rz > 3.5, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.round(F.max(rz), 6).alias("max_abs_rz"),
+        )
+    )

@@ -430,3 +430,25 @@ def test_time_to_convert_matches_pandas(spark, sf_dir):
     for q, val in ((0.5, r.p50_s), (0.9, r.p90_s), (0.99, r.p99_s)):
         assert (lat <= val + 1e-9).sum() / n >= q
         assert (lat < val - 1e-9).sum() / n < q
+
+
+def test_mad_outliers_recount_from_reported_stats(spark, sf_dir):
+    """median/MAD are actual data points with the right CDF position,
+    and n_outliers/max_abs_rz recount exactly from the reported stats."""
+    import numpy as np
+
+    pd = __import__("pandas")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ev["v_u"] = (ev.value * 1e6 + 0.5).apply(math.floor)
+    for r in stats.stats_mad_robust_outliers(spark, sf_dir).collect():
+        v = ev[ev.event_type == r.event_type].v_u.to_numpy()
+        assert r.n_events == len(v)
+        med_u = round(r.median_v * 1e6)
+        mad_u = round(r.mad_v * 1e6)
+        n = len(v)
+        assert (v <= med_u).sum() / n >= 0.5 and (v < med_u).sum() / n < 0.5
+        d = np.abs(v - med_u)
+        assert (d <= mad_u).sum() / n >= 0.5 and (d < mad_u).sum() / n < 0.5
+        rz = np.abs(0.6745 * (v - med_u) / mad_u)
+        assert r.n_outliers == int((rz > 3.5).sum())
+        assert abs(r.max_abs_rz - rz.max()) < 1e-5

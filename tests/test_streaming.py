@@ -342,3 +342,62 @@ def test_stateful_running_totals_tws(spark, sf_dir, events_stream):
     got_m = {r.user_id: r.n for r in got.collect()}
     exp_m = {r.user_id: r.n for r in expect.collect()}
     assert got_m == exp_m
+
+
+def test_streaming_mv_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """Per-priority MV maintained across micro-batches (one file per
+    trigger) equals the from-scratch batch aggregate, and a replayed
+    epoch is a no-op (no double counting)."""
+    from mysql_public_data_ingestor_spark.streaming.mv import (
+        latest_epoch,
+        maintain_priority_mv,
+        merge_epoch,
+        read_mv,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src = str(tmp_path / "orders_src")
+    # two source files -> two micro-batches under maxFilesPerTrigger=1
+    orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(
+        src + "/chunk=0"
+    )
+    orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(
+        src + "/chunk=1"
+    )
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+    mv_path = str(tmp_path / "mv")
+    q = maintain_priority_mv(stream, mv_path).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert latest_epoch(mv_path) >= 1  # really merged across >1 epoch
+
+    got = {
+        r.o_orderpriority: (r.n_orders, r.cents)
+        for r in read_mv(spark, mv_path).collect()
+    }
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    want = {
+        r.o_orderpriority: (r.n, r.c)
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c"))
+        .collect()
+    }
+    assert got == want
+
+    # crash-replay of the last epoch: already folded -> no-op
+    last = latest_epoch(mv_path)
+    merge_epoch(orders.limit(10), last, mv_path)
+    assert latest_epoch(mv_path) == last
+    got2 = {
+        r.o_orderpriority: (r.n_orders, r.cents)
+        for r in read_mv(spark, mv_path).collect()
+    }
+    assert got2 == want
