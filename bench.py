@@ -81,6 +81,8 @@ HEADLINE = [
     "stats_jackknife_mean_ci",
     "events_time_to_convert",
     "stats_mad_robust_outliers",
+    "corpus_filter_ablation",
+    "ml_user_feature_pack",
 ]
 
 

@@ -359,3 +359,108 @@ def ml_feature_scaling_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(F.col("l_extendedprice")), 6).alias("price_sqrt"),
         )
     )
+
+
+@register(
+    "ml_user_feature_pack",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_no,
+             CAST(count(*) AS BIGINT) AS n_ev,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pur,
+             CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS day_u
+      FROM events GROUP BY 1, 2
+    ), mx AS (
+      SELECT max(day_no) AS max_day FROM daily
+    ), u AS (
+      SELECT user_id,
+             CAST(sum(n_ev) AS BIGINT)  AS n_events,
+             CAST(sum(n_pur) AS BIGINT) AS n_purchases,
+             CAST(count(*) AS BIGINT)   AS active_days,
+             CAST(max(max_day) - max(day_no) AS BIGINT) AS recency_days,
+             CAST(sum(day_u) AS DOUBLE) AS sy,
+             CAST(sum(CAST(day_no AS HUGEINT) * day_u) AS DOUBLE) AS sxy,
+             CAST(sum(day_no) AS DOUBLE) AS sx,
+             CAST(sum(CAST(day_no AS HUGEINT) * day_no) AS DOUBLE) AS sxx
+      FROM daily CROSS JOIN mx GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_purchases, active_days, recency_days,
+           round(sy / n_events / 1000000.0, 6) AS mean_value,
+           round(CAST(n_events AS DOUBLE) / active_days, 6) AS events_per_active_day,
+           round(CASE WHEN active_days > 1
+                 THEN (active_days * sxy - sx * sy)
+                      / (active_days * sxx - sx * sx) / 1000000.0
+                 ELSE NULL END, 6) AS value_trend_slope
+    FROM u
+    """,
+)
+def ml_user_feature_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature vector — the feature-store build
+    step for churn/propensity models: counts, recency, active days,
+    exact mean value, events per active day, and the per-user OLS
+    slope of daily spend over time (trend).
+
+    Two chained aggregations — (user, day) then (user) — each map-side
+    combined, so the first shuffle carries |user-days| partial rows
+    (not raw events) and the second only |user-days| -> |users|;
+    cheaper at scale than forcing one shuffle of raw rows. The global
+    max-day anchor is a broadcast 1-row cross join. The trend slope assembles from exact integer sufficient
+    statistics (micro-value x day-number sums as decimals), the same
+    discipline as ``stats_linear_regression`` — order-independent,
+    cross-engine identical, no per-user value lists. At 100 TB: output
+    rows = |users|, shuffle rows = |user-days|, both data-model
+    bounded.
+    """
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "user_id",
+            F.unix_date(F.to_date(F.col("ts"))).cast("long").alias("day_no"),
+            F.col("event_type"),
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("v_u"),
+        )
+        .groupBy("user_id", "day_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_pur"),
+            F.sum("v_u").alias("day_u"),
+        )
+    )
+    mx = daily.agg(F.max("day_no").alias("max_day"))
+    u = (
+        daily.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_ev").alias("n_events"),
+            F.sum("n_pur").alias("n_purchases"),
+            F.count(F.lit(1)).alias("active_days"),
+            (F.max("max_day") - F.max("day_no")).cast("long").alias("recency_days"),
+            F.sum("day_u").cast("double").alias("sy"),
+            F.sum(F.col("day_no").cast("decimal(38,0)") * F.col("day_u"))
+            .cast("double")
+            .alias("sxy"),
+            F.sum("day_no").cast("double").alias("sx"),
+            F.sum(F.col("day_no").cast("decimal(38,0)") * F.col("day_no"))
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    ad = F.col("active_days")
+    slope = F.when(
+        ad > 1,
+        (ad * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (ad * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / F.lit(1e6),
+    )
+    return u.select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        "active_days",
+        "recency_days",
+        F.round(F.col("sy") / F.col("n_events") / F.lit(1e6), 6).alias("mean_value"),
+        F.round(F.col("n_events").cast("double") / ad, 6).alias("events_per_active_day"),
+        F.round(slope, 6).alias("value_trend_slope"),
+    )

@@ -367,3 +367,70 @@ def pipeline_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("keep_final"), F.col("n_tokens"))), F.lit(0)
         ).cast("long").alias("tokens_final"),
     )
+
+
+@register(
+    "corpus_filter_ablation",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS n_words,
+             len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                             w -> w IN ({', '.join(f"'{w}'" for w in STOPWORDS)}))) AS n_stop
+      FROM documents
+    ), flagged AS (
+      SELECT n_words,
+             CASE WHEN n_words >= {MIN_WORDS} THEN 1 ELSE 0 END AS len_ok,
+             CASE WHEN n_stop * 1.0 / n_words <= {MAX_STOP_RATIO} THEN 1 ELSE 0 END AS stop_ok,
+             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY content_hash)
+                  THEN 1 ELSE 0 END AS uniq_ok
+      FROM scored
+    )
+    SELECT len_ok, stop_ok, uniq_ok,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens
+    FROM flagged GROUP BY len_ok, stop_ok, uniq_ok
+    """,
+)
+def corpus_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-ablation crosstab: every combination of the three
+    INDEPENDENT corpus gates (length, stopword ratio, exact-dup winner)
+    with doc/token counts — answers "what does each filter uniquely
+    remove, and what do they agree on", which the sequential
+    ``pipeline_survival_funnel`` by construction cannot (it only shows
+    cumulative survival in one fixed order).
+
+    Unlike the funnel's conditional winner, ``uniq_ok`` here is the
+    unconditional min-doc_id-per-hash so the three gates are orthogonal
+    and every marginal is derivable from the 8 cells. One scan, one
+    dedup-window shuffle on content_hash, then an 8-key reduce —
+    ablation reporting at 100 TB costs the same as the dedup pass
+    itself.
+    """
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    words = whitespace_tokens(F.col("text"))
+    scored = t.documents.select(
+        "doc_id",
+        sha256_hex(normalized_text(F.col("text"))).alias("content_hash"),
+        F.size(words).alias("n_words"),
+        F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).alias("n_stop"),
+    )
+    win = Window.partitionBy("content_hash")
+    flagged = scored.select(
+        "n_words",
+        F.when(F.col("n_words") >= MIN_WORDS, 1).otherwise(0).alias("len_ok"),
+        F.when(F.col("n_stop") / F.col("n_words") <= MAX_STOP_RATIO, 1)
+        .otherwise(0)
+        .alias("stop_ok"),
+        F.when(F.col("doc_id") == F.min("doc_id").over(win), 1)
+        .otherwise(0)
+        .alias("uniq_ok"),
+    )
+    return flagged.groupBy("len_ok", "stop_ok", "uniq_ok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+    )

@@ -452,3 +452,62 @@ def test_mad_outliers_recount_from_reported_stats(spark, sf_dir):
         rz = np.abs(0.6745 * (v - med_u) / mad_u)
         assert r.n_outliers == int((rz > 3.5).sum())
         assert abs(r.max_abs_rz - rz.max()) < 1e-5
+
+
+def test_filter_ablation_marginals_consistent(spark, sf_dir):
+    """The 8 cells partition the corpus; the uniq/len marginals equal
+    direct pandas recounts of the same gates."""
+    import re
+
+    from mysql_public_data_ingestor_spark.operators import pipeline as pl
+
+    pd = __import__("pandas")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    norm = docs.text.map(lambda t: re.sub(r"\s+", " ", t.lower()).strip())
+    docs["n_words"] = norm.map(lambda t: len(t.split(" ")))
+    docs["norm"] = norm
+    cells = pl.corpus_filter_ablation(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in cells) == len(docs)
+    assert sum(r.n_tokens for r in cells) == int(docs.n_words.sum())
+    # uniq marginal == number of distinct normalized texts
+    assert sum(r.n_docs for r in cells if r.uniq_ok == 1) == docs.norm.nunique()
+    # len marginal == direct recount
+    assert sum(r.n_docs for r in cells if r.len_ok == 1) == int(
+        (docs.n_words >= pl.MIN_WORDS).sum()
+    )
+
+
+def test_user_feature_pack_matches_pandas(spark, sf_dir):
+    """Every user's features equal a pandas recomputation (exact
+    counts; slope via numpy polyfit on daily micro-sums)."""
+    import numpy as np
+
+    pd = __import__("pandas")
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "value"]
+    )
+    ev["day_no"] = (ev.ts.dt.floor("D") - pd.Timestamp("1970-01-01")).dt.days
+    ev["v_u"] = (ev.value * 1e6 + 0.5).apply(math.floor)
+    daily = ev.groupby(["user_id", "day_no"]).agg(
+        n_ev=("v_u", "size"),
+        n_pur=("event_type", lambda s: int((s == "purchase").sum())),
+        day_u=("v_u", "sum"),
+    )
+    max_day = daily.index.get_level_values("day_no").max()
+    from mysql_public_data_ingestor_spark.operators.ml import ml_user_feature_pack
+
+    got = {r.user_id: r for r in ml_user_feature_pack(spark, sf_dir).collect()}
+    assert set(got) == set(daily.index.get_level_values("user_id"))
+    for uid, g in daily.groupby(level="user_id"):
+        r = got[uid]
+        days = g.index.get_level_values("day_no").to_numpy(dtype=float)
+        assert r.n_events == int(g.n_ev.sum())
+        assert r.n_purchases == int(g.n_pur.sum())
+        assert r.active_days == len(g)
+        assert r.recency_days == int(max_day - days.max())
+        assert abs(r.mean_value - g.day_u.sum() / g.n_ev.sum() / 1e6) < 2e-6
+        if len(g) > 1:
+            slope = np.polyfit(days, g.day_u.to_numpy(dtype=float) / 1e6, 1)[0]
+            assert abs(r.value_trend_slope - slope) < 1e-4
+        else:
+            assert r.value_trend_slope is None

@@ -466,3 +466,18 @@ def test_time_to_convert_copartitioned_on_user(spark, sf_dir):
     global percentile reduce merges constant-size sketch states."""
     df = q("events_time_to_convert", spark, sf_dir)
     assert_no_cartesian(df)
+
+
+def test_filter_ablation_single_window_shuffle(spark, sf_dir):
+    """One content_hash window + the 8-key reduce; nothing global."""
+    df = q("corpus_filter_ablation", spark, sf_dir)
+    assert_no_cartesian(df)
+    assert "SinglePartition" not in physical_plan(df), physical_plan(df)
+
+
+def test_user_feature_pack_combined_shuffles(spark, sf_dir):
+    """Both aggs are map-side combined: exactly the (user, day) and
+    (user) exchanges plus the 1-row broadcast anchor — no more."""
+    df = q("ml_user_feature_pack", spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_exchanges(df) == 2, physical_plan(df)
