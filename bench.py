@@ -1,7 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+ONE compact JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {"all": N}, "n_queries": K, "sf": ...}. Per-query warm and
+cold timings go to stderr and to BENCH_DETAIL.json (the recording
+harness keeps only a bounded tail of stdout — round 2's full per-query
+line outgrew it and the headline number was lost).
 
 Each query is forced to full materialization with the noop sink (no
 driver-side collect, no Arrow transfer cost in the measurement).
@@ -131,37 +134,79 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     _report_deltas(timings, total, sf)
+    # The harness that records this run keeps only a bounded tail of
+    # stdout; round 2's single line (50 warm + 50 cold timings, ~5 KB)
+    # outgrew it and the headline number was lost. So: full per-query
+    # detail goes to stderr AND a sidecar file; the FINAL stdout line is
+    # a compact summary guaranteed to fit any reasonable tail buffer.
+    detail = {
+        "metric": "headline_query_wall_seconds_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "timing": "min_of_2_runs",
+        "queries_cold": cold,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as exc:  # read-only checkout: stderr copy still has it
+        print(f"[bench] could not write {detail_path}: {exc}", file=sys.stderr)
+    print("[bench] per-query detail: " + json.dumps(detail), file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_seconds_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {"all": total},
+                "n_queries": len(timings),
                 "sf": sf,
                 "timing": "min_of_2_runs",
-                "queries_cold": cold,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )
 
 
 def _report_deltas(timings: dict[str, float], total: float, sf: float) -> None:
-    """Diff against the newest BENCH_r*.json (same sf only) on stderr."""
+    """Diff against the newest per-query record (same sf only) on stderr.
+
+    Prefers the committed BENCH_DETAIL.json sidecar (full per-query
+    timings since round 3) and falls back to the newest BENCH_r*.json
+    for older rounds whose stdout line still carried the dict.
+    """
     import glob
     import re
 
+    root = os.path.dirname(os.path.abspath(__file__))
+    prev = None
+    src = None
+    detail_path = os.path.join(root, "BENCH_DETAIL.json")
+    if os.path.exists(detail_path):
+        try:
+            with open(detail_path) as f:
+                prev = json.load(f)
+            src = "BENCH_DETAIL.json"
+        except (OSError, json.JSONDecodeError):
+            prev = None
     benches = sorted(
-        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+        glob.glob(os.path.join(root, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
     )
-    if not benches:
-        return
-    try:
-        with open(benches[-1]) as f:
-            prev = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        return
+    if prev is None:
+        if not benches:
+            return
+        try:
+            with open(benches[-1]) as f:
+                prev = json.load(f)
+            src = os.path.basename(benches[-1])
+        except (OSError, json.JSONDecodeError):
+            return
     # driver files wrap the bench JSON line under "parsed"
     if "parsed" in prev and isinstance(prev["parsed"], dict):
         prev = {**prev["parsed"], "sf": prev.get("sf", prev["parsed"].get("sf"))}
@@ -169,7 +214,7 @@ def _report_deltas(timings: dict[str, float], total: float, sf: float) -> None:
         print(f"[bench] no delta: previous round ran sf={prev.get('sf')}", file=sys.stderr)
         return
     prev_q = prev.get("queries", {})
-    print(f"[bench] vs {os.path.basename(benches[-1])}:", file=sys.stderr)
+    print(f"[bench] vs {src}:", file=sys.stderr)
     if prev.get("timing") != "min_of_2_runs":
         print(
             "[bench]   NOTE: previous round timed single (cold) runs; this round "

