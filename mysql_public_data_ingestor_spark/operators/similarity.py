@@ -431,10 +431,17 @@ def _projection_matrix() -> list[list[float]]:
 
 
 def _projection_oracle() -> str:
+    # Explicit left-associated sum (v[1]*w1 + v[2]*w2 + ...) rather than
+    # list_inner_product: SQL's left-assoc `+` fixes the fold order, so
+    # the double result is bit-identical to the Spark UDF's k-ordered
+    # accumulation, and floor-quantization (no library round) makes the
+    # final int64 deterministic in BOTH engines. round()-based variants
+    # are a latent flake: numpy rounds half-to-even, DuckDB half-away,
+    # and a BLAS-order sum can land within 1e-15 of a half boundary.
     cols = ",\n           ".join(
-        "round(list_inner_product(v, ["
-        + ", ".join(repr(w) for w in row)
-        + f"]), 6) AS p{j}"
+        "CAST(floor(("
+        + " + ".join(f"v[{k + 1}] * {w!r}" for k, w in enumerate(row))
+        + f") * 1000000.0 + 0.5) AS BIGINT) AS p{j}_u"
         for j, row in enumerate(_projection_matrix())
     )
     return f"""
@@ -458,29 +465,44 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes), so projected values are reproducible anywhere.
 
     Scale: pure row-local projection — map-side only, no shuffle. The
-    8x64 matmul runs as ONE Arrow pandas UDF (BLAS batch per Arrow
+    8x64 matmul runs as ONE Arrow pandas UDF (vectorized per Arrow
     block) rather than 8 interpreted ``aggregate``/``zip_with`` folds:
     Spark's higher-order functions evaluate per element outside
     codegen, measured ~8x slower than the matmul here — the same
-    measured trade as ``_signature_udf``. Rounding to 6dp absorbs the
-    (≤1e-15 relative) BLAS-vs-sequential-fold summation difference;
-    the oracle gate verifies values exactly.
+    measured trade as ``_signature_udf``.
+
+    Determinism: the accumulation is an explicit k-ordered (left-to-
+    right) fold — NOT a BLAS gemm, whose pairwise/blocked summation
+    order differs from the oracle's left-assoc SQL ``+`` chain by up to
+    ~1e-15 relative. With bit-identical doubles on both sides, the
+    output quantizes via ``floor(p*1e6 + 0.5)`` to int64 micro-units
+    (``p{j}_u``) instead of library round(), because round-half-to-even
+    (numpy) vs half-away-from-zero (DuckDB) would diverge exactly at
+    half boundaries. Every IEEE op here (mul, add, floor) is exact-
+    identical across engines, so the hash gate cannot flake.
     """
     import numpy as np
 
     t = Tables(spark, sf_dir)
-    P = np.asarray(_projection_matrix(), dtype=np.float64)
+    P = np.asarray(_projection_matrix(), dtype=np.float64)  # (8, 64)
 
     @F.pandas_udf("array<double>")
     def proj(v: pd.Series) -> pd.Series:
-        M = np.array(v.tolist(), dtype=np.float64)
-        out = np.round(M @ P.T, 6)
+        M = np.array(v.tolist(), dtype=np.float64)  # (n, 64)
+        out = np.zeros((M.shape[0], P.shape[0]), dtype=np.float64)
+        for k in range(P.shape[1]):  # left-to-right fold, matches oracle
+            out += M[:, k : k + 1] * P[:, k]
         return pd.Series(list(out))
 
     emb = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     return emb.select("vec_id", proj("v").alias("ps")).select(
         "vec_id",
-        *[F.element_at(F.col("ps"), j + 1).alias(f"p{j}") for j in range(PROJ_DIMS)],
+        *[
+            F.floor(F.element_at(F.col("ps"), j + 1) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias(f"p{j}_u")
+            for j in range(PROJ_DIMS)
+        ],
     )
 
 

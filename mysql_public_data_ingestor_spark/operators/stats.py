@@ -850,7 +850,13 @@ def stats_ttest_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("v_u").cast("double").alias("sum_u"),
-            F.sum((F.col("v_u") * F.col("v_u")).cast("decimal(38,0)")).cast("double").alias("sumsq_u"),
+            # widen BEFORE multiplying: v_u*v_u in int64 wraps silently
+            # once |value| > ~3035 (v_u^2 > 2^63); decimal first matches
+            # the oracle's HUGEINT fold and the discipline used in
+            # stats_mann_whitney_ab / events_seasonal_hourly_baseline.
+            F.sum(F.col("v_u").cast("decimal(38,0)") * F.col("v_u").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("sumsq_u"),
         )
     )
     a = s.filter(F.col("cohort") == 0).select(

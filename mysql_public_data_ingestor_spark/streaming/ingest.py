@@ -120,7 +120,14 @@ class IngestEngine:
         try:
             for target in self.targets:
                 self.sink(df, target)
-            n = int(obs.get["n"])
+            if not self.targets:
+                # Observation.get blocks until an action runs over the
+                # observed frame; with zero sinks no action ever fires
+                # and obs.get would hang forever. Count directly (also
+                # warms the persisted cache for any later reader).
+                n = df.count()
+            else:
+                n = int(obs.get["n"])
         finally:
             df.unpersist()
         self.batches_done += 1

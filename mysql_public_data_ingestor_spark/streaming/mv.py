@@ -34,8 +34,19 @@ def _mv_state(df: DataFrame) -> DataFrame:
 
 
 def latest_epoch(mv_path: str) -> int | None:
+    """Highest *committed* epoch: a version counts only once its
+    ``_SUCCESS`` marker exists (same discipline as
+    ``IdempotentParquetSink``). A crash mid-write leaves a partial
+    ``epoch=N`` directory with no marker; it must not satisfy the
+    replay guard, or the replayed batch would no-op and the data be
+    lost while readers see a partial MV."""
     versions = glob.glob(os.path.join(mv_path, "epoch=*"))
-    return max((int(d.rsplit("=", 1)[1]) for d in versions), default=None)
+    committed = (
+        int(d.rsplit("=", 1)[1])
+        for d in versions
+        if os.path.exists(os.path.join(d, "_SUCCESS"))
+    )
+    return max(committed, default=None)
 
 
 def read_mv(spark, mv_path: str) -> DataFrame:
@@ -47,10 +58,15 @@ def read_mv(spark, mv_path: str) -> DataFrame:
 
 
 def merge_epoch(batch_df: DataFrame, epoch_id: int, mv_path: str) -> None:
-    """Fold one micro-batch into the MV (idempotent per epoch)."""
+    """Fold one micro-batch into the MV (idempotent per epoch).
+
+    ``prev`` counts only committed (``_SUCCESS``-marked) versions, so a
+    replay after a crash mid-write of this epoch re-runs the merge and
+    ``mode("overwrite")`` replaces the partial directory.
+    """
     prev = latest_epoch(mv_path)
     if prev is not None and prev >= epoch_id:
-        return  # replayed epoch: already folded, no-op
+        return  # replayed epoch: already committed, no-op
     delta = _mv_state(batch_df)
     if prev is None:
         merged = delta
@@ -68,11 +84,25 @@ def merge_epoch(batch_df: DataFrame, epoch_id: int, mv_path: str) -> None:
     )
 
 
-def maintain_priority_mv(stream_orders: DataFrame, mv_path: str):
-    """writeStream query keeping the per-priority order MV fresh."""
+def maintain_priority_mv(stream_orders: DataFrame, mv_path: str, checkpoint_path: str):
+    """writeStream query keeping the per-priority order MV fresh.
+
+    ``checkpoint_path`` is REQUIRED: without a checkpoint, a restarted
+    query re-numbers epochs from 0, every post-restart batch fails the
+    ``prev >= epoch_id`` guard against the stale higher epoch, and data
+    is silently dropped. With it, Structured Streaming resumes epoch
+    ids monotonically and replays exactly the uncommitted batch.
+    """
+    if not checkpoint_path:
+        raise ValueError(
+            "maintain_priority_mv requires a checkpointLocation: restart "
+            "without one restarts epoch ids at 0 and the epoch guard "
+            "silently drops every post-restart batch"
+        )
     return (
         stream_orders.writeStream.foreachBatch(
             lambda df, eid: merge_epoch(df, eid, mv_path)
         )
+        .option("checkpointLocation", checkpoint_path)
         .outputMode("update")
     )

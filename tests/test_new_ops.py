@@ -162,8 +162,12 @@ def test_random_projection_matches_numpy(spark, sf_dir):
     assert len(rows) == len(emb)
     for r in rows[:50]:
         want = P @ emb[r.vec_id]
-        got = np.array([getattr(r, f"p{j}") for j in range(sim.PROJ_DIMS)])
-        assert np.allclose(got, np.round(want, 6), atol=1e-6)
+        # output is floor(p*1e6 + 0.5) int64 micro-units (deterministic
+        # cross-engine quantization — see operator docstring)
+        got = np.array(
+            [getattr(r, f"p{j}_u") for j in range(sim.PROJ_DIMS)], dtype=np.float64
+        ) / 1e6
+        assert np.allclose(got, want, atol=1e-6)
 
 
 def test_int8_quant_stats_bounds_and_error(spark, sf_dir):

@@ -372,7 +372,11 @@ def test_streaming_mv_maintenance_equals_batch(spark, sf_dir, tmp_path):
         .load(src)
     )
     mv_path = str(tmp_path / "mv")
-    q = maintain_priority_mv(stream, mv_path).start()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="checkpointLocation"):
+        maintain_priority_mv(stream, mv_path, "")
+    q = maintain_priority_mv(stream, mv_path, str(tmp_path / "ckpt")).start()
     try:
         q.processAllAvailable()
     finally:
@@ -401,3 +405,23 @@ def test_streaming_mv_maintenance_equals_batch(spark, sf_dir, tmp_path):
         for r in read_mv(spark, mv_path).collect()
     }
     assert got2 == want
+
+    # crash MID-WRITE of a new epoch: partial dir without _SUCCESS must
+    # not count as committed, and the replayed merge must overwrite it.
+    import os
+
+    partial = os.path.join(mv_path, f"epoch={last + 1}")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    assert latest_epoch(mv_path) == last  # partial epoch invisible
+    extra = orders.limit(10)
+    merge_epoch(extra, last + 1, mv_path)  # replay actually merges
+    assert latest_epoch(mv_path) == last + 1
+    cents10 = extra.select(F.sum(cents).alias("c"), F.count(F.lit(1)).alias("n")).first()
+    got3 = read_mv(spark, mv_path).agg(
+        F.sum("cents").alias("c"), F.sum("n_orders").alias("n")
+    ).first()
+    want_tot = orders.select(F.sum(cents).alias("c"), F.count(F.lit(1)).alias("n")).first()
+    assert got3.n == want_tot.n + cents10.n
+    assert got3.c == want_tot.c + cents10.c
