@@ -433,22 +433,62 @@ def null_handling_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_stratified", oracle=None)
-def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (sampleBy with per-stratum fractions, fixed
-    seed) + summary per stratum. Rows-only check: sampling RNG is
-    engine-specific by nature; the summary shape (per-lang counts within
-    the expected binomial envelope) is asserted in tests.
+# Per-stratum sample percentages shared by the Spark plan and the oracle.
+_STRAT_PCT = {"en": 50, "fr": 30, "de": 30, "es": 30, "zh": 30}
+_STRAT_VALUES = ", ".join(f"('{k}', {v})" for k, v in _STRAT_PCT.items())
+# Salted so the stratified sample is independent of sample_hash_mod's
+# bucket (same raw hash would select the same documents in both).
+_STRAT_SQL_BUCKET = "(('0x' || substr(sha256('strat:' || CAST(doc_id AS VARCHAR)), 1, 15)))::BIGINT % 100"
 
-    Scale note: sampleBy is a map-side filter — no shuffle until the
-    tiny summary agg; the 100 TB-safe way to cut a training subset.
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    WITH f(lang, pct_target) AS (VALUES {_STRAT_VALUES}),
+    b AS (
+      SELECT d.lang, f.pct_target, d.doc_id,
+             ({_STRAT_SQL_BUCKET}) < f.pct_target AS keep
+      FROM documents d JOIN f ON d.lang = f.lang
+    )
+    SELECT lang,
+           pct_target,
+           count(*) AS n_total,
+           CAST(floor(count(*) * pct_target / 100.0) AS BIGINT) AS n_expected,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           min(CASE WHEN keep THEN doc_id END) AS min_doc_id
+    FROM b GROUP BY lang, pct_target
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum fractions applied
+    via a salted hash-mod on the key (the reproducible replacement for
+    ``sampleBy``'s per-partition RNG, whose output shifts with cluster
+    layout). Emits per-stratum expected vs actual counts, so the whole
+    sample — membership included (min_doc_id) — is oracle-checkable.
+
+    Scale note: the keep-predicate is row-local — a map-side filter
+    with no shuffle until the tiny per-stratum summary agg; the
+    100 TB-safe way to cut a training subset, and new documents join
+    the sample iff their hash lands under the stratum cut (composes
+    with incremental ingestion).
     """
+    from ..functions.textnorm import sha256_prefix_i64
+
     t = Tables(spark, sf_dir)
-    fractions = {"en": 0.5, "fr": 0.3, "de": 0.3, "es": 0.3, "zh": 0.3}
-    sampled = t.documents.sampleBy("lang", fractions, seed=42)
-    return sampled.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.min("doc_id").alias("min_doc_id"),
+    pct = F.create_map(
+        *[F.lit(x) for kv in _STRAT_PCT.items() for x in kv]
+    )[F.col("lang")].alias("pct_target")
+    bucket = (
+        sha256_prefix_i64(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))) % 100
+    )
+    docs = t.documents.filter(F.col("lang").isin(*_STRAT_PCT)).select(
+        "lang", "doc_id", pct, (bucket < F.col("pct_target")).alias("keep")
+    )
+    return docs.groupBy("lang", "pct_target").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.floor(F.count(F.lit(1)) * F.col("pct_target") / F.lit(100.0)).alias("n_expected"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_sampled"),
+        F.min(F.when(F.col("keep"), F.col("doc_id"))).alias("min_doc_id"),
     )
 
 

@@ -50,7 +50,7 @@ def _exploded_embeddings(t: Tables) -> DataFrame:
     ).select("vec_id", (F.col("pos0") + 1).cast("long").alias("pos"), "v")
 
 
-def _assign(ex: DataFrame, centroids: DataFrame) -> DataFrame:
+def _assign(ex: DataFrame, centroids: DataFrame, shards: int = 1) -> DataFrame:
     """Nearest-centroid assignment: (vec_id, cid, dist2q).
 
     dist2q = sum over dims of floor((v-c)^2 * 10^12 + 0.5) — an int64,
@@ -58,15 +58,50 @@ def _assign(ex: DataFrame, centroids: DataFrame) -> DataFrame:
     and partitionings) and the argmin is exact. The argmin itself is
     ``min(struct(dist2q, cid))`` — partial-aggregatable, tie-broken by
     the smaller cid, no window shuffle.
+
+    ``shards > 1`` is the past-broadcast-limit regime (centroid table
+    over ~1e8 (cid, pos) entries, i.e. K*D too big for one broadcast):
+    the centroid table splits into ``shards`` disjoint cid-hash ranges,
+    each small enough to broadcast; every shard yields a per-vector
+    local argmin and the global argmin is one more
+    ``min(struct(dist2q, cid))`` over the union. Exact int64 distances
+    make the two-level min identical to the single-pass result (min is
+    associative; ties still break to the smaller cid because cid is
+    inside the struct). The corpus side is scanned once per shard but
+    NEVER shuffles on pos — the N*D explode stays map-local, which is
+    the whole point versus a sort-merge join; at scale you
+    persist/localCheckpoint ``ex`` so the S passes re-read columnar
+    cache, not parquet.
     """
     d = F.col("v") - F.col("c")
-    dists = (
-        ex.join(F.broadcast(centroids), "pos")
-        .groupBy("vec_id", "cid")
-        .agg(F.sum(quantize(d * d, _QD)).alias("dist2q"))
-    )
-    best = dists.groupBy("vec_id").agg(F.min(F.struct("dist2q", "cid")).alias("b"))
+
+    def shard_best(cents: DataFrame) -> DataFrame:
+        dists = (
+            ex.join(F.broadcast(cents), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(quantize(d * d, _QD)).alias("dist2q"))
+        )
+        return dists.groupBy("vec_id").agg(F.min(F.struct("dist2q", "cid")).alias("b"))
+
+    if shards <= 1:
+        best = shard_best(centroids)
+    else:
+        parts = [
+            shard_best(centroids.filter(F.pmod(F.col("cid"), F.lit(shards)) == s))
+            for s in range(shards)
+        ]
+        allb = parts[0]
+        for p in parts[1:]:
+            allb = allb.unionByName(p)
+        best = allb.groupBy("vec_id").agg(F.min("b").alias("b"))
     return best.select("vec_id", F.col("b.cid").alias("cid"), F.col("b.dist2q").alias("dist2q"))
+
+
+def _assign_shards(spark: SparkSession) -> int:
+    """Shard count for the centroid-assignment join. 1 (default) =
+    single broadcast; set ``spark_graft.semdedup.assign_shards`` above 1
+    when K*D outgrows one broadcast (~1e8 entries)."""
+    return int(spark.conf.get("spark_graft.semdedup.assign_shards", "1"))
 
 
 def _recompute(ex: DataFrame, assign: DataFrame) -> DataFrame:
@@ -194,8 +229,11 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cell join N^2/K, so K = sqrt(N) makes the whole operator
     O(N^1.5) — a 10^10-vector corpus gets K = 10^5 cells (the SemDeDup
     paper's regime) instead of 8 quadratic mega-cells. The broadcast
-    centroid table is K*D rows; past ~10^8 entries you would shard the
-    assignment join instead of broadcasting — noted, not needed here.
+    centroid table is K*D rows; past ~10^8 entries set
+    ``spark_graft.semdedup.assign_shards`` > 1 and the assignment join
+    shards the centroid table into broadcastable cid-hash ranges,
+    unioning per-shard argmins (see ``_assign``) — same exact result,
+    never a corpus-side shuffle.
 
     Unlike ``dedup_embedding_cosine`` (blocked by the GIVEN label),
     the blocking key here is COMPUTED — the real pipeline shape when no
@@ -214,7 +252,11 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.join(F.broadcast(kdf), F.col("vec_id") < F.col("k"))
         .select(F.col("vec_id").alias("cid"), "pos", F.col("v").alias("c"))
     )
-    cells = _assign(ex, c0).select("vec_id", F.col("cid").alias("cell")).localCheckpoint()
+    cells = (
+        _assign(ex, c0, shards=_assign_shards(spark))
+        .select("vec_id", F.col("cid").alias("cell"))
+        .localCheckpoint()
+    )
     emb = t.embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     # norm once per VECTOR, not per pair: the fold expressions are
     # interpreted (outside codegen), so recomputing both norms inside
