@@ -344,7 +344,8 @@ ZSCORE_THRESHOLD = 2.5
     ), windowed AS (
       SELECT event_type, hour_start, n_events,
              CAST(sum(n_events)            OVER w AS BIGINT) AS base_sum,
-             CAST(sum(n_events * n_events) OVER w AS BIGINT) AS base_sumsq,
+             CAST(sum(CAST(n_events AS HUGEINT) * n_events) OVER w AS BIGINT)
+               AS base_sumsq,
              count(*)                      OVER w            AS base_n
       FROM hourly
       WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
@@ -392,7 +393,9 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_start",
         "n_events",
         F.sum(n).over(w).cast("long").alias("base_sum"),
-        F.sum(n * n).over(w).cast("long").alias("base_sumsq"),
+        # widen BEFORE multiplying: long*long wraps silently once an
+        # hourly count passes ~3e9 (same discipline as stats_ttest_ab)
+        F.sum(n.cast("decimal(38,0)") * n).over(w).cast("long").alias("base_sumsq"),
         F.count(F.lit(1)).over(w).alias("base_n"),
     ).where(F.col("base_n") == ZSCORE_LOOKBACK)
 

@@ -74,3 +74,32 @@ def test_semdedup_query_oracle_green_with_sharding(spark, sf_dir):
         assert not problems, "\n".join(problems)
     finally:
         spark.conf.unset("spark_graft.semdedup.assign_shards")
+
+
+def test_sample_stratified_stable_under_repartitioning(spark, sf_dir):
+    """The salted hash-mod stratified sample is a pure row predicate:
+    identical membership and counts under any physical layout (the
+    property sampleBy's per-partition RNG cannot give)."""
+    import os
+
+    from mysql_public_data_ingestor_spark.operators import advanced
+
+    base = {
+        (r.lang, r.n_total, r.n_sampled, r.min_doc_id)
+        for r in advanced.sample_stratified(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    class FakeTables:
+        documents = docs.repartition(13, "source")
+
+    orig = advanced.Tables
+    advanced.Tables = lambda *_: FakeTables()  # type: ignore[assignment]
+    try:
+        again = {
+            (r.lang, r.n_total, r.n_sampled, r.min_doc_id)
+            for r in advanced.sample_stratified(spark, sf_dir).collect()
+        }
+    finally:
+        advanced.Tables = orig
+    assert base == again
