@@ -86,6 +86,8 @@ HEADLINE = [
     "stats_mad_robust_outliers",
     "corpus_filter_ablation",
     "ml_user_feature_pack",
+    # round-3 addition: lexical retrieval dual of the ANN path
+    "text_bm25_topk",
 ]
 
 

@@ -616,3 +616,115 @@ def text_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cross_entropy"),
         )
     )
+
+
+# BM25 retrieval constants — shared by the Spark plan and the oracle so
+# both engines assemble the identical expression tree.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+BM25_TERMS = ("hash", "join", "vector", "stream")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM words GROUP BY doc_id
+    ), st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM words WHERE w IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, w
+    ), df AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
+    ), contrib AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (CAST(st.n_docs - df.df AS DOUBLE) + 0.5)
+                        / (CAST(df.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * ({BM25_K1!r} + 1.0))
+               / (CAST(tf.tf AS DOUBLE)
+                  + {BM25_K1!r} * (1.0 - {BM25_B!r}
+                                   + {BM25_B!r} * CAST(dl.dl AS DOUBLE) / st.avgdl))
+               * 1000000.0 + 0.5) AS BIGINT) AS c_q
+      FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms_matched,
+           round(CAST(sum(c_q) AS DOUBLE) / 1000000.0, 6) AS bm25
+    FROM contrib GROUP BY doc_id
+    ORDER BY sum(c_q) DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query-term set over the corpus
+    — the lexical half of a retrieval/RAG data-curation stack (find
+    the documents most relevant to a probe query; dual of the dense
+    `knn_brute_cosine`/`ann_lsh_topk` path).
+
+    Shape: one token explode feeds BOTH the per-document length table
+    (full pass) and the term-frequency table (map-side `w IN (...)`
+    filter, so the tf shuffle carries at most |docs| x |query terms|
+    rows). Document frequencies and the (N, avgdl) corpus stats are
+    tiny — broadcast joins. Per-(doc, term) BM25 contributions quantize
+    to int64 micro-units BEFORE the per-doc sum (aggregation order
+    cannot flip the hash), and the global top-k compiles to
+    TakeOrderedAndProject (no single-partition exchange). At 100 TB:
+    shuffle volume is |docs| rows for dl, |docs x terms| for tf —
+    nothing text-sized leaves the map stage; ties at the k-th slot
+    break on doc_id in both engines.
+    """
+    t = Tables(spark, sf_dir)
+    words = cpu_repartition(t.documents, "doc_id").select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("w")
+    )
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    tf = (
+        words.where(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    denom = F.col("tf").cast("double") + F.lit(BM25_K1) * (
+        F.lit(1.0) - F.lit(BM25_B)
+        + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    c_q = F.floor(
+        idf * (F.col("tf").cast("double") * (F.lit(BM25_K1) + F.lit(1.0))) / denom
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    contrib = (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", c_q.alias("c_q"))
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms_matched"), F.sum("c_q").alias("sum_q"))
+        .orderBy(F.desc("sum_q"), "doc_id")
+        .limit(BM25_TOPK)
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            F.round(F.col("sum_q").cast("double") / F.lit(1e6), 6).alias("bm25"),
+        )
+    )
