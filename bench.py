@@ -86,8 +86,10 @@ HEADLINE = [
     "stats_mad_robust_outliers",
     "corpus_filter_ablation",
     "ml_user_feature_pack",
-    # round-3 addition: lexical retrieval dual of the ANN path
+    # round-3 additions: lexical retrieval dual of the ANN path +
+    # diversity-selection rerank over its dense counterpart
     "text_bm25_topk",
+    "similarity_mmr_rerank",
 ]
 
 

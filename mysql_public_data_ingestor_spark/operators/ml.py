@@ -98,9 +98,10 @@ def _assign(ex: DataFrame, centroids: DataFrame, shards: int = 1) -> DataFrame:
 
 
 def _assign_shards(spark: SparkSession) -> int:
-    """Shard count for the centroid-assignment join. 1 (default) =
-    single broadcast; set ``spark_graft.semdedup.assign_shards`` above 1
-    when K*D outgrows one broadcast (~1e8 entries)."""
+    """Shard count for the centroid-assignment join (used by both
+    SemDeDup and k-means). 1 (default) = single broadcast; set
+    ``spark_graft.semdedup.assign_shards`` above 1 when K*D outgrows
+    one broadcast (~1e8 entries)."""
     return int(spark.conf.get("spark_graft.semdedup.assign_shards", "1"))
 
 
@@ -311,9 +312,10 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ex.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cid"), "pos", F.col("v").alias("c")
     )
+    shards = _assign_shards(spark)
     assign = None
     for _ in range(KMEANS_ITERS):
-        assign = _assign(ex, cents)
+        assign = _assign(ex, cents, shards=shards)
         cents = _recompute(ex, assign)
     return assign.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_points"),

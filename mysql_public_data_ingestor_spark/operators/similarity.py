@@ -573,3 +573,167 @@ def embedding_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("qv").alias("max_q"),
         F.sum(F.floor(err * err * _Q_ERR_SCALE + F.lit(0.5)).cast("long")).alias("sq_err_1e9"),
     )
+
+
+# MMR (maximal marginal relevance) diversified re-ranking constants.
+# lambda = 0.5, so argmax of lambda*rel - (1-lambda)*maxsim is the
+# argmax of (rel_q - maxsim_q) — pure int64 arithmetic, no FP in the
+# selection loop.
+MMR_PROBE_ID = 0     # probe vector
+MMR_CAND = 16        # relevance-ranked candidate pool size
+MMR_SELECT = 8       # diversified picks
+
+
+def _mmr_oracle() -> str:
+    """Unrolled-CTE DuckDB twin of the greedy MMR selection (the same
+    fixed-iteration-oracle technique as graph_pagerank_copurchase)."""
+    head = f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+      SELECT v FROM emb WHERE vec_id = {MMR_PROBE_ID}
+    ), rel AS (
+      SELECT e.vec_id,
+             CAST(floor(list_cosine_similarity(e.v, q.v) * 1000000.0 + 0.5) AS BIGINT)
+               AS rel_q
+      FROM emb e CROSS JOIN q WHERE e.vec_id <> {MMR_PROBE_ID}
+    ), cand AS MATERIALIZED (
+      SELECT vec_id, rel_q FROM rel ORDER BY rel_q DESC, vec_id LIMIT {MMR_CAND}
+    ), pair AS MATERIALIZED (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(floor(list_cosine_similarity(ea.v, eb.v) * 1000000.0 + 0.5) AS BIGINT)
+               AS sim_q
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+      JOIN emb ea ON ea.vec_id = a.vec_id
+      JOIN emb eb ON eb.vec_id = b.vec_id
+    ), s1 AS MATERIALIZED (
+      SELECT vec_id, rel_q, CAST(0 AS BIGINT) AS maxsim_q, CAST(1 AS BIGINT) AS rnk
+      FROM cand ORDER BY rel_q DESC, vec_id LIMIT 1
+    )"""
+    parts = [head]
+    prev_all = "s1"
+    for k in range(2, MMR_SELECT + 1):
+        parts.append(f""", p{k} AS MATERIALIZED (
+      SELECT c.vec_id, c.rel_q, m.maxsim_q, CAST({k} AS BIGINT) AS rnk
+      FROM cand c
+      JOIN (SELECT va, max(sim_q) AS maxsim_q FROM pair
+            WHERE vb IN (SELECT vec_id FROM {prev_all}) GROUP BY va) m
+        ON m.va = c.vec_id
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev_all})
+      ORDER BY (c.rel_q - m.maxsim_q) DESC, c.vec_id LIMIT 1
+    ), s{k} AS MATERIALIZED (
+      SELECT * FROM {prev_all} UNION ALL SELECT * FROM p{k}
+    )""")
+        prev_all = f"s{k}"
+    parts.append(f"""
+    SELECT rnk, vec_id,
+           CAST(rel_q AS DOUBLE) / 1000000.0 AS relevance,
+           CAST(maxsim_q AS DOUBLE) / 1000000.0 AS max_sim_selected,
+           CAST(rel_q - maxsim_q AS DOUBLE) / 1000000.0 AS mmr_margin
+    FROM {prev_all}
+    """)
+    return "".join(parts)
+
+
+@register("similarity_mmr_rerank", oracle=_mmr_oracle())
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal-marginal-relevance re-ranking: from the top-C
+    most-relevant candidates for a probe vector, pick R items that
+    trade relevance against redundancy (each round's pick maximizes
+    ``rel - max_sim_to_already_selected``; with lambda = 0.5 that IS
+    the MMR argmax). The diversity-selection step of retrieval and of
+    training-data curation (don't spend the data budget on near-clones
+    of one exemplar).
+
+    Scale shape: ONE corpus-sized stage — relevance scoring against
+    the broadcast probe + TakeOrderedAndProject top-C. Everything
+    after operates on the C-row candidate table and its C^2 pairwise
+    sims (C = {MMR_CAND}: 240 rows), both localCheckpointed so the R
+    unrolled selection rounds never re-touch the corpus; each round is
+    an anti-join + bounded max + 1-row TakeOrdered on candidate-sized
+    inputs. Cosines quantize to int64 micro-units BEFORE selection, so
+    every argmax is integer arithmetic with a vec_id tie-break —
+    bit-reproducible across engines and partitionings (the greedy loop
+    itself is the same fixed-unroll-verified-by-CTE pattern as
+    PageRank). The candidate crossJoin is C x C on broadcast rows —
+    bounded by the constant pool size, never by the corpus.
+    """
+    t = Tables(spark, sf_dir)
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", norm)
+    probe = emb.filter(F.col("vec_id") == MMR_PROBE_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    rel_q = F.floor(dot_q / (F.col("nrm") * F.col("qn")) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    cand = (
+        emb.filter(F.col("vec_id") != MMR_PROBE_ID)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", "v", "nrm", rel_q.alias("rel_q"))
+        .orderBy(F.col("rel_q").desc(), "vec_id")
+        .limit(MMR_CAND)
+        .localCheckpoint()
+    )
+    a = cand.select(F.col("vec_id").alias("va"), F.col("v").alias("av"), F.col("nrm").alias("an"))
+    b = cand.select(F.col("vec_id").alias("vb"), F.col("v").alias("bv"), F.col("nrm").alias("bn"))
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("av"), F.col("bv"), lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
+    )
+    pair = (
+        a.join(F.broadcast(b), F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.floor(dot_ab / (F.col("an") * F.col("bn")) * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("sim_q"),
+        )
+        .localCheckpoint()
+    )
+    cand_slim = cand.select("vec_id", "rel_q")
+    sel = (
+        cand_slim.orderBy(F.col("rel_q").desc(), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            "rel_q",
+            F.lit(0).cast("long").alias("maxsim_q"),
+            F.lit(1).cast("long").alias("rnk"),
+        )
+    )
+    # each pick materializes (1 row) before the next round references
+    # it — the lazy alternative embeds every prior pick's plan twice
+    # per round (anti-join + max-sim), i.e. exponential plan growth
+    picks = [sel.localCheckpoint()]
+    for k in range(2, MMR_SELECT + 1):
+        chosen = picks[0]
+        for p in picks[1:]:
+            chosen = chosen.unionByName(p)
+        chosen_ids = chosen.select("vec_id")
+        ms = (
+            pair.join(F.broadcast(chosen_ids.withColumnRenamed("vec_id", "vb")), "vb")
+            .groupBy("va")
+            .agg(F.max("sim_q").alias("maxsim_q"))
+        )
+        pick = (
+            cand_slim.join(F.broadcast(chosen_ids), "vec_id", "left_anti")
+            .join(F.broadcast(ms.withColumnRenamed("va", "vec_id")), "vec_id")
+            .orderBy((F.col("rel_q") - F.col("maxsim_q")).desc(), "vec_id")
+            .limit(1)
+            .select("vec_id", "rel_q", "maxsim_q", F.lit(k).cast("long").alias("rnk"))
+        )
+        picks.append(pick.localCheckpoint())
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "rnk",
+        "vec_id",
+        (F.col("rel_q").cast("double") / F.lit(1e6)).alias("relevance"),
+        (F.col("maxsim_q").cast("double") / F.lit(1e6)).alias("max_sim_selected"),
+        ((F.col("rel_q") - F.col("maxsim_q")).cast("double") / F.lit(1e6)).alias("mmr_margin"),
+    )

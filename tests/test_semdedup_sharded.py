@@ -103,3 +103,20 @@ def test_sample_stratified_stable_under_repartitioning(spark, sf_dir):
     finally:
         advanced.Tables = orig
     assert base == again
+
+
+def test_kmeans_oracle_green_with_sharding(spark, sf_dir):
+    """ml_kmeans_lloyd takes the same sharded assignment path."""
+    spark.conf.set("spark_graft.semdedup.assign_shards", str(SHARDS))
+    try:
+        spec = all_queries()["ml_kmeans_lloyd"]
+        sdf = spec.fn(spark, sf_dir).toPandas()
+        con = duck_connection(sf_dir)
+        try:
+            odf = con.execute(spec.oracle).df()
+        finally:
+            con.close()
+        problems = compare("ml_kmeans_lloyd", sdf, odf)
+        assert not problems, "\n".join(problems)
+    finally:
+        spark.conf.unset("spark_graft.semdedup.assign_shards")
