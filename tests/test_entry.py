@@ -64,3 +64,20 @@ def test_evaluation_window_prioritizes_unverified():
     for n in regained:
         if verified_in_registry:
             assert names.index(n) < min(names.index(v) for v in verified_in_registry)
+
+
+def test_bench_and_plan_dump_names_resolve():
+    """Every name in bench.HEADLINE and tools.dump_plans.PLAN_QUERIES
+    must exist in the registry — a typo here crashes the recording
+    harness's bench run (KeyError mid-bench), which is how a round
+    loses its official headline number."""
+    import bench
+    from mysql_public_data_ingestor_spark.registry import all_queries
+    from tools import dump_plans
+
+    registered = set(all_queries())
+    missing_bench = [n for n in bench.HEADLINE if n not in registered]
+    assert not missing_bench, missing_bench
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate bench names"
+    missing_plans = [n for n in dump_plans.PLAN_QUERIES if n not in registered]
+    assert not missing_plans, missing_plans
