@@ -113,9 +113,10 @@ def stats_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``F.corr`` streams doubles whose summation order varies run to run;
     instead the five sufficient sums (x, y, x^2, y^2, xy) quantize per
     row to int64 — one shuffle-free partial aggregation per group, and
-    the correlation assembles from five exact numbers. int64 headroom:
-    xy ~ 5e6 at scale 4 -> ~1.8e8 rows per group before overflow; raise
-    the scale down (1e2) for larger groups.
+    the correlation assembles from five exact numbers. The product
+    sums widen to decimal(38,0) before aggregation (mirroring the
+    oracle's HUGEINT fold), so group size never wraps the sum — the
+    earlier int64 fold hit overflow at the 6M-row sf1 scale fixture.
     """
     t = Tables(spark, sf_dir)
     x = F.col("l_quantity")
@@ -125,9 +126,13 @@ def stats_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         unscale(F.sum(quantize(x, 4))).alias("sx"),
         unscale(F.sum(quantize(y, 4))).alias("sy"),
-        unscale(F.sum(quantize(x * x, 4))).alias("sxx"),
-        unscale(F.sum(quantize(y * y, 4))).alias("syy"),
-        unscale(F.sum(quantize(x * y, 4))).alias("sxy"),
+        # products widen to decimal BEFORE the sum: y^2 quantized at
+        # scale 4 is ~1e14 per row, so an int64 sum wraps past ~9e4
+        # rows-per-group-per-1e14 (hit at the sf1 scale fixture); the
+        # oracle already folds in HUGEINT
+        unscale(F.sum(quantize(x * x, 4).cast("decimal(38,0)"))).alias("sxx"),
+        unscale(F.sum(quantize(y * y, 4).cast("decimal(38,0)"))).alias("syy"),
+        unscale(F.sum(quantize(x * y, 4).cast("decimal(38,0)"))).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     corr = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
@@ -288,8 +293,10 @@ def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One partial-aggregated shuffle on a 3-value key; the fit assembles
     from six exact numbers per group. This is the distributed-OLS
-    shape: at 100 TB the shuffle carries six int64s per (group, task),
-    nothing else.
+    shape: at 100 TB the shuffle carries six fixed-width partials per
+    (group, task), nothing else — the product sums in decimal(38,0)
+    (the int64 fold wrapped at the 6M-row sf1 scale fixture; the
+    oracle folds in HUGEINT).
     """
     t = Tables(spark, sf_dir)
     x = F.col("l_quantity")
@@ -299,9 +306,13 @@ def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         unscale(F.sum(quantize(x, 4))).alias("sx"),
         unscale(F.sum(quantize(y, 4))).alias("sy"),
-        unscale(F.sum(quantize(x * x, 4))).alias("sxx"),
-        unscale(F.sum(quantize(y * y, 4))).alias("syy"),
-        unscale(F.sum(quantize(x * y, 4))).alias("sxy"),
+        # products widen to decimal BEFORE the sum: y^2 quantized at
+        # scale 4 is ~1e14 per row, so an int64 sum wraps past ~9e4
+        # rows-per-group-per-1e14 (hit at the sf1 scale fixture); the
+        # oracle already folds in HUGEINT
+        unscale(F.sum(quantize(x * x, 4).cast("decimal(38,0)"))).alias("sxx"),
+        unscale(F.sum(quantize(y * y, 4).cast("decimal(38,0)"))).alias("syy"),
+        unscale(F.sum(quantize(x * y, 4).cast("decimal(38,0)"))).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
