@@ -152,8 +152,13 @@ def main() -> None:
         "timing": "min_of_2_runs",
         "queries_cold": cold,
     }
+    # The committed BENCH_DETAIL.json is the sf0.1 warm-run history the
+    # delta report diffs against; a run at any other scale (e.g. a
+    # make_scale_fixture ×10 directory) writes a per-sf sidecar instead
+    # of clobbering it with non-comparable numbers.
+    sidecar = "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), sidecar
     )
     try:
         with open(detail_path, "w") as f:
@@ -171,7 +176,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "sf": sf,
                 "timing": "min_of_2_runs",
-                "detail": "BENCH_DETAIL.json",
+                "detail": sidecar,
             }
         )
     )
