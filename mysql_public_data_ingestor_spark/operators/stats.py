@@ -1320,3 +1320,114 @@ def stats_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(rz), 6).alias("max_abs_rz"),
         )
     )
+
+
+def _profile_oracle() -> str:
+    """Single-aggregate-CTE + UNION ALL oracle for dq_column_profile."""
+    cols = [
+        ("o_orderkey", "num"),
+        ("o_custkey", "num"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "num"),
+        ("o_orderdate", "other"),
+        ("o_orderpriority", "str"),
+    ]
+    aggs = ["count(*) AS n"]
+    sels = []
+    for c, kind in cols:
+        aggs.append(
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}__nulls"
+        )
+        aggs.append(f"count(DISTINCT {c}) AS {c}__nd")
+        if kind == "num":
+            aggs.append(f"CAST(min({c}) AS DOUBLE) AS {c}__mn")
+            aggs.append(f"CAST(max({c}) AS DOUBLE) AS {c}__mx")
+            mn, mx = f"{c}__mn", f"{c}__mx"
+            ln_mn = ln_mx = ln_avg = "NULL"
+        elif kind == "str":
+            aggs.append(f"min(length({c})) AS {c}__lmn")
+            aggs.append(f"max(length({c})) AS {c}__lmx")
+            aggs.append(f"CAST(sum(CAST(length({c}) AS BIGINT)) AS BIGINT) AS {c}__lsum")
+            mn = mx = "NULL"
+            ln_mn, ln_mx = f"{c}__lmn", f"{c}__lmx"
+            ln_avg = f"round(CAST({c}__lsum AS DOUBLE) / (n - {c}__nulls), 4)"
+        else:
+            mn = mx = ln_mn = ln_mx = ln_avg = "NULL"
+        sels.append(
+            f"SELECT '{c}' AS column_name, n, {c}__nulls AS n_null,"
+            f" {c}__nd AS n_distinct, CAST({mn} AS DOUBLE) AS min_num,"
+            f" CAST({mx} AS DOUBLE) AS max_num,"
+            f" CAST({ln_mn} AS BIGINT) AS min_len, CAST({ln_mx} AS BIGINT) AS max_len,"
+            f" CAST({ln_avg} AS DOUBLE) AS avg_len FROM a"
+        )
+    return "WITH a AS (SELECT " + ", ".join(aggs) + " FROM orders) " + " UNION ALL ".join(sels)
+
+
+@register("dq_column_profile", oracle=_profile_oracle())
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column profile of ``orders``: per column,
+    row/null/exact-distinct counts, numeric min/max, and string length
+    stats — the table-stats build a warehouse runs before admitting a
+    feed (and the inputs a cost-based optimizer wants).
+
+    One aggregate pass produces a single wide row (Spark plans the
+    multi-column exact count-distinct as ONE scan with an Expand —
+    |profiled columns| x rows into the partial aggregate, the textbook
+    ANALYZE plan); a literal-array inline then unpivots it to one row
+    per column, so the only shuffle carries partial aggregate states.
+    min/max stay in native numeric types (parquet values pass through
+    untouched — no string casts whose formatting differs per engine;
+    string columns report length stats instead, which are
+    integer-exact). At 100 TB the same profile swaps
+    ``approx_count_distinct`` for the exact expand to keep one scan +
+    one constant-size reduce; exact is kept here because the oracle
+    must match value-for-value.
+    """
+    t = Tables(spark, sf_dir)
+    cols = [
+        ("o_orderkey", "num"),
+        ("o_custkey", "num"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "num"),
+        ("o_orderdate", "other"),
+        ("o_orderpriority", "str"),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c, kind in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"{c}__mn"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__mx"))
+        elif kind == "str":
+            aggs.append(F.min(F.length(c)).cast("long").alias(f"{c}__lmn"))
+            aggs.append(F.max(F.length(c)).cast("long").alias(f"{c}__lmx"))
+            aggs.append(F.sum(F.length(c).cast("long")).alias(f"{c}__lsum"))
+    row = t.orders.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_l = F.lit(None).cast("long")
+    structs = []
+    for c, kind in cols:
+        mn = F.col(f"{c}__mn") if kind == "num" else null_d
+        mx = F.col(f"{c}__mx") if kind == "num" else null_d
+        lmn = F.col(f"{c}__lmn") if kind == "str" else null_l
+        lmx = F.col(f"{c}__lmx") if kind == "str" else null_l
+        lavg = (
+            F.round(F.col(f"{c}__lsum").cast("double") / (F.col("n") - F.col(f"{c}__nulls")), 4)
+            if kind == "str"
+            else null_d
+        )
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n").alias("n"),
+                F.col(f"{c}__nulls").alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                mn.alias("min_num"),
+                mx.alias("max_num"),
+                lmn.alias("min_len"),
+                lmx.alias("max_len"),
+                lavg.alias("avg_len"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

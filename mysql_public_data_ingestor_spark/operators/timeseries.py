@@ -946,3 +946,119 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(f"percentile_approx(lat_us, 0.99, {exact})") / F.lit(1e6), 6).alias("p99_s"),
         F.round(F.sum("lat_us").cast("double") / F.count(F.lit(1)) / F.lit(1e6), 6).alias("mean_s"),
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, count(*) AS n_days, sum(CAST(x AS HUGEINT)) AS tot
+      FROM daily GROUP BY 1
+    ), dev AS (
+      SELECT d.event_type, d.day, t.n_days,
+             CAST(t.n_days AS HUGEINT) * d.x - t.tot AS y
+      FROM daily d JOIN tot t USING (event_type)
+    ), pre AS (
+      SELECT event_type, day, n_days, sum(y) OVER w AS p
+      FROM dev
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), cu AS (
+      SELECT event_type, day, n_days,
+             p - least(CAST(0 AS HUGEINT), min(p) OVER w) AS s_pos,
+             greatest(CAST(0 AS HUGEINT), max(p) OVER w) - p AS s_neg
+      FROM pre
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), ranked AS (
+      SELECT event_type, day, n_days, s_pos, s_neg,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY greatest(s_pos, s_neg) DESC, day) AS rn
+      FROM cu
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS change_day, n_days,
+           CASE WHEN s_pos >= s_neg THEN 'up' ELSE 'down' END AS direction,
+           round(CAST(greatest(s_pos, s_neg) AS DOUBLE) / n_days / 1000000.0, 6)
+             AS cusum_stat
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM change-point detection over the daily value
+    series — the level-shift monitor a metrics/quality pipeline runs on
+    every ingested stream (did the distribution of this feed move, and
+    when?).
+
+    The textbook CUSUM recursions ``S+_t = max(0, S+_{t-1} + y_t)`` /
+    ``S-_t = max(0, S-_{t-1} - y_t)`` look inherently sequential, but
+    both have closed forms over the prefix sum P_t of the centered
+    series: ``S+_t = P_t - min(0, min_{j<=t} P_j)`` and ``S-_t =
+    max(0, max_{j<=t} P_j) - P_t`` — i.e. two per-key ordered-window
+    aggregates, no recursion, no UDF. Centering is integer-exact:
+    ``y_t = n * x_t - sum(x)`` (scaled by n to avoid division), with
+    x_t the exact micro-unit daily sum, and all window arithmetic in
+    decimal(38,0) (HUGEINT in the oracle) so no scale overflows or
+    reorders it. The reported change point is the argmax day of
+    max(S+, S-) — the classic CUSUM change-location estimate — with
+    its direction and the magnitude rescaled to value units.
+
+    Scale shape: one (type, day)-keyed aggregation compresses the raw
+    stream, a broadcast join attaches the |types|-row totals, and every
+    window partitions by event_type over calendar-bounded rows — the
+    reduce sides are |types| x days, never row-bounded. No
+    SinglePartition anywhere; the final row_number window is per-type
+    over the same bounded series.
+    """
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "event_type",
+            F.to_date(F.col("ts")).alias("day"),
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("v_u"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v_u").alias("x"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("tot"),
+    )
+    dev = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        (F.col("n_days").cast("decimal(38,0)") * F.col("x") - F.col("tot")).alias("y"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = dev.select("event_type", "day", "n_days", F.sum("y").over(w).alias("p"))
+    zero = F.lit(0).cast("decimal(38,0)")
+    cu = pre.select(
+        "event_type",
+        "day",
+        "n_days",
+        (F.col("p") - F.least(zero, F.min("p").over(w))).alias("s_pos"),
+        (F.greatest(zero, F.max("p").over(w)) - F.col("p")).alias("s_neg"),
+    )
+    s = F.greatest(F.col("s_pos"), F.col("s_neg"))
+    wr = Window.partitionBy("event_type").orderBy(s.desc(), F.col("day"))
+    return (
+        cu.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("change_day"),
+            "n_days",
+            F.when(F.col("s_pos") >= F.col("s_neg"), F.lit("up"))
+            .otherwise(F.lit("down"))
+            .alias("direction"),
+            F.round(s.cast("double") / F.col("n_days") / F.lit(1e6), 6).alias("cusum_stat"),
+        )
+    )

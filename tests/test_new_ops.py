@@ -515,3 +515,75 @@ def test_user_feature_pack_matches_pandas(spark, sf_dir):
             assert abs(r.value_trend_slope - slope) < 1e-4
         else:
             assert r.value_trend_slope is None
+
+
+def test_cusum_matches_python_recursion(spark, sf_dir):
+    """The windowed closed form (S+ = P - min(0, min P); S- =
+    max(0, max P) - P) must equal the textbook sequential CUSUM
+    recursion replayed in Python over the same daily series, for every
+    event type — including the argmax day, direction, and magnitude."""
+    from mysql_public_data_ingestor_spark.operators.timeseries import (
+        events_cusum_changepoint,
+    )
+
+    from mysql_public_data_ingestor_spark.tables import Tables
+
+    ev = (
+        Tables(spark, sf_dir)
+        .events.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("v_u"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v_u").alias("x"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in ev:
+        series.setdefault(r.event_type, []).append((r.day, r.x))
+    expected = {}
+    for et, pts in series.items():
+        pts.sort()
+        n, tot = len(pts), sum(x for _, x in pts)
+        sp = sn = 0
+        best = None  # (stat, day, direction)
+        for day, x in pts:
+            y = n * x - tot
+            sp = max(0, sp + y)
+            sn = max(0, sn - y)
+            stat, direction = (sp, "up") if sp >= sn else (sn, "down")
+            if best is None or stat > best[0]:
+                best = (stat, day, direction)
+        expected[et] = (best[1], best[2], round(best[0] / n / 1e6, 6))
+    got = {
+        r.event_type: (r.change_day.date(), r.direction, r.cusum_stat)
+        for r in events_cusum_changepoint(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_column_profile_matches_pandas(spark, sf_dir):
+    """Profile rows equal a direct pandas recount of orders.parquet."""
+    import pandas as pd
+
+    from mysql_public_data_ingestor_spark.operators.stats import dq_column_profile
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    got = {r.column_name: r for r in dq_column_profile(spark, sf_dir).collect()}
+    assert set(got) == {
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    }
+    for c, r in got.items():
+        assert r.n == len(pdf)
+        assert r.n_null == int(pdf[c].isna().sum())
+        assert r.n_distinct == int(pdf[c].nunique(dropna=True))
+        if c in ("o_orderkey", "o_custkey", "o_totalprice"):
+            assert r.min_num == float(pdf[c].min())
+            assert r.max_num == float(pdf[c].max())
+        if c in ("o_orderstatus", "o_orderpriority"):
+            lens = pdf[c].dropna().str.len()
+            assert r.min_len == int(lens.min())
+            assert r.max_len == int(lens.max())
+            assert r.avg_len == round(float(lens.sum()) / len(lens), 4)
