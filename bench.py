@@ -90,6 +90,9 @@ HEADLINE = [
     # diversity-selection rerank over its dense counterpart
     "text_bm25_topk",
     "similarity_mmr_rerank",
+    # recursion-free CUSUM change-point + one-pass ANALYZE profile
+    "events_cusum_changepoint",
+    "dq_column_profile",
 ]
 
 
