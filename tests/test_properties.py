@@ -108,3 +108,27 @@ def test_topology_count_and_uniqueness(copies, extra):
     targets = expand_topology(cfg)
     assert len(targets) == copies + sum(extra.values())
     assert len({(t.database, t.table) for t in targets}) == len(targets)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-10**12, max_value=10**12), min_size=1, max_size=60)
+)
+def test_cusum_closed_form_equals_recursion(xs):
+    """The prefix-sum closed forms used by events_cusum_changepoint —
+    S+_t = P_t - min(0, min_{j<=t} P_j) and S-_t = max(0, max_{j<=t}
+    P_j) - P_t — must equal the textbook sequential recursions
+    S+_t = max(0, S+_{t-1} + y_t) / S-_t = max(0, S-_{t-1} - y_t)
+    for EVERY t over arbitrary integer series (the operator feeds them
+    the exactly-centered series n*x - sum(x), but the identity itself
+    holds for any y)."""
+    sp = sn = 0
+    p = pmin = pmax = 0
+    for y in xs:
+        sp = max(0, sp + y)
+        sn = max(0, sn - y)
+        p += y
+        pmin = min(pmin, p)
+        pmax = max(pmax, p)
+        assert sp == p - min(0, pmin)
+        assert sn == max(0, pmax) - p
