@@ -198,12 +198,18 @@ def _report_deltas(timings: dict[str, float], total: float, sf: float) -> None:
     root = os.path.dirname(os.path.abspath(__file__))
     prev = None
     src = None
-    detail_path = os.path.join(root, "BENCH_DETAIL.json")
+    # prefer the sidecar matching THIS run's scale (main() writes
+    # BENCH_DETAIL_sf{sf}.json for non-default scales) so scale-run
+    # regressions diff against same-sf history, not the sf0.1 file
+    sidecar = "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
+    detail_path = os.path.join(root, sidecar)
+    if not os.path.exists(detail_path):
+        detail_path = os.path.join(root, "BENCH_DETAIL.json")
     if os.path.exists(detail_path):
         try:
             with open(detail_path) as f:
                 prev = json.load(f)
-            src = "BENCH_DETAIL.json"
+            src = os.path.basename(detail_path)
         except (OSError, json.JSONDecodeError):
             prev = None
     benches = sorted(

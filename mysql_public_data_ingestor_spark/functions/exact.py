@@ -50,3 +50,45 @@ def sql_exact_sum(sql_expr: str, scale: int = 4) -> str:
     """DuckDB twin of ``exact_sum`` for oracle SQL strings."""
     m = f"{float(10 ** scale)!r}"
     return f"sum(CAST(floor(({sql_expr}) * {m} + 0.5) AS BIGINT)) / {m}"
+
+
+def round_int_ratio(num: Column, den: Column, dp: int = 6) -> Column:
+    """Exact half-up rounding of an integer ratio ``num/den`` to ``dp``
+    decimals, bit-identical across engines.
+
+    ``F.round(k / n, dp)`` on a count ratio is a latent oracle-hash
+    flake: k/n with small integers can land exactly ON a decimal
+    boundary (e.g. 41/640 = 0.0640625), where Spark (BigDecimal
+    HALF_UP over the shortest decimal form of the double) and DuckDB
+    (libm rounding of the actual binary value) disagree — the sf0.1
+    parity sweep caught this on cume_dist. The fix is integer
+    arithmetic end-to-end: half-up(num/den at dp) ==
+    (2*10^dp*num + den) div (2*den), with div done as
+    ``(a - a mod b) / b`` so the final double division is exactly
+    divisible (hence exact), then one exact power-of-ten division.
+
+    The DuckDB twin (``sql_round_int_ratio``):
+        ``((2*10^dp*num + den) // (2*den)) / 10^dp.0``
+
+    Negative numerators round away from zero (|num| path re-signed),
+    matching both BigDecimal HALF_UP and DuckDB round semantics —
+    integer ``%``/``//`` differ between the engines on negative
+    dividends, so the magnitude is computed on abs() only.
+
+    Preconditions: den > 0, both integral; 2*10^dp*|num| must fit
+    int64 (|num| < ~4.6e12 at dp=6 — at larger scales widen to
+    decimal(38,0) first).
+    """
+    s = 10**dp
+    a = F.lit(2 * s) * F.abs(num) + den
+    b = F.lit(2) * den
+    mag = (a - a % b) / b
+    return F.when(num < 0, -mag).otherwise(mag) / F.lit(float(s))
+
+
+def sql_round_int_ratio(num: str, den: str, dp: int = 6) -> str:
+    """DuckDB twin of :func:`round_int_ratio` (integer ``//`` on the
+    absolute value, re-signed)."""
+    s = 10**dp
+    mag = f"(({2 * s}::BIGINT*abs({num}) + ({den})) // (2*({den})))"
+    return f"(CASE WHEN ({num}) < 0 THEN -{mag} ELSE {mag} END) / {float(s)}"

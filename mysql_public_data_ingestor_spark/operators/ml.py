@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import quantize
+from ..functions.exact import quantize, round_int_ratio
 from ..registry import register
 from ..tables import Tables
 
@@ -242,7 +242,13 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no cartesian) -> per-vector counts -> left join back.
     """
     t = Tables(spark, sf_dir)
+    shards = _assign_shards(spark)
     ex = _exploded_embeddings(t)
+    if shards > 1:
+        # the sharded regime scans ex once per shard — materialize the
+        # N*D explode once so the S passes re-read executor storage,
+        # not parquet (the prescription in _assign's docstring)
+        ex = ex.localCheckpoint()
     kdf = t.embeddings.agg(
         F.greatest(
             F.lit(SEMDEDUP_MIN_K).cast("long"),
@@ -254,7 +260,7 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cid"), "pos", F.col("v").alias("c"))
     )
     cells = (
-        _assign(ex, c0, shards=_assign_shards(spark))
+        _assign(ex, c0, shards=shards)
         .select("vec_id", F.col("cid").alias("cell"))
         .localCheckpoint()
     )
@@ -308,11 +314,15 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering job re-runnable and auditable.
     """
     t = Tables(spark, sf_dir)
+    shards = _assign_shards(spark)
     ex = _exploded_embeddings(t)
+    if shards > 1:
+        # ex is re-read S times per Lloyd iteration in the sharded
+        # regime — checkpoint the explode once up front
+        ex = ex.localCheckpoint()
     cents = ex.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cid"), "pos", F.col("v").alias("c")
     )
-    shards = _assign_shards(spark)
     assign = None
     for _ in range(KMEANS_ITERS):
         assign = _assign(ex, cents, shards=shards)
@@ -424,6 +434,7 @@ def ml_feature_scaling_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(n_pur) AS BIGINT) AS n_purchases,
              CAST(count(*) AS BIGINT)   AS active_days,
              CAST(max(max_day) - max(day_no) AS BIGINT) AS recency_days,
+             CAST(sum(day_u) AS BIGINT) AS sy_u,
              CAST(sum(day_u) AS DOUBLE) AS sy,
              CAST(sum(CAST(day_no AS HUGEINT) * day_u) AS DOUBLE) AS sxy,
              CAST(sum(day_no) AS DOUBLE) AS sx,
@@ -431,8 +442,12 @@ def ml_feature_scaling_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily CROSS JOIN mx GROUP BY user_id
     )
     SELECT user_id, n_events, n_purchases, active_days, recency_days,
-           round(sy / n_events / 1000000.0, 6) AS mean_value,
-           round(CAST(n_events AS DOUBLE) / active_days, 6) AS events_per_active_day,
+           (CASE WHEN sy_u < 0
+                 THEN -((2*abs(sy_u) + n_events) // (2*n_events))
+                 ELSE  ((2*abs(sy_u) + n_events) // (2*n_events)) END)
+             / 1000000.0 AS mean_value,
+           ((2*1000000*n_events + active_days) // (2*active_days)) / 1000000.0
+             AS events_per_active_day,
            round(CASE WHEN active_days > 1
                  THEN (active_days * sxy - sx * sy)
                       / (active_days * sxx - sx * sx) / 1000000.0
@@ -481,7 +496,7 @@ def ml_user_feature_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pur").alias("n_purchases"),
             F.count(F.lit(1)).alias("active_days"),
             (F.max("max_day") - F.max("day_no")).cast("long").alias("recency_days"),
-            F.sum("day_u").cast("double").alias("sy"),
+            F.sum("day_u").alias("sy_u"),
             F.sum(F.col("day_no").cast("decimal(38,0)") * F.col("day_u"))
             .cast("double")
             .alias("sxy"),
@@ -492,9 +507,10 @@ def ml_user_feature_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ad = F.col("active_days")
+    sy = F.col("sy_u").cast("double")
     slope = F.when(
         ad > 1,
-        (ad * F.col("sxy") - F.col("sx") * F.col("sy"))
+        (ad * F.col("sxy") - F.col("sx") * sy)
         / (ad * F.col("sxx") - F.col("sx") * F.col("sx"))
         / F.lit(1e6),
     )
@@ -504,7 +520,15 @@ def ml_user_feature_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchases",
         "active_days",
         "recency_days",
-        F.round(F.col("sy") / F.col("n_events") / F.lit(1e6), 6).alias("mean_value"),
-        F.round(F.col("n_events").cast("double") / ad, 6).alias("events_per_active_day"),
+        # mean in micro-units is an integer ratio (sum of quantized
+        # values over a count): round half-up at the micro-unit level
+        # with exact integer division — a user with 2 events and an odd
+        # micro-sum lands exactly ON the .5 boundary, where
+        # F.round-vs-DuckDB-round diverge (fixture values happen to be
+        # even multiples today; regenerated data need not be)
+        (round_int_ratio(F.col("sy_u"), F.col("n_events"), 0) / F.lit(1e6)).alias(
+            "mean_value"
+        ),
+        round_int_ratio(F.col("n_events"), ad).alias("events_per_active_day"),
         F.round(slope, 6).alias("value_trend_slope"),
     )

@@ -653,10 +653,19 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     an anti-join + bounded max + 1-row TakeOrdered on candidate-sized
     inputs. Cosines quantize to int64 micro-units BEFORE selection, so
     every argmax is integer arithmetic with a vec_id tie-break —
-    bit-reproducible across engines and partitionings (the greedy loop
+    bit-reproducible across partitionings and re-runs (the greedy loop
     itself is the same fixed-unroll-verified-by-CTE pattern as
-    PageRank). The candidate crossJoin is C x C on broadcast rows —
-    bounded by the constant pool size, never by the corpus.
+    PageRank). Cross-ENGINE identity additionally needs the two
+    engines' FP cosines to agree to within the 1e-6 quantization step
+    before flooring (Spark's fold vs DuckDB's
+    list_cosine_similarity — different summation trees, ~1e-15
+    relative difference, so a flip needs a cosine within ~1e-15 of a
+    micro-unit boundary: probability ~1e-9 per pair, same residual
+    class as every floor-quantized FP measure in this engine; unlike
+    count ratios — see functions/exact.round_int_ratio — these values
+    are not structurally attracted to boundaries). The candidate
+    crossJoin is C x C on broadcast rows — bounded by the constant
+    pool size, never by the corpus.
     """
     t = Tables(spark, sf_dir)
     norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import quantize
+from ..functions.exact import quantize, round_int_ratio
 from ..registry import register
 from ..tables import Tables
 
@@ -545,7 +545,7 @@ def _benford_oracle() -> str:
       SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM obs
     )
     SELECT digit, n_obs,
-           round(CAST(n_obs AS DOUBLE) / n_total, 6)              AS obs_pct,
+           ((2*1000000*n_obs + n_total) // (2*n_total)) / 1000000.0 AS obs_pct,
            round(CASE digit {p_case} END, 6)                      AS exp_pct,
            round((n_obs - n_total * (CASE digit {p_case} END))
                  * (n_obs - n_total * (CASE digit {p_case} END))
@@ -585,7 +585,7 @@ def dq_benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return obs.crossJoin(F.broadcast(tot)).select(
         "digit",
         "n_obs",
-        F.round(F.col("n_obs").cast("double") / F.col("n_total"), 6).alias("obs_pct"),
+        round_int_ratio(F.col("n_obs"), F.col("n_total")).alias("obs_pct"),
         F.round(exp_pct, 6).alias("exp_pct"),
         F.round(diff * diff / (F.col("n_total") * exp_pct), 6).alias("chi2_contrib"),
     )

@@ -677,10 +677,15 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny — broadcast joins. Per-(doc, term) BM25 contributions quantize
     to int64 micro-units BEFORE the per-doc sum (aggregation order
     cannot flip the hash), and the global top-k compiles to
-    TakeOrderedAndProject (no single-partition exchange). At 100 TB:
-    shuffle volume is |docs| rows for dl, |docs x terms| for tf —
-    nothing text-sized leaves the map stage; ties at the k-th slot
-    break on doc_id in both engines.
+    TakeOrderedAndProject (no single-partition exchange). The idf log
+    runs through JVM Math.log on one side and libm on the other —
+    last-ulp disagreement would need the contribution within ~1e-16
+    of a micro-unit boundary to flip the floor (~1e-10 per (doc,
+    term); the accepted residual class for floor-quantized FP, not
+    the structural count-ratio hazard round_int_ratio fixes). At
+    100 TB: shuffle volume is |docs| rows for dl, |docs x terms| for
+    tf — nothing text-sized leaves the map stage; ties at the k-th
+    slot break on doc_id in both engines.
     """
     t = Tables(spark, sf_dir)
     words = cpu_repartition(t.documents, "doc_id").select(

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import exact_sum
+from ..functions.exact import exact_sum, round_int_ratio
 from ..registry import register
 from ..tables import Tables
 
@@ -108,8 +108,10 @@ def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*)                                   AS n_viewed,
            count(c_ts)                                AS n_clicked,
            count(p_ts)                                AS n_purchased,
-           round(count(c_ts) * 1.0 / count(*), 6)     AS view_to_click,
-           round(count(p_ts) * 1.0 / count(*), 6)     AS view_to_purchase
+           ((2*1000000*count(c_ts) + count(*)) // (2*count(*))) / 1000000.0
+                                                      AS view_to_click,
+           ((2*1000000*count(p_ts) + count(*)) // (2*count(*))) / 1000000.0
+                                                      AS view_to_purchase
     FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
     """,
 )
@@ -149,8 +151,8 @@ def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataF
         F.count(F.lit(1)).alias("n_viewed"),
         F.count("c_ts").alias("n_clicked"),
         F.count("p_ts").alias("n_purchased"),
-        F.round(F.count("c_ts") / F.count(F.lit(1)), 6).alias("view_to_click"),
-        F.round(F.count("p_ts") / F.count(F.lit(1)), 6).alias("view_to_purchase"),
+        round_int_ratio(F.count("c_ts"), F.count(F.lit(1))).alias("view_to_click"),
+        round_int_ratio(F.count("p_ts"), F.count(F.lit(1))).alias("view_to_purchase"),
     )
 
 
@@ -614,7 +616,7 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM trans GROUP BY 1
     )
     SELECT t.from_type, t.to_type, t.n,
-           round(CAST(t.n AS DOUBLE) / CAST(tt.n_from AS DOUBLE), 6) AS p
+           ((2*1000000*t.n + tt.n_from) // (2*tt.n_from)) / 1000000.0 AS p
     FROM trans t JOIN totals tt USING (from_type)
     """,
 )
@@ -644,7 +646,7 @@ def events_user_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         "n",
-        F.round(F.col("n").cast("double") / F.col("n_from").cast("double"), 6).alias("p"),
+        round_int_ratio(F.col("n"), F.col("n_from")).alias("p"),
     )
 
 

@@ -173,11 +173,20 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_ntile_percent_rank",
     oracle="""
-    SELECT c_custkey,
-           ntile(4)       OVER (ORDER BY c_acctbal, c_custkey)        AS bal_quartile,
-           round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS bal_pct_rank,
-           round(cume_dist()    OVER (ORDER BY c_acctbal, c_custkey), 6) AS bal_cume_dist
-    FROM customer
+    WITH b AS (
+      SELECT c_custkey,
+             ntile(4) OVER w     AS bal_quartile,
+             row_number() OVER w AS k,
+             count(*) OVER ()    AS n
+      FROM customer
+      WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    )
+    SELECT c_custkey, bal_quartile,
+           CASE WHEN n > 1
+                THEN ((2000000 * (k - 1) + (n - 1)) // (2 * (n - 1))) / 1000000.0
+                ELSE 0.0 END AS bal_pct_rank,
+           ((2000000 * k + n) // (2 * n)) / 1000000.0 AS bal_cume_dist
+    FROM b
     """,
 )
 def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,15 +194,30 @@ def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A single unpartitioned window is a deliberate scale smell (one
     reducer); kept here for surface completeness — the partitioned
-    variants above are the 100 TB path.
+    variants above are the 100 TB path. Same exact-integer 6-dp
+    rounding as ``window_ntile_by_nation`` (unique tie-break makes
+    cume_dist == row_number/n), avoiding the Spark-vs-DuckDB
+    double-rounding divergence on decimal-boundary ratios.
     """
     t = Tables(spark, sf_dir)
     w = Window.orderBy("c_acctbal", "c_custkey")
-    return t.customer.select(
+    wn = Window.partitionBy(F.lit(1))
+    base = t.customer.select(
         "c_custkey",
         F.ntile(4).over(w).cast("long").alias("bal_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        F.row_number().over(w).cast("long").alias("k"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    return base.select(
+        "c_custkey",
+        "bal_quartile",
+        F.when(
+            F.col("n") > 1,
+            F.expr("(2000000 * (k - 1) + (n - 1)) div (2 * (n - 1))") / F.lit(1e6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("bal_pct_rank"),
+        (F.expr("(2000000 * k + n) div (2 * n)") / F.lit(1e6)).alias("bal_cume_dist"),
     )
 
 
@@ -256,12 +280,20 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_ntile_by_nation",
     oracle="""
-    SELECT c_custkey, c_nationkey,
-           ntile(4) OVER w                       AS bal_quartile,
-           round(percent_rank() OVER w, 6)       AS bal_pct_rank,
-           round(cume_dist()    OVER w, 6)       AS bal_cume_dist
-    FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    WITH b AS (
+      SELECT c_custkey, c_nationkey,
+             ntile(4) OVER w       AS bal_quartile,
+             row_number() OVER w   AS k,
+             count(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    )
+    SELECT c_custkey, c_nationkey, bal_quartile,
+           CASE WHEN n > 1
+                THEN ((2000000 * (k - 1) + (n - 1)) // (2 * (n - 1))) / 1000000.0
+                ELSE 0.0 END AS bal_pct_rank,
+           ((2000000 * k + n) // (2 * n)) / 1000000.0 AS bal_cume_dist
+    FROM b
     """,
 )
 def window_ntile_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,13 +304,37 @@ def window_ntile_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partition key, each nation's ranking computed independently in
     parallel. The global variant (single reducer) stays registered only
     as a surface demo; any headline path uses this form.
+
+    Because the window ordering carries a unique tie-break
+    (c_acctbal, c_custkey), cume_dist == row_number/n and percent_rank
+    == (row_number-1)/(n-1) exactly — so the 6-dp rounding is done as
+    integer half-up division ((2e6*k + n) div (2n)) instead of
+    F.round on a double: rounding a binary double that lands ON a
+    decimal boundary (e.g. k/n = 0.0640625) differs between Spark
+    (BigDecimal HALF_UP on the shortest decimal form) and DuckDB
+    (libm rounding of the actual binary value) — a latent oracle-hash
+    flake the sf0.1 parity sweep caught on 3 of 150k rows. Integer
+    division is bit-identical in both engines by construction.
     """
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    return t.customer.select(
+    wp = Window.partitionBy("c_nationkey")
+    base = t.customer.select(
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).cast("long").alias("bal_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        F.row_number().over(w).cast("long").alias("k"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    return base.select(
+        "c_custkey",
+        "c_nationkey",
+        "bal_quartile",
+        F.when(
+            F.col("n") > 1,
+            F.expr("(2000000 * (k - 1) + (n - 1)) div (2 * (n - 1))") / F.lit(1e6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("bal_pct_rank"),
+        (F.expr("(2000000 * k + n) div (2 * n)") / F.lit(1e6)).alias("bal_cume_dist"),
     )

@@ -81,3 +81,20 @@ def test_bench_and_plan_dump_names_resolve():
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate bench names"
     missing_plans = [n for n in dump_plans.PLAN_QUERIES if n not in registered]
     assert not missing_plans, missing_plans
+
+
+def test_driver_window_priority_names_resolve():
+    """Every name in registry._DRIVER_WINDOW_PRIORITY must exist in the
+    registry — the window builder filters with `n in _REGISTRY`, so a
+    typo silently drops that query from the external evaluator's
+    50-slot window (the same drift failure mode the bench/plan-dump
+    guard covers for its lists)."""
+    from mysql_public_data_ingestor_spark import registry
+
+    registered = set(registry._REGISTRY)
+    missing = [n for n in registry._DRIVER_WINDOW_PRIORITY if n not in registered]
+    assert not missing, missing
+    # and no duplicates, which would shrink the effective window
+    assert len(registry._DRIVER_WINDOW_PRIORITY) == len(
+        set(registry._DRIVER_WINDOW_PRIORITY)
+    )

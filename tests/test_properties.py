@@ -132,3 +132,24 @@ def test_cusum_closed_form_equals_recursion(xs):
         pmax = max(pmax, p)
         assert sp == p - min(0, pmin)
         assert sn == max(0, pmax) - p
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=-(10**9), max_value=10**9),
+    st.integers(min_value=1, max_value=10**7),
+    st.sampled_from([0, 2, 4, 6]),
+)
+def test_round_int_ratio_sql_twin_is_exact_half_up(num, den, dp):
+    """sql_round_int_ratio must equal true decimal ROUND_HALF_UP (away
+    from zero) of the exact rational num/den at dp decimals — including
+    exactly-on-boundary ratios, where double-based round() flakes."""
+    from mysql_public_data_ingestor_spark.functions.exact import sql_round_int_ratio
+
+    got = duckdb.sql("SELECT " + sql_round_int_ratio(str(num), str(den), dp)).fetchone()[0]
+    expected = float(
+        (Decimal(num) / Decimal(den)).quantize(
+            Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP
+        )
+    )
+    assert got == expected, (num, den, dp, got, expected)

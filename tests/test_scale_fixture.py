@@ -49,6 +49,10 @@ def test_foreign_keys_resolve(scaled):
         ("lineitem", "l_orderkey", "orders", "o_orderkey"),
         ("lineitem", "l_partkey", "part", "p_partkey"),
         ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        # user_id lives in the customer-key domain (the streaming
+        # enrichment join is events.user_id == c_custkey) — replicas
+        # must offset it with the CUSTOMER stride
+        ("events", "user_id", "customer", "c_custkey"),
     ]
     for child, fk, parent, pk in checks:
         orphans = con.execute(
@@ -67,3 +71,18 @@ def test_keys_unique(scaled):
             f"SELECT count(*), count(DISTINCT {k}) FROM read_parquet('{scaled}/{t}.parquet')"
         ).fetchone()
         assert n == d, (t, n, d)
+
+
+def test_user_ids_stay_replica_aligned(scaled):
+    """Each replica's events must reference its OWN replica's
+    customers: the number of distinct user_ids multiplies by the
+    factor (independent user-stride remapping would collapse them
+    onto replica-0's customers or orphan them entirely)."""
+    con = duckdb.connect()
+    base = con.execute(
+        "SELECT count(DISTINCT user_id) FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchone()[0]
+    new = con.execute(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{scaled}/events.parquet')"
+    ).fetchone()[0]
+    assert new == 3 * base, (base, new)

@@ -27,7 +27,6 @@ ENTITIES = {
     "part": ("part", "p_partkey"),
     "ordr": ("orders", "o_orderkey"),
     "evnt": ("events", "event_id"),
-    "user": ("events", "user_id"),
     "doc": ("documents", "doc_id"),
     "vec": ("embeddings", "vec_id"),
 }
@@ -39,7 +38,14 @@ REMAP = {
     "part": {"p_partkey": "part"},
     "orders": {"o_orderkey": "ordr", "o_custkey": "cust"},
     "lineitem": {"l_orderkey": "ordr", "l_partkey": "part", "l_suppkey": "supp"},
-    "events": {"event_id": "evnt", "user_id": "user"},
+    # user_id is drawn from the CUSTOMER key domain in the base
+    # fixtures (every user_id is a c_custkey; streaming/windows.py
+    # joins events.user_id == c_custkey) — so replicas must offset it
+    # by the customer stride, not an independent user stride, or the
+    # dimension-enrichment join pairs replica-i events with replica-0
+    # customers (and yields NULLs once user stride * factor exceeds
+    # max c_custkey)
+    "events": {"event_id": "evnt", "user_id": "cust"},
     "documents": {"doc_id": "doc"},
     "embeddings": {"vec_id": "vec"},
 }
