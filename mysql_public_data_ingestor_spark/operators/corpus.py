@@ -1194,3 +1194,115 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= WEIGHTED_K)
         .select("doc_id", "lang", "n_chars", "rnk")
     )
+
+
+# --- exact-substring duplication runs (stride-1 rolling windows) -----------
+
+SUBSTR_W = 5             # tokens per rolling window (stride 1)
+
+
+@register(
+    "dedup_substring_runs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ), wins AS (
+      SELECT doc_id, i AS pos,
+             (('0x' || substr(sha256(array_to_string(t[i+1 : i+{SUBSTR_W}], ' ')), 1, 15)))::BIGINT
+               AS chunk_hash
+      FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(t) - {SUBSTR_W} + 1, 0))) AS i) s
+    ), freq AS (
+      SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs FROM wins GROUP BY chunk_hash
+    ), flagged AS (
+      SELECT w.doc_id, w.pos, f.n_docs >= 2 AS is_dup
+      FROM wins w JOIN freq f USING (chunk_hash)
+    ), totals AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+      FROM flagged GROUP BY doc_id
+    ), runs AS (
+      SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run_len
+      FROM (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM flagged WHERE is_dup)
+      GROUP BY doc_id, grp
+    ), mx AS (
+      SELECT doc_id, max(run_len) AS mr FROM runs GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_windows, t.dup_windows,
+           CAST(coalesce(mx.mr + {SUBSTR_W} - 1, 0) AS BIGINT) AS max_dup_span_tokens
+    FROM totals t LEFT JOIN mx USING (doc_id)
+    """,
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication accounting via stride-1 rolling
+    windows: every ``SUBSTR_W``-token window of every document is
+    hashed; a window whose hash occurs in >= 2 distinct documents is
+    duplicated, and consecutive duplicated positions merge into runs —
+    each document reports its window count, duplicated-window count,
+    and longest duplicated span in tokens (``run + W - 1``).
+
+    This is the distributed approximation of suffix-array
+    exact-substring dedup ("Deduplicating Training Data Makes Language
+    Models Better"-style): a cross-document repeat of >= W tokens shows
+    up as a run of duplicated windows covering exactly that span, so
+    ``max_dup_span_tokens`` equals the true longest repeat length for
+    any repeat >= W (W-1 granularity below that). Unlike
+    ``dedup_passage_windows`` (non-overlapping windows; boilerplate
+    *ratio*), the stride-1 windows localize duplicated spans at token
+    resolution — the signal needed to CUT the span, not just drop the
+    document.
+
+    Scale: the exploded stream is one row per token position carrying
+    (doc_id, pos, 60-bit hash) — never text; ~W x the tokenization
+    passes every text operator already makes. Two hash-keyed shuffles
+    (window frequency, rejoin) + doc-keyed aggregation, and the run
+    detection is a doc-partitioned window (pos - row_number islands) —
+    no global ordering stage anywhere. At 100 TB the frequency table
+    is the corpus's distinct-window count; its skew ceiling is the
+    most-repeated boilerplate window, which AQE skew-split absorbs
+    because the rejoin is a plain equi-join.
+    """
+    t = Tables(spark, sf_dir)
+    toks = cpu_repartition(t.documents, "doc_id").select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("t")
+    )
+    n = F.size("t")
+    idx = F.when(
+        n >= F.lit(SUBSTR_W), F.sequence(F.lit(0), n - F.lit(SUBSTR_W))
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(
+        idx,
+        lambda i: sha256_prefix_i64(
+            F.concat_ws(" ", F.slice(F.col("t"), i + 1, SUBSTR_W))
+        ),
+    )
+    wins = toks.select(
+        "doc_id", F.posexplode(hashes).alias("pos", "chunk_hash")
+    )
+    freq = wins.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flagged = wins.join(freq, "chunk_hash").select(
+        "doc_id", "pos", (F.col("n_docs") >= 2).alias("is_dup")
+    )
+    totals = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias("dup_windows"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        flagged.filter(F.col("is_dup"))
+        .withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    mx = runs.groupBy("doc_id").agg(F.max("run_len").alias("mr"))
+    return totals.join(mx, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        "dup_windows",
+        F.coalesce(F.col("mr") + F.lit(SUBSTR_W - 1), F.lit(0))
+        .cast("long")
+        .alias("max_dup_span_tokens"),
+    )

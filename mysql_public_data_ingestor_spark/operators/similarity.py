@@ -746,3 +746,151 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("maxsim_q").cast("double") / F.lit(1e6)).alias("max_sim_selected"),
         ((F.col("rel_q") - F.col("maxsim_q")).cast("double") / F.lit(1e6)).alias("mmr_margin"),
     )
+
+
+# --- hybrid lexical + dense retrieval (reciprocal-rank fusion) -------------
+
+RRF_K = 60          # standard RRF smoothing constant
+RRF_POOL = 20       # dense candidate pool (lexical pool = text.BM25_TOPK)
+RRF_OUT = 10        # fused results returned
+
+
+def _rrf_oracle() -> str:
+    from .text import _BM25_CORE_SQL
+
+    return (
+        _BM25_CORE_SQL
+        + f""",
+    lexr AS (
+      SELECT doc_id AS id,
+             row_number() OVER (ORDER BY sum_q DESC, doc_id) AS lex_rank
+      FROM bm25_top
+    ), emb_r AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), probe_r AS (
+      SELECT v FROM emb_r WHERE vec_id = {MMR_PROBE_ID}
+    ), rel_r AS (
+      SELECT e.vec_id,
+             CAST(floor(list_cosine_similarity(e.v, p.v) * 1000000.0 + 0.5) AS BIGINT)
+               AS rel_q
+      FROM emb_r e CROSS JOIN probe_r p WHERE e.vec_id <> {MMR_PROBE_ID}
+    ), dense_top AS (
+      SELECT vec_id, rel_q FROM rel_r ORDER BY rel_q DESC, vec_id LIMIT {RRF_POOL}
+    ), denser AS (
+      SELECT vec_id AS id,
+             row_number() OVER (ORDER BY rel_q DESC, vec_id) AS vec_rank
+      FROM dense_top
+    ), fused AS (
+      SELECT coalesce(l.id, d.id) AS id, l.lex_rank, d.vec_rank,
+             CAST(floor((coalesce(CAST(1 AS DOUBLE) / CAST({RRF_K} + l.lex_rank AS DOUBLE), 0.0)
+                       + coalesce(CAST(1 AS DOUBLE) / CAST({RRF_K} + d.vec_rank AS DOUBLE), 0.0))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS rrf_q
+      FROM lexr l FULL OUTER JOIN denser d ON l.id = d.id
+    )
+    SELECT id, lex_rank, vec_rank,
+           CAST(rrf_q AS DOUBLE) / 1000000000.0 AS rrf_score
+    FROM fused ORDER BY rrf_q DESC, id LIMIT {RRF_OUT}
+    """
+    )
+
+
+def _rownum_via_join(df: DataFrame, score: str, ident: str, rank_name: str) -> DataFrame:
+    """row_number() over (ORDER BY score DESC, ident) without a window:
+    1 + count of strictly-preceding rows via a broadcast self-join.
+
+    On a bounded candidate table (<= pool-size rows, localCheckpointed)
+    this is a BroadcastNestedLoopJoin over constant-size inputs — no
+    SinglePartition window stage, so the registry-wide plan sweep's
+    scale posture holds even though a global ordering is being ranked.
+    """
+    a, b = df.alias("a"), df.alias("b")
+    preceding = (F.col(f"b.{score}") > F.col(f"a.{score}")) | (
+        (F.col(f"b.{score}") == F.col(f"a.{score}"))
+        & (F.col(f"b.{ident}") < F.col(f"a.{ident}"))
+    )
+    return (
+        a.join(F.broadcast(b), preceding, "left")
+        .groupBy(F.col(f"a.{ident}").alias(ident))
+        .agg((F.count(F.col(f"b.{ident}")) + F.lit(1)).cast("long").alias(rank_name))
+    )
+
+
+@register("similarity_rrf_hybrid", oracle=_rrf_oracle())
+def similarity_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-K and dense cosine top-K for
+    the same corpus, fused by reciprocal-rank fusion
+    (score = sum 1/(60 + rank) over the legs that returned the id).
+    The standard two-tower retrieval/RAG pattern — lexical recall for
+    rare exact terms, dense recall for paraphrase — with RRF because
+    rank fusion needs no score calibration between the legs.
+
+    The lexical leg IS ``text_bm25_topk`` (same function, same oracle
+    CTE); the dense leg is the ``knn_brute_cosine`` shape against the
+    probe embedding (vec_id = {MMR_PROBE_ID}; doc_id and vec_id share a
+    key domain in the fixtures). Both legs end in
+    TakeOrderedAndProject top-K, are localCheckpointed at pool size
+    (<= {RRF_POOL} rows), and are ranked by a broadcast self-join
+    (row_number semantics, id tie-break) instead of a global window —
+    no SinglePartition stage anywhere.
+
+    Scale: corpus-sized work is exactly one BM25 pass + one cosine
+    scan; everything downstream of the two top-K selections touches
+    <= 2x pool rows. Fusion arithmetic is 1/(60+rank) on int ranks —
+    identical IEEE doubles in both engines — quantized to 1e-9 units
+    before the final ordering, ties broken on id.
+    """
+    from .text import text_bm25_topk
+
+    lex = (
+        text_bm25_topk(spark, sf_dir).select("doc_id", "bm25").localCheckpoint()
+    )
+    lexr = _rownum_via_join(lex, "bm25", "doc_id", "lex_rank").withColumnRenamed(
+        "doc_id", "id"
+    )
+
+    t = Tables(spark, sf_dir)
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", norm)
+    probe = emb.filter(F.col("vec_id") == MMR_PROBE_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    rel_q = F.floor(dot_q / (F.col("nrm") * F.col("qn")) * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    dense = (
+        emb.filter(F.col("vec_id") != MMR_PROBE_ID)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", rel_q.alias("rel_q"))
+        .orderBy(F.col("rel_q").desc(), "vec_id")
+        .limit(RRF_POOL)
+        .localCheckpoint()
+    )
+    denser = _rownum_via_join(dense, "rel_q", "vec_id", "vec_rank").withColumnRenamed(
+        "vec_id", "id"
+    )
+
+    leg = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(RRF_K) + F.col(r)).cast("double"), F.lit(0.0)
+    )
+    rrf_q = F.floor((leg("lex_rank") + leg("vec_rank")) * F.lit(1e9) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        lexr.join(denser, "id", "full_outer")
+        .select("id", "lex_rank", "vec_rank", rrf_q.alias("rrf_q"))
+        .orderBy(F.col("rrf_q").desc(), "id")
+        .limit(RRF_OUT)
+        .select(
+            "id",
+            "lex_rank",
+            "vec_rank",
+            (F.col("rrf_q").cast("double") / F.lit(1e9)).alias("rrf_score"),
+        )
+    )

@@ -627,9 +627,11 @@ BM25_TERMS = ("hash", "join", "vector", "stream")
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
 
-@register(
-    "text_bm25_topk",
-    oracle=f"""
+# Shared oracle CTE chain ending in a `bm25_top` table of the top-K
+# (doc_id, n_terms_matched, sum_q) rows — reused verbatim by
+# similarity.similarity_rrf_hybrid so the hybrid fusion's lexical leg is
+# definitionally the same computation as text_bm25_topk's.
+_BM25_CORE_SQL = f"""
     WITH words AS (
       SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
       FROM documents
@@ -655,13 +657,23 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
                                    + {BM25_B!r} * CAST(dl.dl AS DOUBLE) / st.avgdl))
                * 1000000.0 + 0.5) AS BIGINT) AS c_q
       FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_terms_matched,
-           round(CAST(sum(c_q) AS DOUBLE) / 1000000.0, 6) AS bm25
-    FROM contrib GROUP BY doc_id
-    ORDER BY sum(c_q) DESC, doc_id
-    LIMIT {BM25_TOPK}
+    ), bm25_top AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_terms_matched,
+             CAST(sum(c_q) AS BIGINT) AS sum_q
+      FROM contrib GROUP BY doc_id
+      ORDER BY sum(c_q) DESC, doc_id
+      LIMIT {BM25_TOPK}
+    )"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_BM25_CORE_SQL
+    + """
+    SELECT doc_id, n_terms_matched,
+           round(CAST(sum_q AS DOUBLE) / 1000000.0, 6) AS bm25
+    FROM bm25_top
     """,
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
