@@ -1,7 +1,7 @@
 # Convenience targets (mirrors the reference's Makefile role:
 # build/test entry points — reference Makefile:26-46).
 
-.PHONY: test check check-fast bench bench-ingest plans
+.PHONY: test check check-fast check-fuzz bench bench-ingest plans
 
 test:
 	python -m pytest tests/ -x -q
@@ -11,6 +11,10 @@ check:        ## driver-style DuckDB-oracle gate at sf0.01
 
 check-fast:   ## quick gate at sf0.001
 	python tools/check_correctness.py /root/testdata/sf0.001
+
+check-fuzz:   ## gate on the adversarially-perturbed fixture (regenerated-data flake hunt)
+	python tools/make_fuzz_fixture.py /root/testdata/sf0.01 .fixtures/fuzz0.01
+	python tools/check_correctness.py .fixtures/fuzz0.01
 
 bench:        ## headline-query benchmark at sf0.1 (one JSON line)
 	python bench.py

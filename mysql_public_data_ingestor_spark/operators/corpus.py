@@ -1153,7 +1153,7 @@ _H_RANGE = float(1 << 60)
       SELECT doc_id, lang, n_chars,
              ln((({_SQL_ID_HASH}) + 1.0) / {_H_RANGE!r})
                / CAST(n_chars AS DOUBLE) AS es_key
-      FROM documents
+      FROM documents WHERE n_chars > 0
     ), ranked AS (
       SELECT doc_id, lang, n_chars,
              row_number() OVER (PARTITION BY lang
@@ -1185,7 +1185,11 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = Tables(spark, sf_dir)
     u = (sha256_prefix_i64(F.col("doc_id").cast("string")) + F.lit(1.0)) / F.lit(_H_RANGE)
-    keyed = t.documents.select(
+    # PPS weights must be strictly positive: a zero-length document has
+    # zero selection probability, and under ANSI mode ln(u)/0 aborts
+    # the whole job (caught by the make_fuzz_fixture gate, which plants
+    # an empty document) — excluded on both engines.
+    keyed = t.documents.filter(F.col("n_chars") > 0).select(
         "doc_id", "lang", "n_chars", (F.log(u) / F.col("n_chars").cast("double")).alias("es_key")
     )
     w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")

@@ -140,8 +140,8 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), base AS (
       SELECT (SELECT count(*) FROM deg)   AS n_nodes,
              (SELECT count(*) FROM edges) AS n_edges,
-             (SELECT CAST(sum(degree * (degree - 1) / 2) AS BIGINT) FROM deg)
-               AS n_wedges
+             (SELECT CAST(sum(CAST(degree AS HUGEINT) * (degree - 1)) // 2 AS BIGINT)
+              FROM deg) AS n_wedges
     )
     SELECT n_nodes, n_edges, n_wedges, n_triangles,
            3.0 * n_triangles / n_wedges AS global_clustering
@@ -197,7 +197,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum(F.col("degree") * (F.col("degree") - 1) / 2)).cast("long").alias("n_wedges"),
+        # exact-integer wedge count: sum d*(d-1) in decimal(38,0) (a
+        # double sum loses exactness past 2^53 wedges; the sum is even,
+        # so the halving is exact), matching the oracle's HUGEINT // 2
+        (F.sum((F.col("degree").cast("decimal(38,0)")) * (F.col("degree") - 1)) / 2)
+        .cast("long")
+        .alias("n_wedges"),
     ).crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
 
     return base.crossJoin(F.broadcast(tri)).select(

@@ -1,0 +1,113 @@
+"""Build an adversarially-perturbed copy of a fixture directory for
+cross-engine flake hunting.
+
+The driver regenerates /root/testdata between rounds, so an oracle
+pairing that only holds for the CURRENT fixture's value distribution is
+a latent correctness failure (ADVICE round 2 found two of this class:
+an int64 sum-of-squares wrap that needed |value| > ~3e3, and a
+round-half-to-even boundary flake). The local gate compares Spark and
+DuckDB over IDENTICAL input, so ANY input is a valid probe — this tool
+manufactures the inputs most likely to expose divergence:
+
+- **magnitude stress**: prices x100 (cent-quantized squares land within
+  ~1 decimal digit of int64 max — any un-widened sum-of-squares wraps),
+  event values x1000 (1e6-quantized squares overflow int64 when summed).
+- **sign stress**: ~8% of event values negated — exercises the
+  round-half-away-from-zero-under-negation paths (integer div rounding
+  of negative quantized sums diverges between engines unless handled).
+- **short/degenerate documents**: ~1% of docs truncated to 3 chars, one
+  doc to a single char, one to the empty string — exercises shingle /
+  tokenizer guards (round-2 ADVICE found a short-doc sequence() crash).
+  ``n_chars`` is kept consistent with the new text.
+- **embedding scale skew**: per-vector scale factor 1 + (vec_id % 5) —
+  cosine is scale-invariant in exact math, so any divergence is a
+  quantization-boundary artifact (the flake class of ADVICE finding 4).
+
+Keys, row counts, date/timestamp columns, and categorical columns are
+NOT perturbed: TPC-H date predicates (1992-1998) and the fixture's key
+domains (probe ids, K constants) must keep selecting real rows, or the
+gate would "pass" on empty results and test nothing.
+
+Usage: python tools/make_fuzz_fixture.py [base_sf_dir] [out_dir]
+Then:  python tools/check_correctness.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+PRICE_SCALE = 100.0       # l_extendedprice max ~1.05e5 -> ~1.05e7; cents 1.05e9; cents^2 ~1.1e18 vs int64 max 9.2e18 — 60k-row sums wrap without widening
+VALUE_SCALE = 1000.0      # events.value max ~490 -> 4.9e5; 1e6-quant 4.9e11; squares ~2.4e23 — always needs decimal/HUGEINT
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".fixtures",
+            "fuzz0.01",
+        )
+    )
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+
+    def emit(table: str, select_sql: str) -> None:
+        src = "read_parquet('{}/{}.parquet')".format(base, table)
+        con.execute(
+            f"COPY ({select_sql.format(src=src)}) "
+            f"TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{out}/{table}.parquet')").fetchone()[0]
+        print(f"{table}: {n} rows")
+
+    for t in ["region", "nation", "customer", "supplier", "part"]:
+        emit(t, "SELECT * FROM {src}")
+
+    emit(
+        "orders",
+        f"""SELECT * REPLACE (round(o_totalprice * {PRICE_SCALE}, 2) AS o_totalprice)
+            FROM {{src}}""",
+    )
+    emit(
+        "lineitem",
+        f"""SELECT * REPLACE (round(l_extendedprice * {PRICE_SCALE}, 2) AS l_extendedprice)
+            FROM {{src}}""",
+    )
+    emit(
+        "events",
+        f"""SELECT * REPLACE (
+              round(value * {VALUE_SCALE}
+                    * (CASE WHEN event_id % 13 = 0 THEN -1 ELSE 1 END), 2) AS value)
+            FROM {{src}}""",
+    )
+    emit(
+        "documents",
+        """SELECT * REPLACE (
+             CASE WHEN doc_id = 0 THEN ''
+                  WHEN doc_id = 1 THEN substr(text, 1, 1)
+                  WHEN doc_id % 97 = 0 THEN substr(text, 1, 3)
+                  ELSE text END AS text,
+             CAST(length(CASE WHEN doc_id = 0 THEN ''
+                  WHEN doc_id = 1 THEN substr(text, 1, 1)
+                  WHEN doc_id % 97 = 0 THEN substr(text, 1, 3)
+                  ELSE text END) AS BIGINT) AS n_chars)
+           FROM {src}""",
+    )
+    emit(
+        "embeddings",
+        """SELECT * REPLACE (
+             list_transform(embedding,
+                            x -> x * CAST(1 + vec_id % 5 AS FLOAT)) AS embedding)
+           FROM {src}""",
+    )
+    print(f"fuzz fixture at {out}")
+
+
+if __name__ == "__main__":
+    main()
