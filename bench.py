@@ -130,6 +130,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
+        # Inter-query hygiene (untimed): drop Python-side DataFrame refs
+        # so the async ContextCleaner can release localCheckpoint blocks
+        # and broadcasts between queries. Python gc only — a forced
+        # per-query JVM System.gc() was measured to inflate the whole
+        # suite ~20% (full STW collections reset heap/JIT heuristics),
+        # strictly worse than letting G1 pace itself.
+        import gc
+
+        gc.collect()
         fn = specs[name].fn
         runs = []
         for _ in range(2):

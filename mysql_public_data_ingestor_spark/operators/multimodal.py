@@ -245,3 +245,172 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+# --- registered pipeline stages (frame-sample / resize / features) ---------
+#
+# Each library stage above gets a fully oracle-paired registered query:
+# the decode is a deterministic stub (no codec libs in this container,
+# SURVEY §2.B multimodal row), but the Spark-side machinery under test —
+# Arrow-batched mapInPandas, 1-row-in/N-rows-out explosion, chained
+# stages without intermediate materialization, typed metadata schemas —
+# is the real 100 TB plumbing, and every output value is reproducible
+# arithmetic over the payload bytes, so DuckDB can verify it exactly.
+
+FRAME_STRIDE = 256  # bytes per pseudo-frame for the registered query
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(unnest(range(0, CAST(ceil(octet_length(encode(text)) / {FRAME_STRIDE}.0)
+                                      AS BIGINT))) AS INT)          AS frame_no,
+           CAST(unnest(range(0, CAST(ceil(octet_length(encode(text)) / {FRAME_STRIDE}.0)
+                                      AS BIGINT))) * {FRAME_STRIDE} AS BIGINT)
+                                                                    AS frame_offset
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over opaque binary payloads: one
+    output row per {FRAME_STRIDE}-byte pseudo-frame (1-row-in/N-rows-out
+    mapInPandas — the exact shape of real video frame extraction, where
+    the per-frame decode happens executor-side and only frame metadata
+    is emitted).
+
+    A zero-byte payload yields zero frames (not a zero-offset row) on
+    both engines. Scale: payload bytes never cross the Arrow boundary
+    more than once, and output size is bounded by total corpus bytes /
+    stride regardless of row count."""
+    t = Tables(spark, sf_dir)
+    with_payload = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return sample_frames(with_payload, "payload", every_n_bytes=FRAME_STRIDE)
+
+
+RESIZE_TARGET = (224, 224)
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             64 + (octet_length(encode(text)) % 512) AS w0,
+             64 + (CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                        ELSE ('0x' || left(hex(encode(text)), 2))::BIGINT
+                   END * 7) % 512 AS h0
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(224 AS INT)              AS width,
+           CAST(224 AS INT)              AS height,
+           224.0 / CAST(w0 AS DOUBLE)    AS scale_x,
+           224.0 / CAST(h0 AS DOUBLE)    AS scale_y
+    FROM dims
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained decode -> resize mapInPandas stages with no intermediate
+    materialization (one Python worker pass per partition per stage,
+    Arrow batches between) — the image-preprocessing shape of a training
+    pipeline. Scale factors are a single IEEE division over the decoded
+    dims, so even this Python path is bit-exact against the oracle."""
+    t = Tables(spark, sf_dir)
+    with_payload = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    decoded = decode_images(with_payload)  # doc_id, n_bytes, width, height, channels
+    return resize_images_from_dims(decoded, target=RESIZE_TARGET)
+
+
+def resize_images_from_dims(decoded: DataFrame,
+                            target: tuple[int, int] = (224, 224)) -> DataFrame:
+    """Resize stage over an already-decoded dims frame (chains after
+    ``decode_images`` output schema)."""
+    out_schema = "doc_id long, width int, height int, scale_x double, scale_y double"
+    tw, th = target
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.array([tw] * len(pdf), dtype="Int32"),
+                    "height": pd.array([th] * len(pdf), dtype="Int32"),
+                    "scale_x": tw / pdf["width"].astype("float64"),
+                    "scale_y": th / pdf["height"].astype("float64"),
+                }
+            )
+
+    return decoded.mapInPandas(batches, schema=out_schema)
+
+
+@register(
+    "multimodal_feature_stats",
+    oracle="""
+    WITH bytes_of AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             list_transform(range(0, octet_length(encode(text))),
+                            i -> ('0x' || substr(hex(encode(text)), 2*i + 1, 2))::BIGINT)
+               AS bl
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_bytes AS BIGINT)                                   AS n_bytes,
+           CAST(coalesce(list_sum(bl), 0) AS BIGINT)                 AS byte_sum,
+           CAST(coalesce(list_sum(list_transform(bl, b -> b * b)), 0) AS BIGINT)
+                                                                     AS byte_sumsq,
+           CAST(list_min(bl) AS INT)                                 AS byte_min,
+           CAST(list_max(bl) AS INT)                                 AS byte_max,
+           CAST(len(list_filter(bl, b -> b // 64 = 0)) AS BIGINT)    AS hist0,
+           CAST(len(list_filter(bl, b -> b // 64 = 1)) AS BIGINT)    AS hist1,
+           CAST(len(list_filter(bl, b -> b // 64 = 2)) AS BIGINT)    AS hist2,
+           CAST(len(list_filter(bl, b -> b // 64 = 3)) AS BIGINT)    AS hist3
+    FROM bytes_of
+    """,
+)
+def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stage as exact integer sufficient statistics
+    per payload: byte sum / sum-of-squares (the mean/std numerators a
+    CNN-free baseline featurizer uses), min/max, and a 4-bin coarse
+    byte histogram — numpy over Arrow batches, like a real model UDF,
+    but with integer outputs so the oracle check is exact rather than
+    tolerance-based. Empty payloads yield NULL min/max and zero sums."""
+    import numpy as np
+
+    t = Tables(spark, sf_dir)
+    with_payload = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    out_schema = (
+        "doc_id long, n_bytes long, byte_sum long, byte_sumsq long, "
+        "byte_min int, byte_max int, hist0 long, hist1 long, hist2 long, hist3 long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ["doc_id", "n_bytes", "byte_sum", "byte_sumsq",
+                                    "byte_min", "byte_max", "hist0", "hist1",
+                                    "hist2", "hist3"]}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload if payload is not None else b"", dtype=np.uint8)
+                i64 = b.astype(np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["n_bytes"].append(int(b.size))
+                rows["byte_sum"].append(int(i64.sum()))
+                rows["byte_sumsq"].append(int((i64 * i64).sum()))
+                rows["byte_min"].append(int(b.min()) if b.size else None)
+                rows["byte_max"].append(int(b.max()) if b.size else None)
+                hist = np.bincount(b >> 6, minlength=4)
+                for k in range(4):
+                    rows[f"hist{k}"].append(int(hist[k]))
+            out = pd.DataFrame(rows)
+            out["byte_min"] = pd.array(out["byte_min"], dtype="Int32")
+            out["byte_max"] = pd.array(out["byte_max"], dtype="Int32")
+            yield out
+
+    return with_payload.mapInPandas(batches, schema=out_schema)

@@ -110,3 +110,46 @@ def test_decode_real_mode_gated(spark, sf_dir):
     else:  # pragma: no cover - PIL not in this container
         out = {r.doc_id: r.width for r in decode_images(df, mode="real").collect()}
         assert all(w is None for w in out.values())  # text bytes aren't images
+
+
+def test_registered_frame_sample_excludes_empty_and_matches_stride(spark, sf_dir):
+    """The registered frame-sample query: per-doc fanout is
+    ceil(bytes/stride), and a zero-byte payload yields no rows."""
+    from mysql_public_data_ingestor_spark.operators.multimodal import (
+        FRAME_STRIDE,
+        multimodal_frame_sample,
+    )
+
+    frames = multimodal_frame_sample(spark, sf_dir).collect()
+    t = Tables(spark, sf_dir)
+    sizes = {
+        r.doc_id: r.n
+        for r in t.documents.select(
+            "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n")
+        ).collect()
+    }
+    by_doc: dict[int, int] = {}
+    for r in frames:
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, 0) + 1
+    for doc_id, n in sizes.items():
+        assert by_doc.get(doc_id, 0) == (n + FRAME_STRIDE - 1) // FRAME_STRIDE
+
+
+def test_registered_feature_stats_exact_ints(spark, sf_dir):
+    """Feature stats are exact integer sufficient statistics: verify
+    one doc against a pure-Python recomputation, and hist bins
+    partition n_bytes."""
+    from mysql_public_data_ingestor_spark.operators.multimodal import (
+        multimodal_feature_stats,
+    )
+
+    rows = multimodal_feature_stats(spark, sf_dir).collect()
+    t = Tables(spark, sf_dir)
+    texts = dict(t.documents.select("doc_id", "text").limit(5).collect())
+    for r in rows:
+        assert r.hist0 + r.hist1 + r.hist2 + r.hist3 == r.n_bytes
+        if r.doc_id in texts:
+            b = texts[r.doc_id].encode("utf-8")
+            assert r.byte_sum == sum(b)
+            assert r.byte_sumsq == sum(x * x for x in b)
+            assert r.byte_min == (min(b) if b else None)
