@@ -235,3 +235,60 @@ def sketch_bloom_semijoin_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("actual").cast("long").alias("n_members"),
         (F.sum("candidate") - F.sum("actual")).cast("long").alias("n_false_positives"),
     )
+
+
+@register(
+    "sketch_bitmap_exact_distinct",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT NULL AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    """,
+)
+def sketch_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per day via bitmap partial aggregates, plus
+    the all-days total computed by MERGING the daily bitmaps — never
+    re-scanning raw events.
+
+    The warehouse-native exact alternative to HLL when the key domain
+    is dense integers: ``bitmap_construct_agg`` builds one 32k-bit
+    bitmap per (day, bucket) — a mergeable partial, like a sketch but
+    exact — ``bitmap_count`` reads off per-day cardinality, and
+    ``bitmap_or_agg`` folds the same partials across days for the
+    grand total. At 100 TB this is the difference between a second
+    full-scan two-shuffle exact-distinct for every rollup level and an
+    OR over kilobyte bitmaps: daily partials are built once
+    (localCheckpoint here; a materialized view in production — see
+    ``streaming/mv.py``) and every coarser period is derived from
+    them. Shuffle volume is |days × buckets| bitmaps, independent of
+    row count; the bucket width (32768 bits) keeps each partial
+    cache-resident even for 1e9-user domains (~30k buckets).
+
+    DuckDB has no bitmap aggregates, so the oracle states the
+    semantics directly (COUNT DISTINCT per day + overall) — the gate
+    then proves the bitmap algebra exactly reproduces them.
+    """
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+        F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+    )
+    daily_bm = (
+        ev.groupBy("day", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+        .localCheckpoint()
+    )
+    per_day = daily_bm.groupBy("day").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias("n_users")
+    )
+    total = (
+        daily_bm.groupBy("bucket")
+        .agg(F.bitmap_or_agg(F.col("bm")).alias("bm"))
+        .agg(F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias("n_users"))
+        .select(F.lit(None).cast("timestamp").alias("day"), "n_users")
+    )
+    return per_day.select("day", "n_users").unionByName(total)

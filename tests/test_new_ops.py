@@ -587,3 +587,30 @@ def test_column_profile_matches_pandas(spark, sf_dir):
             assert r.min_len == int(lens.min())
             assert r.max_len == int(lens.max())
             assert r.avg_len == round(float(lens.sum()) / len(lens), 4)
+
+
+def test_bitmap_exact_distinct_matches_direct_count(spark, sf_dir):
+    """The bitmap algebra (construct per day, OR-merge for the total)
+    equals direct countDistinct, and the total row merges partials
+    rather than recounting: NULL-day row == countDistinct over all."""
+    from mysql_public_data_ingestor_spark.operators.sketches import (
+        sketch_bitmap_exact_distinct,
+    )
+    from mysql_public_data_ingestor_spark.tables import Tables
+
+    rows = sketch_bitmap_exact_distinct(spark, sf_dir).collect()
+    t = Tables(spark, sf_dir)
+    direct = {
+        r.day: r.n
+        for r in t.events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    total_direct = t.events.select("user_id").distinct().count()
+    got_total = [r.n_users for r in rows if r.day is None]
+    assert got_total == [total_direct]
+    got_daily = {r.day: r.n_users for r in rows if r.day is not None}
+    assert got_daily == direct
+    # daily partials must sum to >= total (users active on several days
+    # are counted once in the merged total, once per day in partials)
+    assert sum(got_daily.values()) >= total_direct
