@@ -16,6 +16,10 @@ check-fuzz:   ## gate on the adversarially-perturbed fixture (regenerated-data f
 	python tools/make_fuzz_fixture.py /root/testdata/sf0.01 .fixtures/fuzz0.01
 	python tools/check_correctness.py .fixtures/fuzz0.01
 
+check-fuzzu:  ## gate on the multibyte/unicode fuzz profile (char-vs-byte, regex portability)
+	python tools/make_fuzz_fixture.py /root/testdata/sf0.01 .fixtures/fuzzu0.01 --unicode
+	python tools/check_correctness.py .fixtures/fuzzu0.01
+
 bench:        ## headline-query benchmark at sf0.1 (one JSON line)
 	python bench.py
 

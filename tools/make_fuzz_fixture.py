@@ -28,7 +28,14 @@ NOT perturbed: TPC-H date predicates (1992-1998) and the fixture's key
 domains (probe ids, K constants) must keep selecting real rows, or the
 gate would "pass" on empty results and test nothing.
 
-Usage: python tools/make_fuzz_fixture.py [base_sf_dir] [out_dir]
+A second profile (``--unicode``) plants multibyte text instead: ~4% of
+documents get a non-ASCII suffix (accented Latin, CJK, an emoji), with
+``n_chars`` kept consistent in CHARACTERS (the driver's convention).
+This probes every char-vs-byte seam (length vs octet_length, substr on
+code points, regex over non-ASCII in Java-regex vs RE2, shingle/token
+hashing over multibyte runes) for cross-engine divergence.
+
+Usage: python tools/make_fuzz_fixture.py [base_sf_dir] [out_dir] [--unicode]
 Then:  python tools/check_correctness.py [out_dir]
 """
 
@@ -44,14 +51,16 @@ VALUE_SCALE = 1000.0      # events.value max ~490 -> 4.9e5; 1e6-quant 4.9e11; sq
 
 
 def main() -> None:
-    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--unicode"]
+    unicode_profile = "--unicode" in sys.argv[1:]
+    base = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     out = (
-        sys.argv[2]
-        if len(sys.argv) > 2
+        args[1]
+        if len(args) > 1
         else os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".fixtures",
-            "fuzz0.01",
+            "fuzzu0.01" if unicode_profile else "fuzz0.01",
         )
     )
     os.makedirs(out, exist_ok=True)
@@ -86,19 +95,35 @@ def main() -> None:
                     * (CASE WHEN event_id % 13 = 0 THEN -1 ELSE 1 END), 2) AS value)
             FROM {{src}}""",
     )
-    emit(
-        "documents",
-        """SELECT * REPLACE (
-             CASE WHEN doc_id = 0 THEN ''
-                  WHEN doc_id = 1 THEN substr(text, 1, 1)
-                  WHEN doc_id % 97 = 0 THEN substr(text, 1, 3)
-                  ELSE text END AS text,
-             CAST(length(CASE WHEN doc_id = 0 THEN ''
-                  WHEN doc_id = 1 THEN substr(text, 1, 1)
-                  WHEN doc_id % 97 = 0 THEN substr(text, 1, 3)
-                  ELSE text END) AS BIGINT) AS n_chars)
-           FROM {src}""",
-    )
+    if unicode_profile:
+        # multibyte stress: keep row counts/ids; append non-ASCII runs
+        # (2-byte Latin, 3-byte CJK, 4-byte emoji) to ~4% of docs as a
+        # space-separated token so tokenizers see them as words
+        doc_case = """CASE WHEN doc_id % 53 = 0 THEN text || ' café횟집 привет'
+                  WHEN doc_id % 53 = 1 THEN text || ' 機械学習 データ'
+                  WHEN doc_id % 53 = 2 THEN text || ' naïve🙂über'
+                  ELSE text END"""
+        emit(
+            "documents",
+            f"""SELECT * REPLACE (
+                 {doc_case} AS text,
+                 CAST(length({doc_case}) AS BIGINT) AS n_chars)
+               FROM {{src}}""",
+        )
+    else:
+        emit(
+            "documents",
+            """SELECT * REPLACE (
+                 CASE WHEN doc_id = 0 THEN ''
+                      WHEN doc_id = 1 THEN substr(text, 1, 1)
+                      WHEN doc_id % 97 = 0 THEN substr(text, 1, 3)
+                      ELSE text END AS text,
+                 CAST(length(CASE WHEN doc_id = 0 THEN ''
+                      WHEN doc_id = 1 THEN substr(text, 1, 1)
+                      WHEN doc_id % 97 = 0 THEN substr(text, 1, 3)
+                      ELSE text END) AS BIGINT) AS n_chars)
+               FROM {src}""",
+        )
     emit(
         "embeddings",
         """SELECT * REPLACE (
