@@ -532,3 +532,214 @@ def ml_user_feature_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_int_ratio(F.col("n_events"), ad).alias("events_per_active_day"),
         F.round(slope, 6).alias("value_trend_slope"),
     )
+
+
+# --- model evaluation: calibration + AUC ------------------------------------
+#
+# The eval half of the quality-classifier story: score every document
+# with the hashed-feature classifier (text.text_quality_classifier_score
+# — zero-shuffle scoring pass) and compare against the rule-based C4
+# gate (text.text_quality_scores `passes_quality`) as the reference
+# label. Both metrics are emitted as exact integer/ppm quantities via
+# round_int_ratio, so the oracle check is bit-exact (no float-rounding
+# flake surface).
+
+def _scored_labeled(t: Tables) -> DataFrame:
+    """One projection over documents: 1e-4-quantized classifier score +
+    rule-gate label. No joins — both signals come from the same token
+    array in a single scan."""
+    from ..functions.textnorm import whitespace_tokens
+    from .text import CLS_WEIGHT_MOD, STOPWORDS
+
+    toks = whitespace_tokens(F.col("text"))
+    half = (CLS_WEIGHT_MOD - 1) // 2
+    w = lambda tok: (  # noqa: E731
+        F.conv(F.substring(F.sha2(tok, 256), 1, 15), 16, 10).cast("long")
+        % CLS_WEIGHT_MOD
+        - half
+    )
+    milli_sum = F.aggregate(
+        F.transform(toks, w), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n = F.size(toks)
+    score = 1.0 / (1.0 + F.exp(-(milli_sum.cast("double") / (1000.0 * n))))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    # the text_quality_scores gate, restated as exact integer
+    # inequality (n_stop/n <= 0.6  <=>  5*n_stop <= 3*n)
+    label = (n >= 20) & (5 * n_stop <= 3 * n)
+    return t.documents.select(
+        "doc_id",
+        "lang",
+        F.floor(score * F.lit(1e4) + F.lit(0.5)).cast("long").alias("score_q"),
+        F.when(label, 1).otherwise(0).cast("long").alias("label"),
+    )
+
+
+def _scored_labeled_sql() -> str:
+    from .text import CLS_WEIGHT_MOD, STOPWORDS
+
+    half = (CLS_WEIGHT_MOD - 1) // 2
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             CAST(floor(1.0 / (1.0 + exp(-(CAST(list_sum(list_transform(toks,
+                      t -> (('0x' || substr(sha256(t), 1, 15))::BIGINT % {CLS_WEIGHT_MOD})
+                           - {half})) AS DOUBLE)
+                    / (1000.0 * len(toks))))) * 10000.0 + 0.5) AS BIGINT) AS score_q,
+             CAST(CASE WHEN len(toks) >= 20
+                        AND 5 * len(list_filter(toks, w -> w IN ({stop_in})))
+                            <= 3 * len(toks)
+                   THEN 1 ELSE 0 END AS BIGINT) AS label
+      FROM toks
+    )
+    """
+
+
+def _calibration_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    return (
+        _scored_labeled_sql()
+        + f"""
+    SELECT CAST(least(score_q // 1000, 9) AS BIGINT)    AS decile,
+           CAST(count(*) AS BIGINT)                     AS n_docs,
+           CAST(sum(label) AS BIGINT)                   AS n_pos,
+           {sql_round_int_ratio('sum(score_q)', '10000 * count(*)')} AS mean_score,
+           {sql_round_int_ratio('sum(label)', 'count(*)')}           AS frac_pos
+    FROM scored GROUP BY 1
+    """
+    )
+
+
+@register("ml_calibration_curve", oracle=_calibration_oracle())
+def ml_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the hashed-feature quality classifier
+    against the rule-based quality gate: per score decile, document
+    count, mean predicted score, and observed positive rate.
+
+    The standard eval artifact before trusting a learned document
+    filter at corpus scale. One scan scores AND labels every document
+    (no join — both signals derive from the same token array), then a
+    10-key aggregate; shuffle volume is 10 rows of integer partials
+    regardless of corpus size. Mean score and positive rate are exact
+    half-up integer ratios (``round_int_ratio``) — no float-summation
+    or rounding-boundary flake surface anywhere.
+    """
+    t = Tables(spark, sf_dir)
+    s = _scored_labeled(t)
+    decile = F.least(F.floor(F.col("score_q") / F.lit(1000)), F.lit(9)).cast("long")
+    return (
+        s.groupBy(decile.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("label").alias("n_pos"),
+            F.sum(F.col("score_q").cast("decimal(38,0)")).alias("sum_q"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_pos",
+            round_int_ratio(F.col("sum_q"), F.lit(10000) * F.col("n_docs")).alias(
+                "mean_score"
+            ),
+            round_int_ratio(F.col("n_pos"), F.col("n_docs")).alias("frac_pos"),
+        )
+    )
+
+
+def _auc_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    num = "(r2 - n_pos * (n_pos + 1))"
+    den = "(2 * n_pos * n_neg)"
+    return (
+        _scored_labeled_sql()
+        + f"""
+    , by_val AS (
+      SELECT lang, score_q,
+             CAST(count(*) AS HUGEINT) AS cnt,
+             CAST(sum(label) AS HUGEINT) AS cpos
+      FROM scored GROUP BY lang, score_q
+    ), ranked AS (
+      SELECT lang, cnt, cpos,
+             coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY score_q
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum
+      FROM by_val
+    ), agg AS (
+      SELECT lang,
+             sum(cpos)                          AS n_pos,
+             sum(cnt - cpos)                    AS n_neg,
+             sum(cpos * (2 * cum + cnt + 1))    AS r2
+      FROM ranked GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN {sql_round_int_ratio(num, den)}
+                ELSE NULL END AS auc
+    FROM agg
+    """
+    )
+
+
+@register("ml_auc_by_lang", oracle=_auc_oracle())
+def ml_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the classifier score against the rule gate,
+    per language — the Mann-Whitney identity AUC = (R_pos - n_pos
+    (n_pos+1)/2) / (n_pos n_neg) with midrank tie handling, computed
+    over the DISTINCT quantized-score domain.
+
+    Ranks never materialize per document: scores are pre-aggregated to
+    (lang, score_q) with tied counts (|domain| <= 10001 values per
+    lang), the rank window runs per-lang over that bounded domain, and
+    every sufficient statistic (n_pos, n_neg, 2R as ``r2``) is an
+    exact integer widened to decimal — the same scale discipline as
+    ``stats_mann_whitney_ab``. Per-language AUC is also the fairness
+    cut: a filter that looks calibrated globally can be anti-predictive
+    on one language.
+    """
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    s = _scored_labeled(t)
+    g = s.groupBy("lang", "score_q").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("label").alias("cpos")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("score_q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.select(
+        "lang",
+        "cnt",
+        "cpos",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum"),
+    )
+    a = r.groupBy("lang").agg(
+        F.sum("cpos").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("cpos")).alias("n_neg"),
+        F.sum(
+            F.col("cpos").cast("decimal(38,0)")
+            * (2 * F.col("cum") + F.col("cnt") + 1)
+        ).alias("r2"),
+    )
+    num = F.col("r2") - F.col("n_pos").cast("decimal(38,0)") * (F.col("n_pos") + 1)
+    den = (F.lit(2).cast("decimal(38,0)") * F.col("n_pos") * F.col("n_neg")).cast(
+        "decimal(38,0)"
+    )
+    return a.select(
+        "lang",
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0), round_int_ratio(num, den)
+        ).alias("auc"),
+    )

@@ -614,3 +614,50 @@ def test_bitmap_exact_distinct_matches_direct_count(spark, sf_dir):
     # daily partials must sum to >= total (users active on several days
     # are counted once in the merged total, once per day in partials)
     assert sum(got_daily.values()) >= total_direct
+
+
+def test_auc_matches_numpy_midrank(spark, sf_dir):
+    """Per-lang AUC equals a direct numpy midrank computation over the
+    same quantized scores; calibration deciles partition the corpus."""
+    import numpy as np
+
+    from mysql_public_data_ingestor_spark.operators.ml import (
+        _scored_labeled,
+        ml_auc_by_lang,
+        ml_calibration_curve,
+    )
+    from mysql_public_data_ingestor_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    rows = _scored_labeled(t).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append((r.score_q, r.label))
+    got = {r.lang: (r.n_pos, r.n_neg, r.auc) for r in ml_auc_by_lang(spark, sf_dir).collect()}
+    for lang, sl in by_lang.items():
+        scores = np.array([s for s, _ in sl], dtype=np.float64)
+        labels = np.array([l for _, l in sl], dtype=np.int64)
+        n_pos, n_neg = int(labels.sum()), int((1 - labels).sum())
+        g_pos, g_neg, g_auc = got[lang]
+        assert (g_pos, g_neg) == (n_pos, n_neg)
+        if n_pos == 0 or n_neg == 0:
+            assert g_auc is None
+            continue
+        # midrank AUC
+        order = np.argsort(scores, kind="stable")
+        ranks = np.empty(len(scores), dtype=np.float64)
+        sorted_scores = scores[order]
+        i = 0
+        while i < len(sorted_scores):
+            j = i
+            while j + 1 < len(sorted_scores) and sorted_scores[j + 1] == sorted_scores[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+            i = j + 1
+        auc = (ranks[labels == 1].sum() - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+        assert abs(g_auc - auc) < 1e-6, (lang, g_auc, auc)
+
+    cal = ml_calibration_curve(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in cal) == len(rows)
+    assert all(0 <= r.decile <= 9 for r in cal)
+    assert all(0.0 <= r.frac_pos <= 1.0 for r in cal)
