@@ -106,3 +106,81 @@ def maintain_priority_mv(stream_orders: DataFrame, mv_path: str, checkpoint_path
         .option("checkpointLocation", checkpoint_path)
         .outputMode("update")
     )
+
+
+# --- user-bitmap MV: streaming-maintained exact distinct --------------------
+#
+# The streaming half of operators.sketches.sketch_bitmap_exact_distinct:
+# per-(day, bucket) user bitmaps are EXACT mergeable partials, so a
+# foreachBatch MV can fold each micro-batch in with bitmap_or_agg and
+# any reader derives per-day or all-time distinct-user counts from the
+# MV alone — the continuously-fresh COUNT(DISTINCT) that a 100 TB
+# event stream cannot afford to recompute per query. Epoch commit
+# discipline (_SUCCESS-gated, overwrite-on-replay) is shared with the
+# priority MV above.
+
+def _bitmap_state(events_df: DataFrame) -> DataFrame:
+    return events_df.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+        F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+    ).groupBy("day", "bucket").agg(
+        F.bitmap_construct_agg(F.col("pos")).alias("bm")
+    )
+
+
+def merge_bitmap_epoch(batch_df: DataFrame, epoch_id: int, mv_path: str) -> None:
+    """Fold one micro-batch of events into the user-bitmap MV
+    (idempotent per epoch; same commit rules as ``merge_epoch``)."""
+    prev = latest_epoch(mv_path)
+    if prev is not None and prev >= epoch_id:
+        return
+    delta = _bitmap_state(batch_df)
+    if prev is None:
+        merged = delta
+    else:
+        old = batch_df.sparkSession.read.parquet(
+            os.path.join(mv_path, f"epoch={prev}")
+        )
+        merged = (
+            old.unionByName(delta)
+            .groupBy("day", "bucket")
+            .agg(F.bitmap_or_agg(F.col("bm")).alias("bm"))
+        )
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(mv_path, f"epoch={epoch_id}")
+    )
+
+
+def maintain_user_bitmap_mv(stream_events: DataFrame, mv_path: str, checkpoint_path: str):
+    """writeStream query keeping the daily user-bitmap MV fresh.
+    ``checkpoint_path`` required for the same epoch-monotonicity reason
+    as ``maintain_priority_mv``."""
+    if not checkpoint_path:
+        raise ValueError(
+            "maintain_user_bitmap_mv requires a checkpointLocation (see "
+            "maintain_priority_mv)"
+        )
+    return (
+        stream_events.writeStream.foreachBatch(
+            lambda df, eid: merge_bitmap_epoch(df, eid, mv_path)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+
+
+def read_bitmap_distinct(spark, mv_path: str) -> DataFrame:
+    """Per-day exact distinct users + the all-days total, derived from
+    the MV's bitmaps alone (total = OR-merge across days per bucket)."""
+    mv = read_mv(spark, mv_path)
+    per_day = mv.groupBy("day").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias("n_users")
+    )
+    total = (
+        mv.groupBy("bucket")
+        .agg(F.bitmap_or_agg(F.col("bm")).alias("bm"))
+        .agg(F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias("n_users"))
+        .select(F.lit(None).cast("timestamp").alias("day"), "n_users")
+    )
+    return per_day.unionByName(total)

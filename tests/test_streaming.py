@@ -425,3 +425,45 @@ def test_streaming_mv_maintenance_equals_batch(spark, sf_dir, tmp_path):
     want_tot = orders.select(F.sum(cents).alias("c"), F.count(F.lit(1)).alias("n")).first()
     assert got3.n == want_tot.n + cents10.n
     assert got3.c == want_tot.c + cents10.c
+
+
+def test_streaming_bitmap_mv_equals_batch_distinct(spark, sf_dir, tmp_path):
+    """The streamed daily user-bitmap MV yields exactly the batch
+    COUNT(DISTINCT) per day and overall, with the total derived by
+    OR-merging the MV's partials (never re-reading events)."""
+    from mysql_public_data_ingestor_spark.streaming.mv import (
+        latest_epoch,
+        maintain_user_bitmap_mv,
+        read_bitmap_distinct,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "events_src")
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src + "/chunk=0")
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(src + "/chunk=1")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+    mv_path = str(tmp_path / "bm_mv")
+    q = maintain_user_bitmap_mv(stream, mv_path, str(tmp_path / "bm_ckpt")).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert latest_epoch(mv_path) >= 1  # merged across >1 micro-batch
+
+    rows = read_bitmap_distinct(spark, mv_path).collect()
+    got_daily = {r.day: r.n_users for r in rows if r.day is not None}
+    got_total = [r.n_users for r in rows if r.day is None]
+    want_daily = {
+        r.day: r.n
+        for r in events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got_daily == want_daily
+    assert got_total == [events.select("user_id").distinct().count()]
