@@ -93,6 +93,9 @@ HEADLINE = [
     # recursion-free CUSUM change-point + one-pass ANALYZE profile
     "events_cusum_changepoint",
     "dq_column_profile",
+    # round-3 batch 2: bitmap-partial exact distinct + classifier AUC
+    "sketch_bitmap_exact_distinct",
+    "ml_auc_by_lang",
 ]
 
 

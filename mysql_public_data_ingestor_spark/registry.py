@@ -52,8 +52,12 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # remaining queries keep registration order behind them and stay covered
 # by the identical local gate (tools/check_correctness.py).
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # Round-3 window. 85 queries have no driver correctness row; the 50
-    # below cover every family that has ZERO external evidence so far
+    # Round-3 window. 96 queries have no driver correctness row (the
+    # round-3 session added 6: three multimodal stages, bitmap exact
+    # distinct, calibration, AUC — all queued in registration order
+    # behind this list, keeping round 4's 50-slot window sufficient for
+    # the remaining 46); the 50 below cover every family that has ZERO
+    # external evidence so far
     # (graph, warehouse stats, DQ/privacy/layout, sketches, embedding
     # compression, LM scoring, time-series, Spark-4 surface) plus the
     # Q20-22 rotation leftovers and the newly oracle-paired
