@@ -153,3 +153,50 @@ def test_round_int_ratio_sql_twin_is_exact_half_up(num, den, dp):
         )
     )
     assert got == expected, (num, den, dp, got, expected)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=20), st.booleans()),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_auc_rank_sum_identity_with_ties(pairs):
+    """The integer closed form used by ml_auc_by_lang —
+    AUC = (Σ c_pos·(2·cum_before + cnt + 1) − n_pos(n_pos+1)) / (2·n_pos·n_neg)
+    over the distinct-score domain with midrank ties — equals the
+    pairwise definition P(score_pos > score_neg) + ½P(tie) for ANY
+    score/label multiset."""
+    n_pos = sum(1 for _, l in pairs if l)
+    n_neg = len(pairs) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return
+    # closed form over distinct values
+    from collections import Counter
+
+    cnt_all = Counter(s for s, _ in pairs)
+    cnt_pos = Counter(s for s, l in pairs if l)
+    cum = 0
+    r2 = 0
+    for v in sorted(cnt_all):
+        r2 += cnt_pos.get(v, 0) * (2 * cum + cnt_all[v] + 1)
+        cum += cnt_all[v]
+    from fractions import Fraction
+
+    auc_closed = Fraction(r2 - n_pos * (n_pos + 1), 2 * n_pos * n_neg)
+    # pairwise definition
+    wins = ties = 0
+    for sp, lp in pairs:
+        if not lp:
+            continue
+        for sn_, ln in pairs:
+            if ln:
+                continue
+            if sp > sn_:
+                wins += 1
+            elif sp == sn_:
+                ties += 1
+    auc_pair = Fraction(2 * wins + ties, 2 * n_pos * n_neg)
+    assert auc_closed == auc_pair
