@@ -65,6 +65,8 @@ def test_plain_profile_plants_degenerate_docs_and_magnitudes(fuzz_dirs):
     f = _con(fuzz_dirs["plain"])
     assert f.execute("SELECT count(*) FROM docs WHERE n_chars = 0").fetchone()[0] >= 1
     assert f.execute("SELECT count(*) FROM docs WHERE n_chars = 1").fetchone()[0] >= 1
+    # the web-crawl outlier: one document far beyond the corpus norm
+    assert f.execute("SELECT max(n_chars) FROM docs").fetchone()[0] > 10000
     base = _con(BASE)
     # prices x100, some event values negative
     fmax = f.execute("SELECT max(l_extendedprice) FROM li").fetchone()[0]

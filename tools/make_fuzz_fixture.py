@@ -111,18 +111,21 @@ def main() -> None:
                FROM {{src}}""",
         )
     else:
+        # doc 0/1: empty and single-char; every 97th: 3 chars; doc 2: a
+        # ~100 KB outlier (repeat x300 — web-crawl corpora carry MB-size
+        # outliers and shingle/token explosions must absorb them, not
+        # OOM or diverge)
+        doc_case = """CASE WHEN doc_id = 0 THEN ''
+                  WHEN doc_id = 1 THEN substr(text, 1, 1)
+                  WHEN doc_id = 2 THEN repeat(text, 300)
+                  WHEN doc_id % 97 = 0 THEN substr(text, 1, 3)
+                  ELSE text END"""
         emit(
             "documents",
-            """SELECT * REPLACE (
-                 CASE WHEN doc_id = 0 THEN ''
-                      WHEN doc_id = 1 THEN substr(text, 1, 1)
-                      WHEN doc_id % 97 = 0 THEN substr(text, 1, 3)
-                      ELSE text END AS text,
-                 CAST(length(CASE WHEN doc_id = 0 THEN ''
-                      WHEN doc_id = 1 THEN substr(text, 1, 1)
-                      WHEN doc_id % 97 = 0 THEN substr(text, 1, 3)
-                      ELSE text END) AS BIGINT) AS n_chars)
-               FROM {src}""",
+            f"""SELECT * REPLACE (
+                 {doc_case} AS text,
+                 CAST(length({doc_case}) AS BIGINT) AS n_chars)
+               FROM {{src}}""",
         )
     emit(
         "embeddings",
