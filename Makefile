@@ -20,6 +20,10 @@ check-fuzzu:  ## gate on the multibyte/unicode fuzz profile (char-vs-byte, regex
 	python tools/make_fuzz_fixture.py /root/testdata/sf0.01 .fixtures/fuzzu0.01 --unicode
 	python tools/check_correctness.py .fixtures/fuzzu0.01
 
+check-fuzzs:  ## gate on the hot-key skew profile (30% of events on one user)
+	python tools/make_fuzz_fixture.py /root/testdata/sf0.01 .fixtures/fuzzs0.01 --skew
+	python tools/check_correctness.py .fixtures/fuzzs0.01
+
 bench:        ## headline-query benchmark at sf0.1 (one JSON line)
 	python bench.py
 

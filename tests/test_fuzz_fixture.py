@@ -81,3 +81,27 @@ def test_unicode_profile_plants_multibyte_text(fuzz_dirs):
         "SELECT count(*) FROM docs WHERE octet_length(encode(text)) > length(text)"
     ).fetchone()[0]
     assert n_mb >= 10  # ~6% of docs got a multibyte suffix
+
+
+def test_skew_profile_concentrates_events_but_changes_nothing_else(tmp_path):
+    out = str(tmp_path / "skew")
+    subprocess.run(
+        [sys.executable, "tools/make_fuzz_fixture.py", BASE, out, "--skew"],
+        check=True, capture_output=True,
+    )
+    f, base = _con(out), _con(BASE)
+    # ~30% of events on one key
+    top = f.execute(
+        "SELECT count(*) FROM ev GROUP BY user_id ORDER BY 1 DESC LIMIT 1"
+    ).fetchone()[0]
+    total = f.execute("SELECT count(*) FROM ev").fetchone()[0]
+    assert top >= 0.25 * total
+    # the hot key stays inside the original user domain (joins resolve)
+    hot = f.execute(
+        "SELECT user_id FROM ev GROUP BY user_id ORDER BY count(*) DESC LIMIT 1"
+    ).fetchone()[0]
+    assert hot in {r[0] for r in base.execute("SELECT DISTINCT user_id FROM ev").fetchall()}
+    # everything except user_id untouched
+    assert f.execute("SELECT sum(hash(event_id)), sum(hash(value)), sum(hash(ts)) FROM ev").fetchone() == \
+        base.execute("SELECT sum(hash(event_id)), sum(hash(value)), sum(hash(ts)) FROM ev").fetchone()
+    assert f.execute("SELECT count(*) FROM docs WHERE text IS NULL").fetchone()[0] == 0

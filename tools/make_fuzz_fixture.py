@@ -35,7 +35,15 @@ This probes every char-vs-byte seam (length vs octet_length, substr on
 code points, regex over non-ASCII in Java-regex vs RE2, shingle/token
 hashing over multibyte runes) for cross-engine divergence.
 
-Usage: python tools/make_fuzz_fixture.py [base_sf_dir] [out_dir] [--unicode]
+A third profile (``--skew``) redirects ~30% of events to ONE user (the
+hottest key a 100 TB event log exhibits): per-key windows
+(sessionization, islands, path mining, rolling stats) suddenly carry a
+key with ~30% of all rows, and every user-keyed join/aggregate sees a
+power-law head. Probes correctness under skew — partition-order
+assumptions, per-key state growth, tie-breaking in dense windows —
+not just the performance story.
+
+Usage: python tools/make_fuzz_fixture.py [base_sf_dir] [out_dir] [--unicode|--skew]
 Then:  python tools/check_correctness.py [out_dir]
 """
 
@@ -51,8 +59,14 @@ VALUE_SCALE = 1000.0      # events.value max ~490 -> 4.9e5; 1e6-quant 4.9e11; sq
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--unicode"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     unicode_profile = "--unicode" in sys.argv[1:]
+    skew_profile = "--skew" in sys.argv[1:]
+    default_name = "fuzz0.01"
+    if unicode_profile:
+        default_name = "fuzzu0.01"
+    elif skew_profile:
+        default_name = "fuzzs0.01"
     base = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     out = (
         args[1]
@@ -60,7 +74,7 @@ def main() -> None:
         else os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".fixtures",
-            "fuzzu0.01" if unicode_profile else "fuzz0.01",
+            default_name,
         )
     )
     os.makedirs(out, exist_ok=True)
@@ -77,6 +91,25 @@ def main() -> None:
 
     for t in ["region", "nation", "customer", "supplier", "part"]:
         emit(t, "SELECT * FROM {src}")
+
+    if skew_profile:
+        # ONLY the user mapping changes (isolates failures to skew):
+        # ~30% of events land on the base fixture's smallest user_id,
+        # which stays inside the customer key domain so user->customer
+        # enrichment joins still resolve
+        hot = con.execute(
+            f"SELECT min(user_id) FROM read_parquet('{base}/events.parquet')"
+        ).fetchone()[0]
+        for t in ["orders", "lineitem", "documents", "embeddings"]:
+            emit(t, "SELECT * FROM {src}")
+        emit(
+            "events",
+            f"""SELECT * REPLACE (
+                  CASE WHEN event_id % 10 < 3 THEN {hot} ELSE user_id END AS user_id)
+                FROM {{src}}""",
+        )
+        print(f"skew fixture at {out} (hot user_id={hot})")
+        return
 
     emit(
         "orders",
