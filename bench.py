@@ -96,6 +96,9 @@ HEADLINE = [
     # round-3 batch 2: bitmap-partial exact distinct + classifier AUC
     "sketch_bitmap_exact_distinct",
     "ml_auc_by_lang",
+    # round-4: bloom-prefiltered referential anti-join (map-side prune
+    # of the fact->fact edge before the shuffle anti-join)
+    "dq_referential_integrity_bloom",
 ]
 
 

@@ -541,8 +541,13 @@ def ml_user_feature_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — zero-shuffle scoring pass) and compare against the rule-based C4
 # gate (text.text_quality_scores `passes_quality`) as the reference
 # label. Both metrics are emitted as exact integer/ppm quantities via
-# round_int_ratio, so the oracle check is bit-exact (no float-rounding
-# flake surface).
+# round_int_ratio, so downstream ratios are bit-exact. Residual
+# exposure: score_q itself quantizes a sigmoid, and Spark's Math.exp vs
+# DuckDB's libm exp are each only ~1-ulp-accurate — a document whose
+# score lands within 1 ulp of a 1e-4 quantization boundary could round
+# differently across engines. The integer ratios AFTER quantization are
+# exact; the quantization step is not, so a regenerated fixture carries
+# a tiny (empirically unobserved) cross-engine flake surface there.
 
 def _scored_labeled(t: Tables) -> DataFrame:
     """One projection over documents: 1e-4-quantized classifier score +

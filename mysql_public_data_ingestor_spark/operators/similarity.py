@@ -172,12 +172,17 @@ LSH_BANDS = 16
 LSH_ROWS = 3
 
 
-def _gaussian_planes() -> list[list[float]]:
+def _gaussian_planes(
+    n_bands: int = LSH_BANDS, n_rows: int = LSH_ROWS
+) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes (fixed legacy-RandomState seed,
-    rounded to 6 decimals so the SQL literals round-trip exactly)."""
+    rounded to 6 decimals so the SQL literals round-trip exactly).
+    Parameterized on (bands, rows) so the recall/selectivity trade can
+    be tuned per corpus; the registered query's defaults reproduce the
+    historical (16, 3) planes bit-for-bit."""
     import numpy as np
 
-    w = np.random.RandomState(42).standard_normal((LSH_BANDS * LSH_ROWS, DIM))
+    w = np.random.RandomState(42).standard_normal((n_bands * n_rows, DIM))
     return [[round(float(x), 6) for x in row] for row in w]
 
 
@@ -256,7 +261,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tunable, the plan shape is the point.
     """
     t = Tables(spark, sf_dir)
-    emb = t.embeddings.select(
+    _, topk = ann_lsh_candidates_and_topk(t.embeddings)
+    return topk
+
+
+def ann_lsh_candidates_and_topk(
+    embeddings: DataFrame,
+    n_bands: int = LSH_BANDS,
+    n_rows: int = LSH_ROWS,
+    n_queries: int = N_QUERIES,
+    top_k: int = TOP_K,
+) -> tuple[DataFrame, DataFrame]:
+    """The banded-LSH ANN pipeline, parameterized on the band/row
+    geometry so selectivity can be tuned per corpus (more rows per band
+    -> sharper buckets -> fewer candidates; more bands -> higher
+    recall). Returns (candidate pairs, exact-scored top-k). Defaults
+    reproduce the registered ``ann_lsh_topk`` exactly."""
+    emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn(
         # norm once per vector; per-pair recomputation triples the
@@ -264,19 +285,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm",
         F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
     )
-    sig_udf = _signature_udf(_gaussian_planes())
+    sig_udf = _signature_udf(_gaussian_planes(n_bands, n_rows))
     sigs = emb.select("vec_id", sig_udf(F.col("v")).alias("sig")).localCheckpoint()
     bands = (
         sigs.select(
             "vec_id",
             "sig",
-            F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_id"),
         )
-        .withColumn("band_sig", F.expr(f"substring(sig, band_id * {LSH_ROWS} + 1, {LSH_ROWS})"))
+        .withColumn("band_sig", F.expr(f"substring(sig, band_id * {n_rows} + 1, {n_rows})"))
         .drop("sig")
     )
     q_bands = (
-        bands.filter(F.col("vec_id") < N_QUERIES)
+        bands.filter(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("query_id"), "band_id", "band_sig")
     )
     cands = (
@@ -285,7 +306,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    q_emb = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    q_emb = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     dot = F.aggregate(
@@ -301,11 +322,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
+    topk = (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= TOP_K)
+        .filter(F.col("rnk") <= top_k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+    return cands, topk
 
 
 N_CENTROIDS = 8

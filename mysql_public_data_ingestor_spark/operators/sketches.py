@@ -292,3 +292,169 @@ def sketch_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(None).cast("timestamp").alias("day"), "n_users")
     )
     return per_day.select("day", "n_users").unionByName(total)
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered anti-join — the composition of the bloom sketch with
+# the referential-integrity probe (VERDICT r3 item 7): prune the big
+# probe side MAP-SIDE before the shuffle anti-join ever sees it.
+# --------------------------------------------------------------------------
+
+
+def bloom_prefilter_pass(probe: DataFrame, key: str, build_keys: DataFrame) -> DataFrame:
+    """Tag each probe row with ``bloom_pass``: True iff all three bloom
+    hash bits of ``probe[key]`` are set in the filter built over
+    ``build_keys`` (single column ``k``, distinct).
+
+    Shape: the bit set is ≤ BLOOM_M rows however large the build side
+    is; it broadcasts, and each of the three membership tests is a
+    map-side broadcast left join — the probe side never shuffles. Rows
+    with ``bloom_pass = false`` are DEFINITE non-members (bloom filters
+    have no false negatives); only the surviving candidates need the
+    exact join.
+    """
+    bitset = (
+        build_keys.select(
+            F.explode(
+                F.array(*[_uhash(F.col("k"), a, b, BLOOM_M) for a, b in BLOOM_SEEDS])
+            ).alias("bit")
+        ).distinct()
+    )
+    out = probe
+    pass_cols = []
+    for i, (a, b) in enumerate(BLOOM_SEEDS):
+        bs = F.broadcast(bitset.withColumnRenamed("bit", f"__bit{i}"))
+        out = out.join(bs, _uhash(F.col(key), a, b, BLOOM_M) == F.col(f"__bit{i}"), "left")
+        pass_cols.append(F.col(f"__bit{i}").isNotNull())
+    flag = pass_cols[0]
+    for c in pass_cols[1:]:
+        flag = flag & c
+    return out.withColumn("bloom_pass", flag).drop(*[f"__bit{i}" for i in range(len(BLOOM_SEEDS))])
+
+
+def bloom_prefiltered_orphan_audit(
+    relation: str, fact: DataFrame, fk: str, dim_keys: DataFrame
+) -> DataFrame:
+    """One-row referential audit of ``fact[fk] -> dim_keys.k`` with the
+    bloom prefilter applied before the exact anti-join.
+
+    ``n_bloom_pruned`` rows are proven orphans without ever shuffling
+    (map-side bloom miss); only ``n_candidates`` rows reach the shuffle
+    anti-join, whose residual misses complete ``n_orphans``. Exactness
+    is unconditional — the bloom only moves WHERE the work happens. On
+    a clean edge the filter prunes nothing (every key is a member) and
+    costs three broadcast hash probes per row; it pays for itself when
+    the edge is dirty or selective, which is exactly when the plain
+    shuffle anti-join is most expensive at 100 TB.
+    """
+    flags = bloom_prefilter_pass(fact.select(F.col(fk).alias("k")), "k", dim_keys)
+    definite = flags.where(~F.col("bloom_pass")).agg(
+        F.count(F.lit(1)).alias("n_bloom_pruned")
+    )
+    candidates = flags.where(F.col("bloom_pass"))
+    n_cand = candidates.agg(F.count(F.lit(1)).alias("n_candidates"))
+    resid = candidates.join(dim_keys, "k", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_resid")
+    )
+    checked = fact.agg(F.count(F.lit(1)).alias("n_checked"))
+    return (
+        checked.crossJoin(F.broadcast(definite))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(resid))
+        .select(
+            F.lit(relation).alias("relation"),
+            F.col("n_checked"),
+            F.col("n_bloom_pruned"),
+            F.col("n_candidates"),
+            (F.col("n_bloom_pruned") + F.col("n_resid")).alias("n_orphans"),
+            ((F.col("n_bloom_pruned") + F.col("n_resid")) == 0).alias("passed"),
+        )
+    )
+
+
+def _bloom_ri_edge_sql(relation: str, fact_sql: str, build_sql: str) -> str:
+    """Oracle half of the prefiltered audit: same universal-hash bloom
+    restated in SQL, so the PRUNE COUNTS (not just the final orphan
+    count) are value-checked against DuckDB."""
+    bits = " UNION ALL ".join(
+        f"SELECT DISTINCT {_sql_uhash('k', a, b, BLOOM_M)} AS bit FROM build"
+        for a, b in BLOOM_SEEDS
+    )
+    tests = " AND ".join(
+        f"{_sql_uhash('k', a, b, BLOOM_M)} IN (SELECT bit FROM bitset)"
+        for a, b in BLOOM_SEEDS
+    )
+    return f"""
+    WITH build AS ({build_sql}),
+         bitset AS (SELECT DISTINCT bit FROM ({bits})),
+         probe AS ({fact_sql}),
+         flagged AS (
+           SELECT k, CASE WHEN {tests} THEN 1 ELSE 0 END AS pass FROM probe
+         ),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_checked,
+                  CAST(coalesce(sum(1 - pass), 0) AS BIGINT) AS n_bloom_pruned,
+                  CAST(coalesce(sum(pass), 0) AS BIGINT) AS n_candidates
+           FROM flagged
+         ),
+         resid AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_resid FROM flagged f
+           WHERE f.pass = 1 AND NOT EXISTS (SELECT 1 FROM build b WHERE b.k = f.k)
+         )
+    SELECT '{relation}' AS relation, n_checked, n_bloom_pruned, n_candidates,
+           n_bloom_pruned + n_resid AS n_orphans,
+           (n_bloom_pruned + n_resid = 0) AS passed
+    FROM agg, resid
+    """
+
+
+@register(
+    "dq_referential_integrity_bloom",
+    oracle=(
+        "("
+        + _bloom_ri_edge_sql(
+            "lineitem.l_orderkey->orders",
+            "SELECT l_orderkey AS k FROM lineitem",
+            "SELECT DISTINCT o_orderkey AS k FROM orders",
+        )
+        + ") UNION ALL ("
+        + _bloom_ri_edge_sql(
+            "lineitem.l_orderkey->orders[1-URGENT]",
+            "SELECT l_orderkey AS k FROM lineitem",
+            "SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'",
+        )
+        + ")"
+    ),
+)
+def dq_referential_integrity_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit with the bloom prefilter composed in
+    front of the fact->fact anti-join (``sketch_bloom_semijoin_prefilter``
+    wired into ``dq_referential_integrity``'s expensive edge).
+
+    Two edges make both regimes observable: the full lineitem->orders
+    edge is clean (every probe passes the bloom; the exact anti-join
+    confirms zero orphans), while the urgent-orders-only edge is
+    selective — the bloom proves the bulk of lineitems non-members
+    MAP-SIDE (``n_bloom_pruned``), so only the small candidate fraction
+    ever reaches the shuffle anti-join. At 100 TB the second shape is
+    the win: shuffle volume drops from |fact| to |candidates| while the
+    answer stays exact. The filter itself is ≤ 8192 set-bit positions
+    regardless of build-side size — broadcastable at any scale — and
+    the oracle value-checks the prune counts, not just the orphan
+    totals, because the hash family is the same exact int64 arithmetic
+    on both engines.
+    """
+    t = Tables(spark, sf_dir)
+    full_keys = t.orders.select(F.col("o_orderkey").alias("k")).distinct()
+    urgent_keys = (
+        t.orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    a = bloom_prefiltered_orphan_audit(
+        "lineitem.l_orderkey->orders", t.lineitem, "l_orderkey", full_keys
+    )
+    b = bloom_prefiltered_orphan_audit(
+        "lineitem.l_orderkey->orders[1-URGENT]", t.lineitem, "l_orderkey", urgent_keys
+    )
+    return a.unionByName(b)

@@ -770,20 +770,47 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     The warehouse-wide companion to ``dq_expectations_orders``: every
     fact->dim edge is probed with a left-anti join. Small key sides
     (supplier, part, customer, nation) broadcast, so those probes are
-    map-side; the fact->fact edge (lineitem->orders) stays a shuffle
-    anti-join on the join key — at 100 TB that is the one to prefilter
-    with a key bloom filter (``sketch_bloom_semijoin_prefilter`` is the
-    demonstrated pattern). Each edge's count is an independent job over
-    a pruned two-column scan; results union into a constant-size frame.
+    map-side; the fact->fact edge (lineitem->orders) gets the bloom
+    prefilter composed in front of its shuffle anti-join
+    (``sketches.bloom_prefilter_pass`` — bloom misses are counted as
+    orphans map-side without shuffling; only bloom-passing candidates
+    reach the anti-join). On a clean edge the prefilter prunes nothing
+    and the plan degenerates to the plain anti-join plus three
+    broadcast hash probes; on a dirty edge at 100 TB it cuts the
+    shuffle from |fact| to |candidates|. The threshold is structural:
+    edges whose dim side already broadcasts gain nothing from a bloom
+    (the anti-join is map-side anyway), so only non-broadcast edges
+    take the prefiltered path. Each edge's count is an independent job
+    over a pruned two-column scan; results union into a constant-size
+    frame. ``dq_referential_integrity_bloom`` value-checks the prune
+    counts themselves on both a clean and a selective edge.
     """
+    from .sketches import bloom_prefilter_pass
+
     t = Tables(spark, sf_dir)
 
     def orphan_count(fact: DataFrame, fk: str, dim: DataFrame, pk: str, broadcast_dim: bool):
         keys = dim.select(pk)
         if broadcast_dim:
             keys = F.broadcast(keys)
-        return fact.join(keys, fact[fk] == keys[pk], "left_anti").agg(
-            F.count(F.lit(1)).alias("n_orphans")
+            return fact.join(keys, fact[fk] == keys[pk], "left_anti").agg(
+                F.count(F.lit(1)).alias("n_orphans")
+            )
+        # big dim: bloom-prefilter the probe side map-side, anti-join
+        # only the candidates, add back the definite (bloom-miss) orphans
+        flags = bloom_prefilter_pass(
+            fact.select(F.col(fk).alias("k")), "k", dim.select(F.col(pk).alias("k")).distinct()
+        )
+        definite = flags.where(~F.col("bloom_pass")).agg(
+            F.count(F.lit(1)).alias("n_definite")
+        )
+        resid = (
+            flags.where(F.col("bloom_pass"))
+            .join(dim.select(F.col(pk).alias("k")), "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_resid"))
+        )
+        return definite.crossJoin(F.broadcast(resid)).select(
+            (F.col("n_definite") + F.col("n_resid")).alias("n_orphans")
         )
 
     edges = [

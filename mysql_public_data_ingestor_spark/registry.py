@@ -52,79 +52,74 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # remaining queries keep registration order behind them and stay covered
 # by the identical local gate (tools/check_correctness.py).
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # Round-3 window. 96 queries have no driver correctness row (the
-    # round-3 session added 6: three multimodal stages, bitmap exact
-    # distinct, calibration, AUC — all queued in registration order
-    # behind this list, keeping round 4's 50-slot window sufficient for
-    # the remaining 46); the 50 below cover every family that has ZERO
-    # external evidence so far
-    # (graph, warehouse stats, DQ/privacy/layout, sketches, embedding
-    # compression, LM scoring, time-series, Spark-4 surface) plus the
-    # Q20-22 rotation leftovers and the newly oracle-paired
-    # sample_stratified. Families with partial driver evidence (corpus,
-    # dedup extras, text extras, ML packs, MV) wait behind them in
-    # registration order. Names already verified filter out
-    # automatically, so the list self-corrects across rounds.
-    # TPC-H rotation leftovers (3)
-    "q20_potential_promotion_parts",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    # Spark-4 / interop surface (7)
-    "udf_mapinarrow_token_count",
-    "sql_recursive_month_spine",
-    "udtf_props_kv_flatten",
-    "events_kv_flatten_native",
-    "events_variant_props",
-    "sql_pipe_syntax_segments",
-    "sql_lateral_customer_order_profile",
-    # graph analytics (4)
-    "graph_degree_histogram",
-    "graph_triangle_count",
-    "graph_pagerank_copurchase",
-    "graph_market_basket_lift",
-    # warehouse statistics (13)
-    "stats_chi_square_lang_source",
-    "stats_corr_price_quantity",
-    "stats_linear_regression",
-    "stats_rfm_segmentation",
-    "stats_cohort_ltv_triangle",
-    "stats_ttest_ab",
-    "stats_mann_whitney_ab",
-    "stats_jackknife_mean_ci",
-    "stats_mad_robust_outliers",
-    "agg_histogram_order_totals",
-    "agg_median_p90_disc",
-    "agg_equidepth_histogram",
-    "diag_key_skew_profile",
-    # data quality / privacy / layout (6)
-    "dq_expectations_orders",
-    "dq_benford_order_totals",
-    "dq_referential_integrity",
-    "dq_psi_value_drift",
-    "privacy_k_anonymity_audit",
-    "layout_zorder_stats",
-    # sketches (2)
-    "sketch_countmin_heavy_hitters",
-    "sketch_bloom_semijoin_prefilter",
-    # embedding compression (2)
-    "embedding_random_projection",
-    "embedding_int8_quant_stats",
-    # LM / text scoring (3)
-    "text_lm_cross_entropy",
-    "text_quality_classifier_score",
-    "text_repetition_stats",
-    # newly oracle-paired (was rows-only)
-    "sample_stratified",
-    # time-series / product analytics (9)
-    "events_hourly_gap_fill",
-    "events_funnel_view_click_purchase",
-    "events_weekly_retention",
-    "events_activity_islands",
-    "events_cumulative_distinct_users",
-    "events_rolling_zscore",
-    "events_attribution_last_touch",
-    "events_asof_nearest",
-    "events_time_to_convert",
+    # Round-4 window: drain the backlog to ZERO. After round 3, exactly
+    # 48 registered queries have no driver correctness row; round 4
+    # adds ONE new query (dq_referential_integrity_bloom), so all 49
+    # fit the 50-slot window with one slot of slack. Ordered by risk:
+    # the newest / least-locally-historied queries first (VERDICT r3
+    # item 2), families with partial prior driver evidence after.
+    # Names already verified filter out automatically, so the list
+    # self-corrects across rounds.
+    # new this round (1)
+    "dq_referential_integrity_bloom",
+    # multimodal pipeline stages (4 — newest family members)
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    "multimodal_feature_stats",
+    "multimodal_decode_stub",
+    # similarity re-ranking / hybrid retrieval (2)
+    "similarity_mmr_rerank",
+    "similarity_rrf_hybrid",
+    # exact-distinct bitmap MV + incremental MV merges (3)
+    "sketch_bitmap_exact_distinct",
+    "mv_incremental_agg_merge",
+    "mv_incremental_join_merge",
+    # data-quality profile (1)
+    "dq_column_profile",
+    # text extras (6)
+    "text_bm25_topk",
+    "text_vocab_topk",
+    "text_token_entropy",
+    "text_bigram_transitions",
+    "text_inverted_index",
+    "text_redact_denylist",
+    # dedup extras (5)
+    "dedup_passage_windows",
+    "dedup_substring_runs",
+    "dedup_containment",
+    "dedup_fuzzy_name_pairs",
+    "dedup_incremental_new_docs",
+    # ML packs (4)
+    "ml_feature_scaling_pack",
+    "ml_user_feature_pack",
+    "ml_calibration_curve",
+    "ml_auc_by_lang",
+    # time-series / product analytics extras (7)
+    "events_session_window_builtin",
+    "events_rolling_active_users",
+    "events_user_path_transitions",
+    "events_ewma_value",
+    "events_attribution_position_based",
+    "events_seasonal_hourly_baseline",
+    "events_cusum_changepoint",
+    # corpus management family (15)
+    "corpus_decontaminate_ngram_overlap",
+    "corpus_pack_sequences",
+    "corpus_mixture_weights",
+    "corpus_bpe_pair_counts",
+    "corpus_domain_stats",
+    "corpus_budget_fill",
+    "corpus_shuffle_shard",
+    "corpus_filter_ablation",
+    "sample_hash_mod",
+    "split_train_val_test",
+    "sample_k_per_group",
+    "sample_weighted_topk",
+    "pipeline_survival_funnel",
+    "embedding_dim_stats",
+    "embedding_centroid_outliers",
+    # rows-only by design (scalar-only output; driver records rows)
+    "events_hll_daily_union",
 ]
 
 

@@ -42,10 +42,11 @@ def test_rows_keys_and_dates_preserved(fuzz_dirs):
             assert f.execute(f"SELECT count(*) FROM {view}").fetchone() == base.execute(
                 f"SELECT count(*) FROM {view}"
             ).fetchone()
-        # key sets identical to the base (probe ids keep selecting real rows)
-        fuzz_keys = {r[0] for r in f.execute("SELECT doc_id FROM docs").fetchall()}
-        base_keys = {r[0] for r in base.execute("SELECT doc_id FROM docs").fetchall()}
-        assert fuzz_keys == base_keys
+            # key sets identical to the base for EVERY view, not just docs
+            # (probe ids keep selecting real rows)
+            fuzz_keys = {r[0] for r in f.execute(f"SELECT {key} FROM {view}").fetchall()}
+            base_keys = {r[0] for r in base.execute(f"SELECT {key} FROM {view}").fetchall()}
+            assert fuzz_keys == base_keys, f"{view}.{key} key set changed"
         # date/timestamp columns untouched (TPC-H predicates must hit)
         assert f.execute("SELECT min(l_shipdate), max(l_shipdate) FROM li").fetchone() == base.execute(
             "SELECT min(l_shipdate), max(l_shipdate) FROM li"

@@ -106,3 +106,52 @@ def test_ann_ivf_topk_recall(spark, sf_dir):
     assert set(iv) == set(q for q in kn if q < S.N_PROBE_QUERIES)
     recalls = [len(iv[q] & kn[q]) / len(kn[q]) for q in iv]
     assert sum(recalls) / len(recalls) >= 0.75, recalls
+
+
+@pytest.fixture(scope="module")
+def clustered_dir(tmp_path_factory):
+    """Planted-cluster embedding fixture (make_fuzz_fixture --clustered):
+    same vec_id key set / dim / dtype as the base, realistic geometry."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path_factory.mktemp("fuzzc"))
+    subprocess.run(
+        [sys.executable, "tools/make_fuzz_fixture.py", "/root/testdata/sf0.01", out,
+         "--clustered"],
+        check=True, capture_output=True,
+    )
+    return out
+
+
+def test_ann_lsh_selective_geometry_on_clustered_embeddings(spark, clustered_dir):
+    """The 100 TB ANN story (VERDICT r3 item 5): on REALISTIC (clustered)
+    embeddings a sharper band geometry must deliver high recall AND a
+    small candidate set. The registered (16,3) default is recall-safe
+    everywhere but admits ~the whole corpus on weak-neighbor data; with
+    8 bands x 8 rows on planted clusters (intra-cluster cosine ~0.9,
+    cross ~0) the bucket join prunes ~90% of pairs while keeping
+    recall@10 >= 0.9 (measured 0.98 / 0.10 — tools/measure_ann.py)."""
+    from mysql_public_data_ingestor_spark.operators.similarity import (
+        N_QUERIES,
+        ann_lsh_candidates_and_topk,
+    )
+    from mysql_public_data_ingestor_spark.registry import all_queries
+    from mysql_public_data_ingestor_spark.tables import Tables
+
+    t = Tables(spark, clustered_dir)
+    n_corpus = t.embeddings.count()
+    truth_rows = all_queries()["knn_brute_cosine"].fn(spark, clustered_dir).collect()
+    truth: dict[int, set[int]] = {}
+    for r in truth_rows:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    cands, topk = ann_lsh_candidates_and_topk(t.embeddings, n_bands=8, n_rows=8)
+    frac = cands.count() / (N_QUERIES * (n_corpus - 1))
+    got: dict[int, set[int]] = {}
+    for r in topk.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(s) for s in truth.values())
+    assert hits / total >= 0.9, f"clustered recall@10 {hits/total:.3f} < 0.9"
+    assert frac <= 0.2, f"candidate fraction {frac:.3f} not selective"

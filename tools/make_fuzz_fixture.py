@@ -58,15 +58,56 @@ PRICE_SCALE = 100.0       # l_extendedprice max ~1.05e5 -> ~1.05e7; cents 1.05e9
 VALUE_SCALE = 1000.0      # events.value max ~490 -> 4.9e5; 1e6-quant 4.9e11; squares ~2.4e23 — always needs decimal/HUGEINT
 
 
+N_CLUSTERS = 16
+CLUSTER_SIGMA = 0.33  # intra-cluster pairwise cosine ~ 1/(1+sigma^2) ~ 0.90
+CLUSTER_SEED = 7
+
+
+def _emit_clustered_embeddings(base: str, out: str) -> None:
+    """Replace the embedding column with planted Gaussian clusters,
+    preserving vec_id/label and the list<float> physical type."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(base, "embeddings.parquet"))
+    vec_ids = tbl.column("vec_id").to_numpy()
+    dim = len(tbl.column("embedding")[0])
+    rng = np.random.RandomState(CLUSTER_SEED)
+    centers = rng.standard_normal((N_CLUSTERS, dim))
+    assign = (vec_ids % N_CLUSTERS).astype(np.int64)
+    pts = centers[assign] + CLUSTER_SIGMA * rng.standard_normal((len(vec_ids), dim))
+    emb_col = pa.array(
+        [row for row in pts.astype(np.float32)], type=pa.list_(pa.float32())
+    )
+    cols = {name: tbl.column(name) for name in tbl.schema.names}
+    cols["embedding"] = emb_col
+    pq.write_table(
+        pa.table(cols), os.path.join(out, "embeddings.parquet")
+    )
+    print(f"embeddings: {len(vec_ids)} rows ({N_CLUSTERS} planted clusters, dim {dim})")
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    unicode_profile = "--unicode" in sys.argv[1:]
-    skew_profile = "--skew" in sys.argv[1:]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    unknown = [a for a in flags if a not in ("--unicode", "--skew", "--clustered")]
+    if unknown:
+        # A verification tool must fail loudly on a mistyped profile flag —
+        # silently building the default profile would "pass" the wrong gate.
+        sys.exit(
+            f"unknown flag(s): {' '.join(unknown)} (valid: --unicode, --skew, --clustered)"
+        )
+    unicode_profile = "--unicode" in flags
+    skew_profile = "--skew" in flags
+    clustered_profile = "--clustered" in flags
     default_name = "fuzz0.01"
     if unicode_profile:
         default_name = "fuzzu0.01"
     elif skew_profile:
         default_name = "fuzzs0.01"
+    elif clustered_profile:
+        default_name = "fuzzc0.01"
     base = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     out = (
         args[1]
@@ -91,6 +132,22 @@ def main() -> None:
 
     for t in ["region", "nation", "customer", "supplier", "part"]:
         emit(t, "SELECT * FROM {src}")
+
+    if clustered_profile:
+        # ONLY embeddings change (isolates failures to vector geometry):
+        # the base fixture's vectors are i.i.d. random, so all cosines
+        # are ~0.3 and any LSH bucketing admits most of the corpus
+        # (SCALE.md §6 documented weakness). Real embedding corpora are
+        # CLUSTERED; this profile plants 16 Gaussian clusters (centers
+        # seed 7, sigma 0.33 -> intra-cluster pairwise cosine ~0.9,
+        # cross-cluster ~0) over the SAME vec_id key set / dim / dtype,
+        # so ANN recall and candidate-set selectivity become measurable
+        # under realistic geometry while every oracle pair stays valid.
+        for t in ["orders", "lineitem", "documents", "events"]:
+            emit(t, "SELECT * FROM {src}")
+        _emit_clustered_embeddings(base, out)
+        print(f"clustered-embedding fixture at {out}")
+        return
 
     if skew_profile:
         # ONLY the user mapping changes (isolates failures to skew):
