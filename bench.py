@@ -97,8 +97,11 @@ HEADLINE = [
     "sketch_bitmap_exact_distinct",
     "ml_auc_by_lang",
     # round-4: bloom-prefiltered referential anti-join (map-side prune
-    # of the fact->fact edge before the shuffle anti-join)
+    # of the fact->fact edge before the shuffle anti-join) + the
+    # selective ANN band geometry (both ends of the recall/selectivity
+    # trade benched)
     "dq_referential_integrity_bloom",
+    "ann_lsh_selective_topk",
 ]
 
 

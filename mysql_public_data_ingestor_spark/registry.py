@@ -54,14 +54,15 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # Round-4 window: drain the backlog to ZERO. After round 3, exactly
     # 48 registered queries have no driver correctness row; round 4
-    # adds ONE new query (dq_referential_integrity_bloom), so all 49
-    # fit the 50-slot window with one slot of slack. Ordered by risk:
-    # the newest / least-locally-historied queries first (VERDICT r3
-    # item 2), families with partial prior driver evidence after.
-    # Names already verified filter out automatically, so the list
-    # self-corrects across rounds.
-    # new this round (1)
+    # adds TWO new queries (dq_referential_integrity_bloom,
+    # ann_lsh_selective_topk), so all 50 exactly fill the 50-slot
+    # window. Ordered by risk: the newest / least-locally-historied
+    # queries first (VERDICT r3 item 2), families with partial prior
+    # driver evidence after. Names already verified filter out
+    # automatically, so the list self-corrects across rounds.
+    # new this round (2)
     "dq_referential_integrity_bloom",
+    "ann_lsh_selective_topk",
     # multimodal pipeline stages (4 — newest family members)
     "multimodal_frame_sample",
     "multimodal_resize_plan",
