@@ -38,11 +38,16 @@ BLOOM_SEEDS = [(2_654_435_761, 1), (40_503, 30_011), (97, 1_000_003)]
 
 
 def _uhash(x: Column, a: int, b: int, w: int) -> Column:
-    return ((x.cast("long") * F.lit(a) + F.lit(b)) % F.lit(_P)) % F.lit(w)
+    # Reduce x mod P BEFORE the multiply: max |x%P| * max(a) ≈ 5.7e18
+    # stays inside int64, whereas raw 64-bit keys * a overflows (ANSI
+    # crash — caught by tests/test_bloom_prefilter.py's 2^62 keys).
+    # Value-identical to the unreduced form for |x| < P, which covers
+    # every fixture key, so oracle pairs are unaffected.
+    return (((x.cast("long") % F.lit(_P)) * F.lit(a) + F.lit(b)) % F.lit(_P)) % F.lit(w)
 
 
 def _sql_uhash(x: str, a: int, b: int, w: int) -> str:
-    return f"((({x} * {a} + {b}) % {_P}) % {w})"
+    return f"(((({x} % {_P}) * {a} + {b}) % {_P}) % {w})"
 
 
 @register(
