@@ -1,0 +1,498 @@
+"""Round-5 operator queue — implemented, oracle-paired, and tested, but
+NOT yet registered.
+
+The driver evaluates the first 50 entries of ``queries()`` per round and
+round 4's window is exactly the 50 queries still awaiting external
+correctness rows — registering anything more this round would push one
+of them out of the window (see ``registry._DRIVER_WINDOW_PRIORITY``).
+These operators bank the next round's surface instead: each entry is a
+complete ``(name, fn, oracle, doc)`` ready for ``register()`` the moment
+the round-4 CORRECTNESS artifact lands and frees the window.
+
+To activate in round 5: in ``registry._ensure_loaded`` add
+``from .operators import roundfive; roundfive.activate()`` — or simply
+call ``activate()`` from this module's import hook once the backlog is
+confirmed drained. Tests (`tests/test_roundfive.py`) run every entry
+against its DuckDB oracle with the same canon/compare the driver gate
+uses, so activation is a rename, not new risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.textnorm import whitespace_tokens
+from ..tables import Tables
+
+_SQL_TOKENS = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+QUEUE: list[tuple] = []
+
+
+def _queued(name: str, oracle: str):
+    def deco(fn):
+        QUEUE.append((name, fn, oracle, fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def activate() -> None:
+    """Register every queued query (round-5 switch)."""
+    from ..registry import register
+
+    for name, fn, oracle, doc in QUEUE:
+        register(name, oracle=oracle, doc=doc)(fn)
+
+
+# ---------------------------------------------------------------------------
+# 1. Temperature-scaled mixture weights (the p^alpha corpus-mixing rule)
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.7  # the multilingual-LM temperature standard
+
+
+@_queued(
+    "corpus_temperature_mixture",
+    oracle=f"""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_SQL_TOKENS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), scored AS (
+      SELECT *, pow(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) AS w_raw FROM per_lang
+    ), tot AS (
+      SELECT sum(w_raw) AS w_tot, CAST(sum(n_tokens) AS BIGINT) AS tok_tot FROM scored
+    )
+    SELECT lang, n_docs, n_tokens,
+           CAST(floor(w_raw / w_tot * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+             AS temp_share,
+           CAST(floor(w_raw / w_tot * tok_tot + 0.5) AS BIGINT) AS target_tokens,
+           CAST(floor(w_raw / w_tot * tok_tot / n_tokens * 1000000.0 + 0.5) AS BIGINT)
+             / 1000000.0 AS sample_weight
+    FROM scored, tot
+    """,
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights: each language's share of the
+    training mix is p_i^alpha / sum p_j^alpha (alpha = 0.7) — the
+    standard multilingual rebalancing rule (upsample the tail, damp the
+    head) as one aggregation plus a broadcast single-row total.
+
+    Complements ``corpus_mixture_weights`` (fixed target share) with
+    the smooth temperature rule. Scale: |langs| rows after one token
+    count; everything downstream is row-local math against a broadcast
+    1-row total. Residual cross-engine exposure: pow() is ~1-ulp per
+    engine, so a share landing within 1 ulp of a 1e-6 quantization
+    boundary could round apart (same documented residual as the
+    sigmoid quantization in operators/ml.py; integer ratios after
+    quantization are exact).
+    """
+    t = Tables(spark, sf_dir)
+    per_lang = (
+        t.documents.select(
+            "lang", F.size(whitespace_tokens(F.col("text"))).cast("long").alias("n_tok")
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .withColumn("w_raw", F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA)))
+    )
+    tot = per_lang.agg(
+        F.sum("w_raw").alias("w_tot"), F.sum("n_tokens").alias("tok_tot")
+    )
+    share = F.col("w_raw") / F.col("w_tot")
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.floor(share * F.lit(1e6) + F.lit(0.5)).cast("long") / F.lit(1e6)).alias(
+            "temp_share"
+        ),
+        F.floor(share * F.col("tok_tot") + F.lit(0.5)).cast("long").alias(
+            "target_tokens"
+        ),
+        (
+            F.floor(
+                share * F.col("tok_tot") / F.col("n_tokens") * F.lit(1e6) + F.lit(0.5)
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("sample_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. l-diversity audit (companion to privacy_k_anonymity_audit)
+# ---------------------------------------------------------------------------
+
+LDIV_BUCKET = 500  # n_chars quasi-identifier bucket width
+LDIV_L = 3
+
+
+@_queued(
+    "privacy_l_diversity_audit",
+    oracle=f"""
+    SELECT lang,
+           CAST(n_chars // {LDIV_BUCKET} AS BIGINT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT source) AS BIGINT) AS l_distinct_sources,
+           (count(DISTINCT source) >= {LDIV_L}) AS meets_l{LDIV_L}
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def privacy_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the quasi-identifier (lang, length
+    bucket): a release is l-diverse when every QI group contains at
+    least l distinct values of the sensitive attribute (source here) —
+    k-anonymity's companion guarantee against homogeneity attacks
+    (``privacy_k_anonymity_audit`` checks group SIZE; this checks group
+    VARIETY).
+
+    Scale: one grouped exact count-distinct per QI group — the shuffle
+    key is the QI pair, count-distinct is two-phase partial-aggregated;
+    output is |QI groups| rows regardless of corpus size.
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select(
+            "lang",
+            (F.col("n_chars") / F.lit(LDIV_BUCKET)).cast("long").alias("len_bucket"),
+            "source",
+        )
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.count_distinct("source").alias("l_distinct_sources"),
+        )
+        .withColumn(f"meets_l{LDIV_L}", F.col("l_distinct_sources") >= LDIV_L)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Mergeable partial top-k (the top-k materialized-view primitive)
+# ---------------------------------------------------------------------------
+
+TOPK_K = 10
+TOPK_SHARDS = 8
+
+
+@_queued(
+    "agg_topk_mergeable",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents,
+           CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS rnk
+    FROM orders
+    ORDER BY rnk
+    LIMIT {TOPK_K}
+    """,
+)
+def agg_topk_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k via MERGEABLE per-shard partials: rank within each
+    hash shard, keep each shard's local top-k (the partial aggregate a
+    top-k materialized view would persist), then merge the <= shards*k
+    survivors and re-rank for the global answer — provably equal to the
+    direct global top-k because a global top-k row is necessarily in
+    its own shard's top-k.
+
+    The scale point: the merge shuffle carries at most shards*k rows
+    no matter how many rows the table has, and the partials OR-merge
+    across time partitions the way the bitmap MV's partials do — this
+    is the algebra behind every "top sellers" dashboard tile at 100 TB.
+    The oracle states the direct global top-k; the gate proves the
+    partial/merge decomposition reproduces it exactly (deterministic
+    o_orderkey tie-break at both levels).
+    """
+    t = Tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    base = t.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        cents.alias("total_cents"),
+        (F.col("o_orderkey") % F.lit(TOPK_SHARDS)).alias("shard"),
+    )
+    w_shard = Window.partitionBy("shard").orderBy(
+        F.col("total_cents").desc(), F.col("o_orderkey")
+    )
+    partials = (
+        base.withColumn("srnk", F.row_number().over(w_shard))
+        .filter(F.col("srnk") <= TOPK_K)
+        .drop("srnk", "shard")
+    )
+    w_global = Window.orderBy(F.col("total_cents").desc(), F.col("o_orderkey"))
+    return (
+        partials.withColumn("rnk", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("rnk") <= TOPK_K)
+        .select("o_orderkey", "o_custkey", "total_cents", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Schema/stats drift report between two table periods
+# ---------------------------------------------------------------------------
+
+DRIFT_SPLIT = "1995-01-01"
+
+
+@_queued(
+    "dq_schema_drift",
+    oracle=f"""
+    WITH halves AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '{DRIFT_SPLIT}' THEN 'base'
+                  ELSE 'current' END AS period,
+             o_custkey, o_orderstatus, o_orderpriority,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), stats AS (
+      SELECT period,
+             CAST(count(*) AS BIGINT)                       AS n_rows,
+             CAST(count(DISTINCT o_custkey) AS BIGINT)      AS n_custkeys,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT)  AS n_statuses,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+             CAST(min(cents) AS BIGINT) AS min_cents,
+             CAST(max(cents) AS BIGINT) AS max_cents
+      FROM halves GROUP BY period
+    )
+    SELECT m.metric,
+           CAST(b.v AS BIGINT) AS base_value,
+           CAST(c.v AS BIGINT) AS current_value,
+           CAST(c.v - b.v AS BIGINT) AS delta
+    FROM (VALUES ('n_rows'), ('n_custkeys'), ('n_statuses'),
+                 ('n_priorities'), ('min_cents'), ('max_cents')) m(metric)
+    JOIN (
+      SELECT 'n_rows' AS metric, n_rows AS v FROM stats WHERE period = 'base'
+      UNION ALL SELECT 'n_custkeys', n_custkeys FROM stats WHERE period = 'base'
+      UNION ALL SELECT 'n_statuses', n_statuses FROM stats WHERE period = 'base'
+      UNION ALL SELECT 'n_priorities', n_priorities FROM stats WHERE period = 'base'
+      UNION ALL SELECT 'min_cents', min_cents FROM stats WHERE period = 'base'
+      UNION ALL SELECT 'max_cents', max_cents FROM stats WHERE period = 'base'
+    ) b ON b.metric = m.metric
+    JOIN (
+      SELECT 'n_rows' AS metric, n_rows AS v FROM stats WHERE period = 'current'
+      UNION ALL SELECT 'n_custkeys', n_custkeys FROM stats WHERE period = 'current'
+      UNION ALL SELECT 'n_statuses', n_statuses FROM stats WHERE period = 'current'
+      UNION ALL SELECT 'n_priorities', n_priorities FROM stats WHERE period = 'current'
+      UNION ALL SELECT 'min_cents', min_cents FROM stats WHERE period = 'current'
+      UNION ALL SELECT 'max_cents', max_cents FROM stats WHERE period = 'current'
+    ) c ON c.metric = m.metric
+    """,
+)
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-stats drift report between a base and a current period
+    (split at a fixed date): row counts, key cardinalities, categorical
+    domain sizes, and numeric ranges side by side with deltas — the
+    ingestion-monitoring companion to ``dq_psi_value_drift`` (which
+    tracks one column's DISTRIBUTION; this tracks the table's SHAPE,
+    catching upstream schema/semantic changes like a vanished status
+    code or an exploded key domain).
+
+    Scale: one wide conditional aggregate per period (single scan,
+    two-phase count-distincts), then a literal-array unpivot of the
+    2-row stats frame — output is |metrics| rows, constant in table
+    size.
+    """
+    t = Tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    halves = t.orders.select(
+        F.when(F.col("o_orderdate") < F.lit(DRIFT_SPLIT).cast("timestamp"), "base")
+        .otherwise("current")
+        .alias("period"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        cents.alias("cents"),
+    )
+    stats = halves.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_custkey").alias("n_custkeys"),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+    metrics = ["n_rows", "n_custkeys", "n_statuses", "n_priorities", "min_cents", "max_cents"]
+    long = stats.select(
+        "period",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("metric"), F.col(m).cast("long").alias("v"))
+                    for m in metrics
+                ]
+            )
+        ).alias("kv"),
+    ).select("period", F.col("kv.metric").alias("metric"), F.col("kv.v").alias("v"))
+    base = long.filter(F.col("period") == "base").select(
+        "metric", F.col("v").alias("base_value")
+    )
+    cur = long.filter(F.col("period") == "current").select(
+        "metric", F.col("v").alias("current_value")
+    )
+    return (
+        base.join(cur, "metric")
+        .select(
+            "metric",
+            "base_value",
+            "current_value",
+            (F.col("current_value") - F.col("base_value")).alias("delta"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Multi-probe LSH ANN (recall recovery at fixed selective geometry)
+# ---------------------------------------------------------------------------
+
+
+def _multiprobe_oracle() -> str:
+    from .similarity import (
+        N_QUERIES,
+        SELECTIVE_BANDS,
+        SELECTIVE_ROWS,
+        TOP_K,
+        _gaussian_planes,
+    )
+
+    planes = _gaussian_planes(SELECTIVE_BANDS, SELECTIVE_ROWS)
+    bit_exprs = ", ".join(
+        "CASE WHEN list_inner_product(v, ["
+        + ", ".join(repr(w) for w in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for plane in planes
+    )
+    R = SELECTIVE_ROWS
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), sigs AS (
+      SELECT vec_id, v, list_aggregate([{bit_exprs}], 'string_agg', '') AS sig FROM emb
+    ), bands AS (
+      SELECT vec_id, b AS band_id, substr(sig, b * {R} + 1, {R}) AS band_sig
+      FROM sigs, LATERAL (SELECT unnest(range(0, {SELECTIVE_BANDS})) AS b) t
+    ), q_probes AS (
+      SELECT vec_id AS query_id, band_id,
+             CASE WHEN p = 0 THEN band_sig
+                  ELSE substr(band_sig, 1, p - 1)
+                       || (CASE substr(band_sig, p, 1) WHEN '0' THEN '1' ELSE '0' END)
+                       || substr(band_sig, p + 1)
+             END AS band_sig
+      FROM bands, LATERAL (SELECT unnest(range(0, {R} + 1)) AS p) t
+      WHERE vec_id < {N_QUERIES}
+    ), cands AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+      FROM bands c JOIN q_probes q USING (band_id, band_sig)
+      WHERE c.vec_id <> q.query_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qe.v, ce.v), 6) AS cosine
+      FROM cands
+      JOIN emb qe ON qe.vec_id = query_id
+      JOIN emb ce ON ce.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {TOP_K}
+    """
+
+
+@_queued("similarity_ann_multiprobe_topk", oracle=_multiprobe_oracle())
+def similarity_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: at the SELECTIVE (8 bands x 8 rows) geometry,
+    each query probes its exact band signature PLUS every 1-bit flip
+    (9 probes per band) — recovering the recall that sharper buckets
+    cost, without touching the corpus-side index. The standard
+    multi-probe trade (probe count vs table count) from the LSH
+    literature, declaratively: the probe expansion happens on the tiny
+    query side (queries x bands x (rows+1) rows), the corpus index is
+    built once, candidates still come from an equi-join.
+
+    Scale: corpus side identical to ``ann_lsh_selective_topk``; the
+    probe side multiplies by (rows+1) = 9 — still query-bounded. The
+    oracle replicates the flip expansion bit-for-bit (the signatures
+    are deterministic sign patterns of literal hyperplanes).
+    """
+    from .similarity import (
+        N_QUERIES,
+        SELECTIVE_BANDS,
+        SELECTIVE_ROWS,
+        TOP_K,
+        _gaussian_planes,
+        _signature_udf,
+    )
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn(
+        "nrm", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    )
+    R = SELECTIVE_ROWS
+    sig_udf = _signature_udf(_gaussian_planes(SELECTIVE_BANDS, R))
+    sigs = emb.select("vec_id", sig_udf(F.col("v")).alias("sig")).localCheckpoint()
+    bands = (
+        sigs.select(
+            "vec_id",
+            "sig",
+            F.explode(F.sequence(F.lit(0), F.lit(SELECTIVE_BANDS - 1))).alias("band_id"),
+        )
+        .withColumn("band_sig", F.expr(f"substring(sig, band_id * {R} + 1, {R})"))
+        .drop("sig")
+    )
+    # probe expansion on the query side only: p = 0 keeps the exact
+    # signature, p = 1..R flips bit p (identical string algebra to the
+    # oracle: substr || flipped-char || substr)
+    q_probes = (
+        bands.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "band_id",
+            "band_sig",
+            F.explode(F.sequence(F.lit(0), F.lit(R))).alias("p"),
+        )
+        .select(
+            "query_id",
+            "band_id",
+            F.when(F.col("p") == 0, F.col("band_sig"))
+            .otherwise(
+                F.concat(
+                    F.expr("substring(band_sig, 1, p - 1)"),
+                    F.when(F.expr("substring(band_sig, p, 1)") == "0", F.lit("1"))
+                    .otherwise(F.lit("0")),
+                    F.expr(f"substring(band_sig, p + 1, {R})"),
+                )
+            )
+            .alias("band_sig"),
+        )
+    )
+    cands = (
+        bands.join(F.broadcast(q_probes), ["band_id", "band_sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q_emb = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        cands.join(F.broadcast(q_emb), F.col("query_id") == F.col("q_id"))
+        .join(emb, F.col("neighbor_id") == F.col("vec_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
