@@ -496,3 +496,114 @@ def similarity_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Declarative logistic regression (fixed-step gradient descent)
+# ---------------------------------------------------------------------------
+
+LOGIT_STEPS = 3
+# lr = 0.5 expressed as an integer halving of the micro-unit gradient sum
+
+
+def _logit_oracle() -> str:
+    """Unrolled-CTE twin of the GD loop: identical per-step quantized
+    integer weight updates, so every step's weights hash-match."""
+    x = "CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000000.0"
+    y = "CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END"
+    ctes = ["base AS (SELECT " + x + " AS x, " + y + " AS y FROM orders)"]
+    prev_w0, prev_w1 = "0", "0"
+    selects = []
+    for k in range(1, LOGIT_STEPS + 1):
+        p = f"1.0 / (1.0 + exp(-(({prev_w0}) / 1000000.0 + ({prev_w1}) / 1000000.0 * x)))"
+        ctes.append(
+            f"""s{k} AS (
+              SELECT sum(CAST(floor(({p} - y) * 1000000.0 + 0.5) AS BIGINT)) AS s0,
+                     sum(CAST(floor(({p} - y) * x * 1000000.0 + 0.5) AS BIGINT)) AS s1,
+                     count(*) AS n
+              FROM base{"" if k == 1 else f", w{k-1}"})"""
+        )
+        ctes.append(
+            f"""w{k} AS (
+              SELECT CAST(({prev_w0}) - floor(CAST(s0 AS DOUBLE) / (2.0 * n) + 0.5)
+                     AS BIGINT) AS w0q,
+                     CAST(({prev_w1}) - floor(CAST(s1 AS DOUBLE) / (2.0 * n) + 0.5)
+                     AS BIGINT) AS w1q
+              FROM s{k})"""
+        )
+        prev_w0, prev_w1 = f"(SELECT w0q FROM w{k})", f"(SELECT w1q FROM w{k})"
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS step, w0q AS w0_micro, w1q AS w1_micro FROM w{k}"
+        )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+@_queued("stats_logistic_gd", oracle=_logit_oracle())
+def stats_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression (urgent-order propensity vs order value) by
+    THREE fixed gradient-descent steps, as declarative plans — the
+    iterative-model-training showpiece alongside ``ml_kmeans_lloyd``:
+    no driver-side weight collect, no RNG, bit-reproducible.
+
+    Reproducibility contract: weights live as int64 micro-units; each
+    step's gradient contributions are 1e-6-quantized per row BEFORE the
+    exact integer sum (order-independent under any partitioning), and
+    the weight update is the same integer halving on both engines. The
+    only float op is the sigmoid itself, computed from bit-identical
+    (micro-weight / 1e6) doubles — same ~1-ulp residual as documented
+    for the classifier scoring pack. Scale: one pruned 2-column scan
+    per step with a 2-value aggregate; the 1-row weight state
+    broadcasts into the next step (localCheckpointed so step K costs
+    one scan, not K). Output: the weight trajectory, one row per step.
+    """
+    t = Tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    base = t.orders.select(
+        (cents.cast("double") / F.lit(1e7)).alias("x"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1.0).otherwise(0.0).alias("y"),
+    )
+    w_df = None  # step-1 weights are the (0, 0) literals
+    out = []
+    for k in range(1, LOGIT_STEPS + 1):
+        if w_df is None:
+            joined = base.withColumn("w0q", F.lit(0).cast("long")).withColumn(
+                "w1q", F.lit(0).cast("long")
+            )
+        else:
+            joined = base.crossJoin(F.broadcast(w_df))
+        z = F.col("w0q") / F.lit(1e6) + F.col("w1q") / F.lit(1e6) * F.col("x")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g0 = F.floor((p - F.col("y")) * F.lit(1e6) + F.lit(0.5)).cast("long")
+        g1 = F.floor((p - F.col("y")) * F.col("x") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        agg = joined.agg(
+            F.sum(g0).alias("s0"),
+            F.sum(g1).alias("s1"),
+            F.count(F.lit(1)).alias("n"),
+            F.first("w0q").alias("w0q"),
+            F.first("w1q").alias("w1q"),
+        )
+        w_df = agg.select(
+            (
+                F.col("w0q")
+                - F.floor(F.col("s0").cast("double") / (F.lit(2.0) * F.col("n")) + F.lit(0.5))
+            )
+            .cast("long")
+            .alias("w0q"),
+            (
+                F.col("w1q")
+                - F.floor(F.col("s1").cast("double") / (F.lit(2.0) * F.col("n")) + F.lit(0.5))
+            )
+            .cast("long")
+            .alias("w1q"),
+        ).localCheckpoint()
+        out.append(
+            w_df.select(
+                F.lit(k).cast("long").alias("step"),
+                F.col("w0q").alias("w0_micro"),
+                F.col("w1q").alias("w1_micro"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
