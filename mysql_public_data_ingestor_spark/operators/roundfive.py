@@ -607,3 +607,134 @@ def stats_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+# ---------------------------------------------------------------------------
+# 7. Product-quantization codebook assignment + reconstruction error
+# ---------------------------------------------------------------------------
+
+PQ_M = 4            # subspaces
+PQ_SUBDIM = 16      # dims per subspace (4 x 16 = 64)
+PQ_CODEWORDS = 8    # codewords per subspace (init = first 8 vectors)
+
+
+def _pq_oracle() -> str:
+    subs = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] AS sv "
+        "FROM emb"
+        for m in range(PQ_M)
+    )
+    cbs = " UNION ALL ".join(
+        f"SELECT vec_id AS cid, {m} AS m, v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] AS cv "
+        f"FROM emb WHERE vec_id < {PQ_CODEWORDS}"
+        for m in range(PQ_M)
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), sub AS ({subs}), cb AS ({cbs}),
+    dists AS (
+      SELECT s.vec_id, s.m, c.cid,
+             list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+                      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d2
+      FROM sub s JOIN cb c USING (m)
+    ), assigned AS (
+      SELECT vec_id, m, cid, d2,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY round(d2, 9), cid) AS rn
+      FROM dists
+    )
+    SELECT CAST(m AS BIGINT) AS subspace, cid AS codeword,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(sum(CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS err_micro_total,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id
+    FROM assigned WHERE rn = 1
+    GROUP BY 1, 2
+    """
+
+
+@_queued("embedding_pq_assign_stats", oracle=_pq_oracle())
+def embedding_pq_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization assignment: split each 64-d vector into 4
+    subspaces of 16 dims, assign each sub-vector to its nearest of 8
+    codewords (init = the first vectors' sub-vectors, the same fixed
+    convention as ``ann_ivf_topk``/``ml_kmeans_lloyd``), and report
+    per-(subspace, codeword) occupancy and total squared reconstruction
+    error — the third leg of the embedding-compression family (random
+    projection = fewer dims, int8 quant = fewer bits/dim, PQ = indexed
+    codes: 64 floats -> 4 bytes here).
+
+    Scale shape: the codebook is M*K sub-vectors (32 rows) however big
+    the corpus — broadcast; assignment is an embarrassingly parallel
+    argmin via min(struct(quantized_dist, cid)) with NO shuffle before
+    the M*K-row final aggregate. Distances round at 1e-9 for a
+    cross-engine-deterministic argmin tie-break; error sums are exact
+    1e-6-quantized int64.
+    """
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    cb = (
+        emb.filter(F.col("vec_id") < PQ_CODEWORDS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("cv"),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .select("cid", F.col("c.m").alias("m"), F.col("c.cv").alias("cv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = sub.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "m",
+        "cid",
+        d2.alias("d2"),
+    )
+    # argmin as min(struct): (rounded distance, cid) orders exactly like
+    # the oracle's row_number tie-break; carry the quantized error along
+    best = dists.groupBy("vec_id", "m").agg(
+        F.min(
+            F.struct(
+                F.round(F.col("d2"), 9).alias("d2r"),
+                F.col("cid").alias("cid"),
+                F.floor(F.col("d2") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("d2q"),
+            )
+        ).alias("b")
+    )
+    return (
+        best.groupBy(F.col("m").cast("long").alias("subspace"), F.col("b.cid").alias("codeword"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.sum("b.d2q").cast("long").alias("err_micro_total"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
