@@ -738,3 +738,212 @@ def embedding_pq_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vec_id").alias("min_vec_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. SCD-style as-of snapshot (latest state per key at a point in time)
+# ---------------------------------------------------------------------------
+
+ASOF_CUTOFF = "2024-01-15 00:00:00"
+
+
+@_queued(
+    "events_scd_asof_snapshot",
+    oracle=f"""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           ts AS last_ts, n_before
+    FROM (
+      SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_before
+      FROM events WHERE ts <= TIMESTAMP '{ASOF_CUTOFF}'
+    ) WHERE rn = 1
+    """,
+)
+def events_scd_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time state reconstruction: each user's LATEST event at a
+    literal cutoff — the slowly-changing-dimension / CDC-compaction
+    primitive ("what did the table look like on the 15th?") that every
+    warehouse upsert pipeline replays.
+
+    Scale: the cutoff filter pushes to the scan; one user_id shuffle;
+    the rank filter is a WindowGroupLimit (per-partition top-1 runs
+    BELOW the exchange, so the shuffle carries at most one candidate
+    row per (task, user), not the user's history). Deterministic
+    tie-break (ts, event_id) makes the snapshot reproducible — the
+    property that lets two clusters agree on a rebuilt state table.
+    """
+    t = Tables(spark, sf_dir)
+    ev = t.events.where(F.col("ts") <= F.lit(ASOF_CUTOFF).cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_before", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_ts"),
+            "n_before",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 9. Key-uniqueness violation audit
+# ---------------------------------------------------------------------------
+
+
+@_queued(
+    "dq_uniqueness_violations",
+    oracle="""
+    WITH o AS (
+      SELECT 'orders.o_orderkey' AS relation,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS max_multiplicity
+      FROM (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY 1)
+    ), l AS (
+      SELECT 'lineitem.(l_orderkey,l_linenumber)' AS relation,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS max_multiplicity
+      FROM (SELECT l_orderkey, l_linenumber, count(*) AS cnt
+            FROM lineitem GROUP BY 1, 2)
+    ), e AS (
+      SELECT 'events.event_id' AS relation,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS max_multiplicity
+      FROM (SELECT event_id, count(*) AS cnt FROM events GROUP BY 1)
+    )
+    SELECT relation, n_rows, n_keys, n_rows - n_keys AS n_dup_rows,
+           max_multiplicity, (n_rows = n_keys) AS unique_ok
+    FROM (SELECT * FROM o UNION ALL SELECT * FROM l UNION ALL SELECT * FROM e)
+    """,
+)
+def dq_uniqueness_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary/business-key uniqueness audit across three relations
+    (single-column, composite, and surrogate keys): row count vs
+    distinct-key count, duplicate-row excess, and the worst key's
+    multiplicity — the third leg of the DQ gate family (expectations =
+    domains, referential = edges, uniqueness = keys).
+
+    Scale: one two-phase count-distinct per relation (partial
+    aggregation keyside, constant-size result); the max-multiplicity
+    probe groups by key with partial counts — no row ever leaves its
+    executor un-aggregated. The composite key folds to one int64
+    (l_linenumber < 10 by TPC-H construction) so the distinct is a
+    single-column hash, not a struct compare.
+    """
+    t = Tables(spark, sf_dir)
+
+    def audit(relation: str, df: DataFrame, key_col) -> DataFrame:
+        per_key = df.select(key_col.alias("k")).groupBy("k").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return per_key.agg(
+            F.lit(relation).alias("relation"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            (F.sum("cnt") - F.count(F.lit(1))).cast("long").alias("n_dup_rows"),
+            F.max("cnt").cast("long").alias("max_multiplicity"),
+            (F.sum("cnt") == F.count(F.lit(1))).alias("unique_ok"),
+        )
+
+    out = audit("orders.o_orderkey", t.orders, F.col("o_orderkey"))
+    out = out.unionByName(
+        audit(
+            "lineitem.(l_orderkey,l_linenumber)",
+            t.lineitem,
+            F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        )
+    )
+    return out.unionByName(audit("events.event_id", t.events, F.col("event_id")))
+
+
+# ---------------------------------------------------------------------------
+# 10. Range join via bucketed equi-join (no nested-loop theta join)
+# ---------------------------------------------------------------------------
+
+# price bands in cents: [lo, hi) — hi of the last band is an open upper
+PRICE_BANDS = [
+    ("budget", 0, 5_000_000),
+    ("mid", 5_000_000, 15_000_000),
+    ("premium", 15_000_000, 30_000_000),
+    ("luxury", 30_000_000, 50_000_000_0),
+]
+BAND_BUCKET = 5_000_000  # coarse bucket width the bands are exploded into
+
+
+def _band_rows_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{name}' AS band, CAST({lo} AS BIGINT) AS lo, CAST({hi} AS BIGINT) AS hi"
+        for name, lo, hi in PRICE_BANDS
+    )
+
+
+@_queued(
+    "join_range_bucketed",
+    oracle=f"""
+    WITH bands AS ({_band_rows_sql()}),
+         o AS (SELECT o_orderkey,
+                      CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+               FROM orders)
+    SELECT b.band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o.cents) AS BIGINT) AS sum_cents,
+           CAST(min(o.cents) AS BIGINT) AS min_cents,
+           CAST(max(o.cents) AS BIGINT) AS max_cents
+    FROM o JOIN bands b ON o.cents >= b.lo AND o.cents < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join rewritten as a bucketed EQUI-join: explode
+    each band into the coarse buckets it covers, join facts on
+    floor(value / bucket) = bucket, then apply the exact range as a
+    residual filter — the standard rewrite that keeps a value-in-range
+    join out of BroadcastNestedLoopJoin territory.
+
+    Here the band table is 4 literal rows and would broadcast anyway;
+    the point is the SHAPE: with millions of intervals (IP ranges, time
+    windows, geo cells) the exploded (bucket, interval) table hash-
+    partitions like any other relation and the join stays an equi-join
+    whose per-bucket fan-out is |intervals overlapping that bucket| —
+    the plan a nested-loop theta join can never recover at 100 TB. The
+    oracle states the plain theta join; the gate proves the
+    bucket+residual rewrite is value-identical (band edges multiple of
+    the bucket width, half-open [lo, hi) semantics).
+    """
+    t = Tables(spark, sf_dir)
+    bands = None
+    for name, lo, hi in PRICE_BANDS:
+        n_buckets = (hi - lo + BAND_BUCKET - 1) // BAND_BUCKET
+        row = spark.range(1).select(
+            F.lit(name).alias("band"),
+            F.lit(lo).cast("long").alias("lo"),
+            F.lit(hi).cast("long").alias("hi"),
+            F.explode(
+                F.sequence(
+                    F.lit(lo // BAND_BUCKET), F.lit(lo // BAND_BUCKET + n_buckets - 1)
+                )
+            ).alias("bucket"),
+        )
+        bands = row if bands is None else bands.unionByName(row)
+    o = t.orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("cents"),
+    ).withColumn("bucket", (F.col("cents") / F.lit(BAND_BUCKET)).cast("long"))
+    joined = o.join(F.broadcast(bands), "bucket").where(
+        (F.col("cents") >= F.col("lo")) & (F.col("cents") < F.col("hi"))
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
