@@ -947,3 +947,173 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("min_cents"),
         F.max("cents").alias("max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 11. Label propagation (synchronous, fixed rounds) — community detection
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 2
+
+
+def _lpa_oracle() -> str:
+    from .graph import _SQL_EDGES
+
+    sql = _SQL_EDGES + """
+    , dir AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS label FROM dir
+    )"""
+    prev = "l0"
+    for k in range(1, LPA_ROUNDS + 1):
+        sql += f"""
+    , v{k} AS (
+      SELECT d.src AS node, l.label, count(*) AS cnt
+      FROM dir d JOIN {prev} l ON l.node = d.dst
+      GROUP BY 1, 2
+    ), l{k} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM v{k}
+      ) WHERE rn = 1
+    )"""
+        prev = f"l{k}"
+    sql += f"""
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node
+    FROM {prev} GROUP BY label
+    """
+    return sql
+
+
+@_queued("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (2 fixed rounds) over the part
+    co-purchase graph: every node starts as its own community, then
+    repeatedly adopts its neighbors' plurality label (ties -> smallest
+    label, making each round a deterministic function of the graph) —
+    the classic near-linear community-detection primitive, here fully
+    declarative like the PageRank/k-means/GD siblings: no driver-side
+    labels, no RNG.
+
+    Scale: each round is one equi-join of the directed edge list
+    against the |V|-row label table (labels re-shuffle on node id;
+    edges reuse their partitioning) plus a per-(node, label) count and
+    an argmax-by-min(struct)-shaped rank — identical cost profile to
+    one PageRank iteration. The label table localCheckpoints between
+    rounds so round K is one join, not a K-deep recompute. Output is
+    per-community size, |V|-bounded.
+    """
+    from .graph import _edges
+
+    t = Tables(spark, sf_dir)
+    edges = _edges(t)
+    directed = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    directed = directed.localCheckpoint()
+    labels = directed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            directed.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # plurality with min-label tie-break as a single min(struct):
+        # (-cnt, label) orders exactly like (cnt DESC, label ASC)
+        labels = (
+            votes.groupBy("node")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label").alias("label"))).alias("b"))
+            .select("node", F.col("b.label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 12. Time-constrained funnel (conversion within a window)
+# ---------------------------------------------------------------------------
+
+FUNNEL_WINDOW_MIN = 60  # purchase must follow the first click within 1h
+
+
+def _funnel_tw_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    rate = sql_round_int_ratio("(SELECT count(*) FROM conv)", "count(*)")
+    return f"""
+    WITH clicks AS (
+      SELECT user_id, min(ts) AS first_click FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ), conv AS (
+      SELECT c.user_id, min(e.ts) AS first_purchase
+      FROM clicks c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts > c.first_click
+       AND e.ts <= c.first_click + INTERVAL {FUNNEL_WINDOW_MIN} MINUTE
+      GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clickers,
+           CAST((SELECT count(*) FROM conv) AS BIGINT) AS n_converted,
+           {rate} AS conversion_rate
+    FROM clicks
+    """
+
+
+@_queued("events_funnel_time_windowed", oracle=_funnel_tw_oracle())
+def events_funnel_time_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel: of the users who clicked, how many
+    purchased WITHIN 60 minutes of their first click — the
+    attribution-window variant of ``events_funnel_view_click_purchase``
+    (unbounded ordering there, bounded latency here; marketing/abuse
+    funnels are almost always window-bounded in production).
+
+    Scale: first-click table is one user_id aggregate; the conversion
+    probe joins purchases on user_id with the window as a residual
+    range predicate on the co-partitioned join — no theta join, no
+    per-user event history materialized. Conversion rate is an exact
+    half-up integer ratio (``round_int_ratio``).
+    """
+    from ..functions.exact import round_int_ratio
+
+    t = Tables(spark, sf_dir)
+    clicks = (
+        t.events.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = t.events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        clicks.join(purchases, "user_id")
+        .where(
+            (F.col("p_ts") > F.col("first_click"))
+            & (
+                F.col("p_ts")
+                <= F.col("first_click") + F.expr(f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTE")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    n_clickers = clicks.agg(F.count(F.lit(1)).alias("n_clickers"))
+    n_conv = conv.agg(F.count(F.lit(1)).alias("n_converted"))
+    return n_clickers.crossJoin(F.broadcast(n_conv)).select(
+        "n_clickers",
+        "n_converted",
+        round_int_ratio(F.col("n_converted"), F.col("n_clickers")).alias(
+            "conversion_rate"
+        ),
+    )
