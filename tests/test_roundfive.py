@@ -51,3 +51,61 @@ def test_queued_query_matches_oracle(spark, sf_dir, entry):
         con.close()
     problems = compare(name, sdf, odf)
     assert not problems, f"{name}: {problems}"
+
+
+# Queued ops must meet the same scale bar as the registry BEFORE
+# activation — replicate the registry-wide plan sweeps over the queue.
+
+# agg_topk_mergeable: the global re-rank window runs over the merged
+# per-shard partials (<= shards*k = 80 rows by construction) — a
+# constant-size merge stage like diag_key_skew_profile's, not a
+# data-scaled single-reducer.
+QUEUE_SP_ALLOWLIST = {"agg_topk_mergeable"}
+
+
+def _sp_consumers(plan: str) -> list[str]:
+    import re
+
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        if "REPARTITION_BY_NUM" in line:
+            continue
+        for j in range(i - 1, -1, -1):
+            m = re.match(r"\s*[:+\-\s]*([A-Za-z]+)", lines[j])
+            if m and m.group(1) != "Exchange":
+                out.append(m.group(1))
+                break
+    return out
+
+
+def test_queue_single_partition_only_feeds_final_aggregates(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.plans import physical_plan
+
+    offenders = {}
+    for name, fn, _oracle, _doc in roundfive.QUEUE:
+        if name in QUEUE_SP_ALLOWLIST:
+            continue
+        plan = physical_plan(fn(spark, sf_dir))
+        bad = [
+            c
+            for c in _sp_consumers(plan)
+            if c not in ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+def test_queue_no_cartesian_products(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.plans import assert_no_cartesian
+
+    offenders = []
+    for name, fn, _oracle, _doc in roundfive.QUEUE:
+        try:
+            assert_no_cartesian(fn(spark, sf_dir))
+        except AssertionError:
+            offenders.append(name)
+    assert not offenders, offenders
