@@ -1117,3 +1117,215 @@ def events_funnel_time_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# 13. PMI token co-occurrence (collocation mining)
+# ---------------------------------------------------------------------------
+
+PMI_DF_FRAC = 0.05   # vocabulary gate: token must appear in >= 5% of docs
+PMI_CO_MIN = 5       # report pairs co-occurring in >= 5 docs
+
+
+def _pmi_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS words
+      FROM documents
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM toks),
+    inc AS (
+      SELECT doc_id, unnest(words) AS tok FROM toks
+    ), df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM inc GROUP BY tok
+    ), vocab AS (
+      SELECT tok, df FROM df, n WHERE df >= ceil({PMI_DF_FRAC} * n_docs) AND tok <> ''
+    ), vinc AS (
+      SELECT i.doc_id, i.tok FROM inc i JOIN vocab v USING (tok)
+    ), pairs AS (
+      SELECT a.tok AS u, b.tok AS v, CAST(count(*) AS BIGINT) AS n_uv
+      FROM vinc a JOIN vinc b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+    )
+    SELECT p.u, p.v, p.n_uv, du.df AS n_u, dv.df AS n_v,
+           CAST(floor(ln(CAST(p.n_uv AS DOUBLE) * n.n_docs
+                         / (CAST(du.df AS DOUBLE) * dv.df)) * 1e9 + 0.5) AS BIGINT)
+             / 1e9 AS pmi
+    FROM pairs p
+    JOIN vocab du ON du.tok = p.u
+    JOIN vocab dv ON dv.tok = p.v
+    CROSS JOIN n
+    WHERE p.n_uv >= {PMI_CO_MIN}
+    """
+
+
+@_queued("text_pmi_cooccurrence", oracle=_pmi_oracle())
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over document-level token
+    co-occurrence — the collocation/phrase-mining primitive (which
+    token pairs appear together far more than chance predicts).
+
+    Scale containment is the design problem: raw pair enumeration is
+    O(distinct-tokens-per-doc^2) and a web-crawl outlier would explode
+    it. Two bounds make it safe: (1) a document-frequency vocabulary
+    gate (>= 5% of docs) caps the per-doc token set at |vocab|, and
+    (2) pairs generate MAP-SIDE from each doc's sorted in-vocab token
+    array (the basket pattern shared with the co-purchase graph), so
+    the only shuffles are the df count and the |vocab|^2-bounded pair
+    aggregation. PMI itself is nano-nat-quantized (ln of an exact
+    integer ratio) like the PSI operator, so the hash is stable.
+    """
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.array_distinct(whitespace_tokens(F.col("text"))).alias("words")
+    )
+    n_docs_df = toks.agg(F.count(F.lit(1)).alias("n_docs"))
+    inc = toks.select("doc_id", F.explode("words").alias("tok"))
+    df = inc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    vocab = (
+        df.crossJoin(F.broadcast(n_docs_df))
+        .where(
+            (F.col("df") >= F.ceil(F.lit(PMI_DF_FRAC) * F.col("n_docs")))
+            & (F.col("tok") != "")
+        )
+        .select("tok", "df")
+    )
+    # per-doc sorted in-vocab token set, pairs generated map-side
+    vinc = inc.join(F.broadcast(vocab.select("tok")), "tok")
+    baskets = vinc.groupBy("doc_id").agg(F.sort_array(F.collect_set("tok")).alias("vt"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("vt"),
+            lambda x, i: F.transform(
+                F.slice(F.col("vt"), i + 2, F.size(F.col("vt"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_uv"))
+        .where(F.col("n_uv") >= PMI_CO_MIN)
+    )
+    du = vocab.select(F.col("tok").alias("u"), F.col("df").alias("n_u"))
+    dv = vocab.select(F.col("tok").alias("v"), F.col("df").alias("n_v"))
+    pmi = (
+        F.floor(
+            F.log(
+                F.col("n_uv").cast("double")
+                * F.col("n_docs")
+                / (F.col("n_u").cast("double") * F.col("n_v"))
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long")
+        / F.lit(1e9)
+    )
+    return (
+        pairs.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .crossJoin(F.broadcast(n_docs_df))
+        .select("u", "v", "n_uv", "n_u", "n_v", pmi.alias("pmi"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 14. Small-files compaction planner (layout family)
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_BYTES = 1 << 20  # 1 MiB target file size (chars ~ bytes proxy)
+
+
+@_queued(
+    "layout_compaction_plan",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+           CAST(greatest(1, ceil(sum(n_chars) / {float(COMPACT_TARGET_BYTES)})) AS BIGINT)
+             AS target_files,
+           CAST(ceil(count(*) / greatest(1.0, ceil(sum(n_chars) / {float(COMPACT_TARGET_BYTES)})))
+             AS BIGINT) AS rows_per_file
+    FROM documents GROUP BY source
+    """,
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner: per source partition, the file
+    count and rows-per-file that hit a target file size — the
+    table-maintenance math every lakehouse OPTIMIZE/compaction job runs
+    before rewriting a partition (compare ``layout_zorder_stats``,
+    which plans the ORDER inside the files; this plans their COUNT).
+
+    Scale: one grouped aggregate over two pruned columns; output is
+    |sources| rows. The plan is data the engine can act on directly —
+    `repartition(target_files)` per partition — and, being derived
+    from exact integer sums, two planners on two clusters agree on it
+    byte-for-byte.
+    """
+    t = Tables(spark, sf_dir)
+    tgt = float(COMPACT_TARGET_BYTES)
+    return t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_bytes"),
+        F.greatest(F.lit(1).cast("long"), F.ceil(F.sum("n_chars") / F.lit(tgt)))
+        .cast("long")
+        .alias("target_files"),
+        F.ceil(
+            F.count(F.lit(1))
+            / F.greatest(F.lit(1.0), F.ceil(F.sum("n_chars") / F.lit(tgt)))
+        )
+        .cast("long")
+        .alias("rows_per_file"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 15. Language-ID confusion matrix (model-eval companion to text_lang_id)
+# ---------------------------------------------------------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+    from .text import _langid_oracle
+
+    inner = _langid_oracle()
+    recall = sql_round_int_ratio(
+        "count(*)", "sum(count(*)) OVER (PARTITION BY actual_lang)"
+    )
+    return f"""
+    WITH preds AS ({inner})
+    SELECT actual_lang, guessed_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {recall} AS row_share
+    FROM preds GROUP BY actual_lang, guessed_lang
+    """
+
+
+@_queued("text_langid_confusion", oracle=_langid_confusion_oracle())
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the
+    labeled ``lang`` column: per (actual, guessed) cell, document count
+    and row-normalized share (recall on the diagonal) — the eval
+    artifact that tells a corpus pipeline WHERE its router misroutes
+    (which feeds the mixture/budget operators garbage), not just how
+    often.
+
+    Scale: reuses ``text_lang_id``'s zero-join scoring scan, then one
+    |langs|^2-bounded aggregate; the row-share window runs over that
+    constant-size cell table. Shares are exact half-up integer ratios.
+    """
+    from ..functions.exact import round_int_ratio
+    from .text import text_lang_id
+
+    preds = text_lang_id(spark, sf_dir)
+    cells = preds.groupBy("actual_lang", "guessed_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("actual_lang")
+    return cells.select(
+        "actual_lang",
+        "guessed_lang",
+        "n_docs",
+        round_int_ratio(F.col("n_docs"), F.sum("n_docs").over(w)).alias("row_share"),
+    )
