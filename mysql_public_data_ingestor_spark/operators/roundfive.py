@@ -1329,3 +1329,369 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         round_int_ratio(F.col("n_docs"), F.sum("n_docs").over(w)).alias("row_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 16. Welch's ANOVA (k-group mean comparison; extends stats_ttest_ab)
+# ---------------------------------------------------------------------------
+
+
+@_queued(
+    "stats_welch_anova",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_u
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v_u) AS DOUBLE) AS sum_u,
+             CAST(sum(CAST(v_u AS HUGEINT) * v_u) AS DOUBLE) AS sumsq_u
+      FROM q GROUP BY event_type
+    ), g AS (
+      SELECT event_type, n,
+             sum_u / 1e6 / n AS mean_g,
+             (sumsq_u / 1e12 - (sum_u / 1e6) * (sum_u / 1e6) / n) / (n - 1) AS var_g
+      FROM s
+    ), w AS (
+      SELECT event_type, n, mean_g, var_g, n / var_g AS wt FROM g
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, sum(wt) AS w_sum,
+             sum(wt * mean_g) / sum(wt) AS grand_mean
+      FROM w
+    ), parts AS (
+      SELECT sum(wt * (mean_g - grand_mean) * (mean_g - grand_mean)) AS between_w,
+             sum((1 - wt / w_sum) * (1 - wt / w_sum) / (n - 1)) AS lambda_term
+      FROM w, tot GROUP BY w_sum
+    )
+    SELECT k,
+           CAST((SELECT sum(n) FROM s) AS BIGINT) AS n_total,
+           round(grand_mean, 6) AS grand_mean,
+           round((between_w / (k - 1))
+                 / (1 + 2.0 * (k - 2) / (k * k - 1.0) * lambda_term), 6) AS f_welch,
+           round((k * k - 1.0) / (3.0 * lambda_term), 6) AS df2
+    FROM tot, parts
+    """,
+)
+def stats_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA across ALL event types —
+    the k-group generalization of ``stats_ttest_ab`` (do the k event
+    types share a mean value, without assuming equal variances?).
+
+    Same exactness discipline as the t-test: every sufficient statistic
+    (n, sum, sum-of-squares) is an exact integer aggregate of
+    1e-6-quantized values (sum of squares in decimal(38,0) so 100 TB
+    cannot overflow), bit-identical under any partitioning; the F
+    statistic is then one deterministic float expression over the
+    k-row group table, rounded at 6dp on both engines. Shuffle: one
+    |event-types|-keyed aggregate; everything after runs on k rows.
+    """
+    t = Tables(spark, sf_dir)
+    v_u = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    s = (
+        t.events.select("event_type", v_u.alias("v_u"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_u").cast("double").alias("sum_u"),
+            # decimal BEFORE the square: v_u^2 overflows int64 once
+            # values carry web-scale magnitudes (the stats.py:868
+            # lesson, re-caught by the value-magnitude fuzz profile)
+            F.sum(
+                F.col("v_u").cast("decimal(38,0)") * F.col("v_u").cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("sumsq_u"),
+        )
+    )
+    g = s.select(
+        "event_type",
+        "n",
+        (F.col("sum_u") / F.lit(1e6) / F.col("n")).alias("mean_g"),
+        (
+            (
+                F.col("sumsq_u") / F.lit(1e12)
+                - (F.col("sum_u") / F.lit(1e6)) * (F.col("sum_u") / F.lit(1e6)) / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var_g"),
+    ).withColumn("wt", F.col("n") / F.col("var_g"))
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("wt").alias("w_sum"),
+        (F.sum(F.col("wt") * F.col("mean_g")) / F.sum("wt")).alias("grand_mean"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    joined = g.crossJoin(F.broadcast(tot))
+    parts = joined.agg(
+        F.first("k").alias("k"),
+        F.first("n_total").alias("n_total"),
+        F.first("grand_mean").alias("grand_mean"),
+        F.sum(
+            F.col("wt") * (F.col("mean_g") - F.col("grand_mean")) * (F.col("mean_g") - F.col("grand_mean"))
+        ).alias("between_w"),
+        F.sum(
+            (F.lit(1.0) - F.col("wt") / F.col("w_sum"))
+            * (F.lit(1.0) - F.col("wt") / F.col("w_sum"))
+            / (F.col("n") - 1)
+        ).alias("lambda_term"),
+    )
+    kk = F.col("k").cast("double")
+    return parts.select(
+        F.col("k").cast("long").alias("k"),
+        "n_total",
+        F.round(F.col("grand_mean"), 6).alias("grand_mean"),
+        F.round(
+            (F.col("between_w") / (kk - 1))
+            / (
+                F.lit(1.0)
+                + F.lit(2.0) * (kk - 2) / (kk * kk - F.lit(1.0)) * F.col("lambda_term")
+            ),
+            6,
+        ).alias("f_welch"),
+        F.round((kk * kk - F.lit(1.0)) / (F.lit(3.0) * F.col("lambda_term")), 6).alias(
+            "df2"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 17. Classifier threshold sweep (PR table; completes the eval trio)
+# ---------------------------------------------------------------------------
+
+SWEEP_THRESHOLDS = [1000, 3000, 5000, 7000, 9000]  # score_q cut points
+
+
+def _sweep_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+    from .ml import _scored_labeled_sql
+
+    thr = ", ".join(f"({t})" for t in SWEEP_THRESHOLDS)
+    prec = sql_round_int_ratio("sum(CASE WHEN score_q >= t AND label = 1 THEN 1 ELSE 0 END)",
+                               "greatest(sum(CASE WHEN score_q >= t THEN 1 ELSE 0 END), 1)")
+    rec = sql_round_int_ratio("sum(CASE WHEN score_q >= t AND label = 1 THEN 1 ELSE 0 END)",
+                              "greatest(sum(label), 1)")
+    return (
+        _scored_labeled_sql()
+        + f"""
+    SELECT t AS threshold_q,
+           CAST(sum(CASE WHEN score_q >= t AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN score_q >= t AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN score_q < t AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN score_q < t AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           {prec} AS precision_,
+           {rec} AS recall_
+    FROM scored, (VALUES {thr}) s(t)
+    GROUP BY t
+    """
+    )
+
+
+@_queued("ml_confusion_threshold_sweep", oracle=_sweep_oracle())
+def ml_confusion_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts and precision/recall of the hashed-feature
+    quality classifier at five fixed decision thresholds — the
+    operating-point table that completes the eval trio
+    (``ml_calibration_curve`` = is the score honest,
+    ``ml_auc_by_lang`` = does it rank, this = where to CUT).
+
+    Scale: the scored/labeled table is the same zero-join scan the
+    siblings use; the sweep crosses it with a 5-row literal threshold
+    table (broadcast) and reduces to 5 rows of integer counts —
+    precision/recall are exact half-up integer ratios, so the whole
+    artifact is hash-stable.
+    """
+    from ..functions.exact import round_int_ratio
+    from .ml import _scored_labeled
+
+    t = Tables(spark, sf_dir)
+    s = _scored_labeled(t)
+    # 5-row literal threshold table
+    thr_df = s.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(v).cast("long") for v in SWEEP_THRESHOLDS])).alias(
+            "threshold_q"
+        )
+    )
+    crossed = s.crossJoin(F.broadcast(thr_df))
+    pred_pos = F.col("score_q") >= F.col("threshold_q")
+    agg = crossed.groupBy("threshold_q").agg(
+        F.sum(F.when(pred_pos & (F.col("label") == 1), 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(pred_pos & (F.col("label") == 0), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~pred_pos & (F.col("label") == 1), 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~pred_pos & (F.col("label") == 0), 1).otherwise(0)).cast("long").alias("tn"),
+    )
+    return agg.select(
+        "threshold_q",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        round_int_ratio(F.col("tp"), F.greatest(F.col("tp") + F.col("fp"), F.lit(1))).alias(
+            "precision_"
+        ),
+        round_int_ratio(F.col("tp"), F.greatest(F.col("tp") + F.col("fn"), F.lit(1))).alias(
+            "recall_"
+        ),
+    )
+
+
+def _round_big_int_ratio(num, den, dp: int = 6):
+    """Decimal-domain twin of ``functions.exact.round_int_ratio`` for
+    numerators too large for its int64/double path: 2*10^dp*|num| must
+    only fit decimal(38,0), not int64, and the (a - a mod b)/b step runs
+    in exact decimal arithmetic (the quotient is integral, so the
+    decimal division is exact) before the one power-of-ten float divide.
+    Needed when the ratio is over money-sums rather than counts —
+    top_cents at 100 TB dwarfs the 4.6e12 ceiling of the int64 path."""
+    s = 10**dp
+    a = (
+        F.lit(2 * s).cast("decimal(38,0)") * F.abs(num).cast("decimal(38,0)")
+        + den.cast("decimal(38,0)")
+    )
+    b = F.lit(2).cast("decimal(38,0)") * den.cast("decimal(38,0)")
+    mag = ((a - a % b) / b).cast("long")
+    return F.when(num < 0, -mag).otherwise(mag) / F.lit(float(s))
+
+
+# ---------------------------------------------------------------------------
+# 18. Pareto concentration by nation (top-decile revenue share)
+# ---------------------------------------------------------------------------
+
+
+def _pareto_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    share = sql_round_int_ratio("top_cents", "all_cents")
+    return f"""
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT c_nationkey, cents,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents DESC, o_custkey) AS rn,
+             CAST(count(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n_cust
+      FROM rev
+    ), agg AS (
+      SELECT c_nationkey,
+             CAST(max(n_cust) AS BIGINT) AS n_customers,
+             CAST(ceil(max(n_cust) / 10.0) AS BIGINT) AS n_top,
+             CAST(sum(CASE WHEN rn <= ceil(n_cust / 10.0) THEN cents ELSE 0 END)
+                  AS BIGINT) AS top_cents,
+             CAST(sum(cents) AS BIGINT) AS all_cents
+      FROM ranked GROUP BY 1
+    )
+    SELECT n.n_name AS nation, n_customers, n_top, top_cents, all_cents,
+           {share} AS top_decile_share
+    FROM agg JOIN nation n ON n.n_nationkey = agg.c_nationkey
+    """
+
+
+@_queued("stats_pareto_by_nation", oracle=_pareto_oracle())
+def stats_pareto_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto/80-20) audit per nation: what
+    share of each nation's order revenue comes from its top decile of
+    customers — the concentration metric behind account-tiering and
+    whale-risk dashboards.
+
+    Scale: the customer-revenue rollup is one (nation, customer)
+    aggregate of exact cents; ranking and the decile cutoff are
+    PARTITIONED windows (per nation — never a global sort), and the
+    final frame is |nations| rows with an exact integer revenue ratio.
+    """
+    t = Tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    rev = (
+        t.orders.select("o_custkey", cents.alias("cents"))
+        .join(F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w_rank = Window.partitionBy("c_nationkey").orderBy(
+        F.col("cents").desc(), F.col("o_custkey")
+    )
+    w_all = Window.partitionBy("c_nationkey")
+    ranked = rev.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n_cust", F.count(F.lit(1)).over(w_all).cast("long")
+    )
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.max("n_cust").cast("long").alias("n_customers"),
+        F.ceil(F.max("n_cust") / F.lit(10.0)).cast("long").alias("n_top"),
+        F.sum(
+            F.when(F.col("rn") <= F.ceil(F.col("n_cust") / F.lit(10.0)), F.col("cents"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("top_cents"),
+        F.sum("cents").cast("long").alias("all_cents"),
+    )
+    return (
+        agg.join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_customers",
+            "n_top",
+            "top_cents",
+            "all_cents",
+            _round_big_int_ratio(F.col("top_cents"), F.col("all_cents")).alias(
+                "top_decile_share"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 19. Hourly top-k active users (windowed group top-k)
+# ---------------------------------------------------------------------------
+
+HOURLY_TOPK = 3
+
+
+@_queued(
+    "events_hourly_topk_users",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, user_id,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour, user_id, n_events, rnk FROM (
+      SELECT hour, user_id, n_events,
+             CAST(row_number() OVER (PARTITION BY hour
+                                     ORDER BY n_events DESC, user_id) AS BIGINT) AS rnk
+      FROM hourly
+    ) WHERE rnk <= {HOURLY_TOPK}
+    """,
+)
+def events_hourly_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most active users per hour — the periodic-leaderboard
+    shape (windowed group top-k) every ops dashboard renders.
+
+    Scale: the (hour, user) pre-aggregate partial-aggregates map-side
+    before its shuffle; the per-hour rank is a PARTITIONED window whose
+    WindowGroupLimit keeps only k candidates per partition below the
+    exchange — so the second shuffle carries <= k rows per (task,
+    hour). Deterministic user_id tie-break. The same plan maintained
+    incrementally is the mergeable-top-k MV (``agg_topk_mergeable``
+    demonstrates the merge algebra).
+    """
+    t = Tables(spark, sf_dir)
+    hourly = (
+        t.events.select(F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id")
+        .groupBy("hour", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("hour").orderBy(F.col("n_events").desc(), F.col("user_id"))
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= HOURLY_TOPK)
+        .select("hour", "user_id", "n_events", "rnk")
+    )
