@@ -1695,3 +1695,136 @@ def events_hourly_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= HOURLY_TOPK)
         .select("hour", "user_id", "n_events", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# 20. Late-arrival audit (watermark-tuning diagnostic)
+# ---------------------------------------------------------------------------
+
+LATE_BUCKETS_S = [0, 60, 300, 900, 3600]  # lateness histogram edges (seconds)
+
+
+@_queued(
+    "events_late_arrival_audit",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS high_water
+      FROM events
+    ), late AS (
+      SELECT CAST(date_diff('second', ts, high_water) AS BIGINT) AS late_s
+      FROM ordered WHERE high_water IS NOT NULL AND ts < high_water
+    ), bucketed AS (
+      SELECT CASE
+               {" ".join(f"WHEN late_s < {hi} THEN {lo}" for lo, hi in zip(LATE_BUCKETS_S, LATE_BUCKETS_S[1:]))}
+               ELSE {LATE_BUCKETS_S[-1]} END AS bucket_lo_s
+      FROM late
+    )
+    SELECT bucket_lo_s, CAST(count(*) AS BIGINT) AS n_late_events
+    FROM bucketed GROUP BY bucket_lo_s
+    """,
+)
+def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-arrival audit: treating event_id as arrival order,
+    how late (vs the per-user event-time high-water mark) do events
+    arrive, bucketed into a lateness histogram — the diagnostic that
+    picks a Structured Streaming WATERMARK: each bucket's count is
+    exactly the data a `withWatermark` of that delay would drop or
+    keep, measured on the real stream's history instead of guessed.
+
+    Scale: one per-user ordered window (running max over arrival
+    order — partitioned, never global), then a |buckets|-row
+    aggregate. The same audit over a 100 TB event archive is one
+    shuffle on the session key.
+    """
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = t.events.select(
+        "user_id", "ts", F.max("ts").over(w).alias("high_water")
+    )
+    late = ordered.where(
+        F.col("high_water").isNotNull() & (F.col("ts") < F.col("high_water"))
+    ).select(
+        (F.unix_timestamp("high_water") - F.unix_timestamp("ts"))
+        .cast("long")
+        .alias("late_s")
+    )
+    bucket = None
+    for lo, hi in zip(LATE_BUCKETS_S, LATE_BUCKETS_S[1:]):
+        cond = F.col("late_s") < hi
+        bucket = F.when(cond, lo) if bucket is None else bucket.when(cond, lo)
+    bucket = bucket.otherwise(LATE_BUCKETS_S[-1]).cast("long")
+    return (
+        late.select(bucket.alias("bucket_lo_s"))
+        .groupBy("bucket_lo_s")
+        .agg(F.count(F.lit(1)).alias("n_late_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 21. Char-trigram frequency profile per language
+# ---------------------------------------------------------------------------
+
+TRIGRAM_TOP = 15
+
+
+@_queued(
+    "text_char_trigram_profile",
+    oracle=f"""
+    WITH norm AS (
+      SELECT lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+      FROM documents
+    ), grams AS (
+      SELECT lang, substr(s, i, 3) AS g
+      FROM norm, LATERAL (SELECT unnest(range(1, greatest(len(s) - 1, 1))) AS i) t
+      WHERE len(s) >= 3 AND i <= len(s) - 2
+    ), counts AS (
+      SELECT lang, g, CAST(count(*) AS BIGINT) AS n
+      FROM grams GROUP BY lang, g
+    )
+    SELECT lang, g AS trigram, n, rnk FROM (
+      SELECT lang, g, n,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, g) AS BIGINT) AS rnk
+      FROM counts
+    ) WHERE rnk <= {TRIGRAM_TOP}
+    """,
+)
+def text_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top character trigrams per language over normalized text — the
+    statistical backbone of real language identification (char-n-gram
+    profiles a la Cavnar-Trenkle), complementing the keyword-voting
+    ``text_lang_id`` and its confusion matrix with the model a
+    production router would actually fit.
+
+    Scale: trigram generation is map-side array algebra (sequence +
+    substring over each doc — no join, CHARACTER-indexed so multibyte
+    text segments identically in both engines); the shuffle carries
+    (lang, trigram) partial counts — alphabet^3-bounded per language —
+    and the rank is a partitioned window with a WindowGroupLimit.
+    """
+    t = Tables(spark, sf_dir)
+    s = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = t.documents.select("lang", s.alias("s")).where(F.length("s") >= 3)
+    grams = norm.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("s") - 2),
+                lambda i: F.col("s").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("g"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TRIGRAM_TOP)
+        .select("lang", F.col("g").alias("trigram"), "n", "rnk")
+    )
