@@ -109,3 +109,31 @@ def test_queue_no_cartesian_products(spark, sf_dir):
         except AssertionError:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_activate_registers_cleanly_in_subprocess():
+    """Round 5 flips the queue on via roundfive.activate(); prove now —
+    in a subprocess, so the live registry stays clean — that activation
+    registers every queued name without collisions and that the
+    evaluation-order machinery still works afterward."""
+    import subprocess
+    import sys
+
+    code = (
+        "from mysql_public_data_ingestor_spark.operators import roundfive\n"
+        "from mysql_public_data_ingestor_spark import registry\n"
+        "registry._ensure_loaded()\n"
+        "roundfive.activate()\n"
+        "names = set(registry.all_queries())\n"
+        "queued = {n for n, *_ in roundfive.QUEUE}\n"
+        "missing = queued - names\n"
+        "assert not missing, f'not registered: {missing}'\n"
+        "oracles = registry.oracle_sql()\n"
+        "assert queued <= set(oracles), 'queued op lost its oracle'\n"
+        "print('ACTIVATED', len(queued))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd="/root/repo"
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ACTIVATED" in out.stdout
