@@ -1828,3 +1828,117 @@ def text_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TRIGRAM_TOP)
         .select("lang", F.col("g").alias("trigram"), "n", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# 22. Dedup survivorship report (keep-policy audit per source)
+# ---------------------------------------------------------------------------
+
+
+@_queued(
+    "corpus_dedup_survivorship",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, source,
+             sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+      FROM documents
+    ), keep AS (
+      SELECT h, min(doc_id) AS keeper FROM hashed GROUP BY h
+    ), tagged AS (
+      SELECT hd.source, (hd.doc_id = k.keeper) AS kept
+      FROM hashed hd JOIN keep k USING (h)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM tagged GROUP BY source
+    """,
+)
+def corpus_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship audit of the exact-dedup keep policy (keeper =
+    smallest doc_id per normalized-content hash): per source, how many
+    documents survive dedup and how many lose to a copy elsewhere —
+    the report that tells a corpus owner WHICH feeds are net-new versus
+    mirrors before a mixture rebalance trusts their token counts.
+
+    Scale: one content-hash projection (the same sha256 the dedup
+    family shares), one hash-keyed min-aggregate for the keeper table,
+    one equi-join back on the hash (both sides partial-aggregated /
+    co-partitioned on h — text itself never shuffles, only 64-char
+    hashes), and a |sources|-row final frame. The keep policy is a
+    deterministic function of the data, so two clusters agree on every
+    keeper.
+    """
+    from ..functions.textnorm import normalized_text, sha256_hex
+
+    t = Tables(spark, sf_dir)
+    hashed = t.documents.select(
+        "doc_id", "source", sha256_hex(normalized_text(F.col("text"))).alias("h")
+    )
+    keep = hashed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    tagged = hashed.join(keep, "h").select(
+        "source", (F.col("doc_id") == F.col("keeper")).alias("kept")
+    )
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).cast("long").alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 23. Shipment latency percentiles (cross-table date arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@_queued(
+    "lineitem_shipment_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_shipments,
+           CAST(min(days) AS BIGINT) AS min_days,
+           CAST(quantile_disc(days, 0.5) AS BIGINT) AS p50_days,
+           CAST(quantile_disc(days, 0.9) AS BIGINT) AS p90_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def lineitem_shipment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency (days) per order priority: exact discrete
+    p50/p90 plus range — the logistics-SLA shape (cross-table date
+    arithmetic, then grouped exact percentiles) that rounds out the
+    date-function surface.
+
+    Scale: the one fact-fact join shuffles once on the order key (the
+    bucketed-table candidate, §2); latencies are small ints, so the
+    per-priority exact percentile (percentile_approx at max accuracy ==
+    quantile_disc) reduces over a 5-key group. At 100 TB the join is
+    the cost and bucketing removes it; the percentile state is bounded
+    by the distinct-latency domain (hundreds of values).
+    """
+    t = Tables(spark, sf_dir)
+    exact = str(2**31 - 1)
+    lat = (
+        t.lineitem.select("l_orderkey", "l_shipdate")
+        .join(
+            t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long").alias("days"),
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        F.min("days").alias("min_days"),
+        F.expr(f"percentile_approx(days, 0.5, {exact})").cast("long").alias("p50_days"),
+        F.expr(f"percentile_approx(days, 0.9, {exact})").cast("long").alias("p90_days"),
+        F.max("days").alias("max_days"),
+    )
