@@ -123,6 +123,15 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "events_hll_daily_union",
 ]
 
+# Round-5 staging (do NOT uncomment before CORRECTNESS_r04 lands):
+# once the r4 window is verified, (1) call
+# `operators.roundfive.activate()` in _ensure_loaded, (2) replace
+# _DRIVER_WINDOW_PRIORITY with [any r4 failures first] + the 23 queue
+# names in operators/roundfive.py QUEUE order, (3) rework
+# tests/test_roundfive.py's isolation test to assert registration, and
+# (4) add the queue names to bench.HEADLINE / dump_plans.PLAN_QUERIES.
+# See COVERAGE.md §"Round-5 operator queue".
+
 
 def _verified_names() -> tuple[set[str], set[str]]:
     """(hash_verified, rows_verified) query names across all prior
