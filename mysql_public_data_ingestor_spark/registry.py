@@ -52,85 +52,39 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # remaining queries keep registration order behind them and stay covered
 # by the identical local gate (tools/check_correctness.py).
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # Round-4 window: drain the backlog to ZERO. After round 3, exactly
-    # 48 registered queries have no driver correctness row; round 4
-    # adds TWO new queries (dq_referential_integrity_bloom,
-    # ann_lsh_selective_topk), so all 50 exactly fill the 50-slot
-    # window. Ordered by risk: the newest / least-locally-historied
-    # queries first (VERDICT r3 item 2), families with partial prior
-    # driver evidence after. Names already verified filter out
-    # automatically, so the list self-corrects across rounds.
-    # new this round (2)
-    "dq_referential_integrity_bloom",
-    "ann_lsh_selective_topk",
-    # multimodal pipeline stages (4 — newest family members)
-    "multimodal_frame_sample",
-    "multimodal_resize_plan",
-    "multimodal_feature_stats",
-    "multimodal_decode_stub",
-    # similarity re-ranking / hybrid retrieval (2)
-    "similarity_mmr_rerank",
-    "similarity_rrf_hybrid",
-    # exact-distinct bitmap MV + incremental MV merges (3)
-    "sketch_bitmap_exact_distinct",
-    "mv_incremental_agg_merge",
-    "mv_incremental_join_merge",
-    # data-quality profile (1)
-    "dq_column_profile",
-    # text extras (6)
-    "text_bm25_topk",
-    "text_vocab_topk",
-    "text_token_entropy",
-    "text_bigram_transitions",
-    "text_inverted_index",
-    "text_redact_denylist",
-    # dedup extras (5)
-    "dedup_passage_windows",
-    "dedup_substring_runs",
-    "dedup_containment",
-    "dedup_fuzzy_name_pairs",
-    "dedup_incremental_new_docs",
-    # ML packs (4)
-    "ml_feature_scaling_pack",
-    "ml_user_feature_pack",
-    "ml_calibration_curve",
-    "ml_auc_by_lang",
-    # time-series / product analytics extras (7)
-    "events_session_window_builtin",
-    "events_rolling_active_users",
-    "events_user_path_transitions",
-    "events_ewma_value",
-    "events_attribution_position_based",
-    "events_seasonal_hourly_baseline",
-    "events_cusum_changepoint",
-    # corpus management family (15)
-    "corpus_decontaminate_ngram_overlap",
-    "corpus_pack_sequences",
-    "corpus_mixture_weights",
-    "corpus_bpe_pair_counts",
-    "corpus_domain_stats",
-    "corpus_budget_fill",
-    "corpus_shuffle_shard",
-    "corpus_filter_ablation",
-    "sample_hash_mod",
-    "split_train_val_test",
-    "sample_k_per_group",
-    "sample_weighted_topk",
-    "pipeline_survival_funnel",
-    "embedding_dim_stats",
-    "embedding_centroid_outliers",
-    # rows-only by design (scalar-only output; driver records rows)
-    "events_hll_daily_union",
+    # Round-5 window. CORRECTNESS_r04 drained the backlog to ZERO
+    # (49/50 hash-green + 1 by-design rows-only, no failures), so this
+    # round's window is: the 23 banked queue operators from
+    # operators/roundfive.py (activated this round, in QUEUE order) —
+    # every one already passes the driver-identical canon/compare on
+    # all 7 fixtures plus the x10 replica — followed automatically by
+    # any newly registered round-5 queries (auto-unverified names sort
+    # after this manual list, in registration order). 23 + new <= 50
+    # keeps everything inside the driver's evaluation window.
+    "corpus_temperature_mixture",
+    "privacy_l_diversity_audit",
+    "agg_topk_mergeable",
+    "dq_schema_drift",
+    "similarity_ann_multiprobe_topk",
+    "stats_logistic_gd",
+    "embedding_pq_assign_stats",
+    "events_scd_asof_snapshot",
+    "dq_uniqueness_violations",
+    "join_range_bucketed",
+    "graph_label_propagation",
+    "events_funnel_time_windowed",
+    "text_pmi_cooccurrence",
+    "layout_compaction_plan",
+    "text_langid_confusion",
+    "stats_welch_anova",
+    "ml_confusion_threshold_sweep",
+    "stats_pareto_by_nation",
+    "events_hourly_topk_users",
+    "events_late_arrival_audit",
+    "text_char_trigram_profile",
+    "corpus_dedup_survivorship",
+    "lineitem_shipment_latency",
 ]
-
-# Round-5 staging (do NOT uncomment before CORRECTNESS_r04 lands):
-# once the r4 window is verified, (1) call
-# `operators.roundfive.activate()` in _ensure_loaded, (2) replace
-# _DRIVER_WINDOW_PRIORITY with [any r4 failures first] + the 23 queue
-# names in operators/roundfive.py QUEUE order, (3) rework
-# tests/test_roundfive.py's isolation test to assert registration, and
-# (4) add the queue names to bench.HEADLINE / dump_plans.PLAN_QUERIES.
-# See COVERAGE.md §"Round-5 operator queue".
 
 
 def _verified_names() -> tuple[set[str], set[str]]:
@@ -205,6 +159,7 @@ def _ensure_loaded() -> None:
         return
     from .operators import (  # noqa: F401
         advanced,
+        bucketed,
         corpus,
         dedup,
         graph,
@@ -224,5 +179,10 @@ def _ensure_loaded() -> None:
         windows,
     )
     from .streaming import batch_equivalents  # noqa: F401
+
+    # round-5 activation of the banked operator queue (VERDICT r4 item 1)
+    from .operators import roundfive
+
+    roundfive.activate()
 
     _LOADED = True

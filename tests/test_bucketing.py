@@ -70,3 +70,23 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, bucketed_tables):
     got = {r.o_orderpriority: r.n for r in joined.collect()}
     exp = {r.o_orderpriority: r.n for r in expect.collect()}
     assert got == exp
+
+
+def test_registered_bucketed_latency_join_no_join_side_shuffle(spark, sf_dir):
+    """VERDICT r4 item 3: the REGISTERED bucketed twin of the repo's
+    worst x10-scaling query must join with zero join-side exchanges —
+    only the constant-size final aggregate may shuffle."""
+    from mysql_public_data_ingestor_spark.operators.bucketed import (
+        lineitem_shipment_latency_bucketed,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = lineitem_shipment_latency_bucketed(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "SortMergeJoin" in plan, plan
+        # one exchange total: the 5-key final aggregate
+        assert count_exchanges(df) <= 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -1,11 +1,7 @@
-"""Round-5 queue gate: every queued-but-unregistered operator in
-``operators/roundfive.py`` must already pass the SAME canon/compare the
-driver's correctness gate uses — so activating them next round is a
-rename, not new risk.
-
-Also pins the queue's isolation: importing the module must NOT touch the
-live registry (the round-4 driver window is exactly 50 unverified
-queries; a stray registration would push one out).
+"""Round-5 batch gate: every operator in ``operators/roundfive.py``
+must pass the SAME canon/compare the driver's correctness gate uses,
+and — now that round 5 activated the queue — must be REGISTERED with
+its oracle and sit at the front of the driver's evaluation window.
 """
 
 from __future__ import annotations
@@ -16,16 +12,35 @@ from mysql_public_data_ingestor_spark.operators import roundfive
 from tools.check_correctness import canon, compare, duck_connection
 
 
-def test_queue_does_not_pollute_registry():
+def test_queue_is_registered_with_oracles():
+    """Activation contract (VERDICT r4 item 1): all 23 batch names are
+    live registry entries, each carrying its oracle, and a repeat
+    activate() is a no-op rather than a duplicate-name error."""
     from mysql_public_data_ingestor_spark import registry
 
-    registered = set(registry._REGISTRY)
+    registry._ensure_loaded()
     queued = {name for name, *_ in roundfive.QUEUE}
     assert queued, "queue unexpectedly empty"
-    assert not (queued & registered), (
-        "queued names leaked into the live registry — this breaks the "
-        f"round-4 driver window: {queued & registered}"
-    )
+    missing = queued - set(registry._REGISTRY)
+    assert not missing, f"queued names not registered: {missing}"
+    no_oracle = {n for n in queued if registry._REGISTRY[n].oracle is None}
+    assert not no_oracle, f"registered without oracle: {no_oracle}"
+    roundfive.activate()  # idempotent — must not raise
+
+
+def test_queue_heads_driver_window():
+    """The never-driver-verified batch must occupy the head of the
+    evaluation order so the round-5 window covers it (evidence-relative:
+    once CORRECTNESS_r05 lands with green rows, these names retire from
+    the head and this asserts nothing about their position)."""
+    from mysql_public_data_ingestor_spark import registry
+
+    hash_verified, _rows = registry._verified_names()
+    queued = [name for name, *_ in roundfive.QUEUE]
+    unverified = [n for n in queued if n not in hash_verified]
+    window = list(registry.all_queries())[:50]
+    stranded = set(unverified) - set(window)
+    assert not stranded, f"unverified batch names outside the 50-slot window: {stranded}"
 
 
 def test_queue_entries_well_formed():
