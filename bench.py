@@ -127,6 +127,20 @@ HEADLINE = [
     "text_char_trigram_profile",
     "corpus_dedup_survivorship",
     "lineitem_shipment_latency",
+    # round-5 additions beyond the activated batch
+    "lineitem_shipment_latency_bucketed",
+    "corpus_decontaminated_train_stats",
+    "dedup_minhash_store_probe",
+    "similarity_pq_adc_topk",
+    "events_watermark_policy_audit",
+    "stats_bootstrap_mean_ci",
+    "dq_order_lineitem_reconciliation",
+    "stats_gini_by_nation",
+    "graph_common_neighbors_linkpred",
+    "text_rake_keywords_topk",
+    "privacy_pseudonymize_joinability",
+    "dq_freshness_lag_audit",
+    "dq_ab_sample_ratio_mismatch",
 ]
 
 

@@ -80,3 +80,56 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("group_size"),
         (F.count(F.lit(1)) < K_ANON).alias("violates_k"),
     )
+
+
+# --- deterministic pseudonymization + joinability audit --------------------
+
+PSEUDO_SALT = "corpus-salt-v1"  # rotation = new salt literal (governance)
+
+
+@register(
+    "privacy_pseudonymize_joinability",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_type, user_id,
+             substr(sha256('{PSEUDO_SALT}' || CAST(user_id AS VARCHAR)), 1, 16)
+               AS pseudonym
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT pseudonym) AS BIGINT) AS n_pseudonyms,
+           (count(DISTINCT user_id) = count(DISTINCT pseudonym)) AS joinability_ok
+    FROM p GROUP BY event_type
+    """,
+)
+def privacy_pseudonymize_joinability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-hash pseudonymization with a joinability audit: replace
+    ``user_id`` with a 64-bit salted-sha256 pseudonym (deterministic, so
+    joins/sessionization still work across tables scrubbed with the
+    same salt; rotating the salt unlinks historical data), and VERIFY
+    the property per event type — distinct pseudonyms must equal
+    distinct users, i.e. no hash collision silently merged two people.
+
+    The third leg of the privacy family (redaction = content,
+    k-anonymity/l-diversity = aggregates, pseudonymization = keys).
+    Scale: the pseudonym is one sha256 projection inside codegen; the
+    audit is a two-level count-distinct per event type — partial
+    aggregation keyside, constant output.
+    """
+    t = Tables(spark, sf_dir)
+    pseudonym = F.substring(
+        F.sha2(F.concat(F.lit(PSEUDO_SALT), F.col("user_id").cast("string")), 256),
+        1,
+        16,
+    )
+    p = t.events.select("event_type", "user_id", pseudonym.alias("pseudonym"))
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("pseudonym").alias("n_pseudonyms"),
+        (F.countDistinct("user_id") == F.countDistinct("pseudonym")).alias(
+            "joinability_ok"
+        ),
+    )

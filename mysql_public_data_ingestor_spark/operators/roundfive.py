@@ -655,9 +655,10 @@ def stats_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 7. Product-quantization codebook assignment + reconstruction error
 # ---------------------------------------------------------------------------
 
-PQ_M = 4            # subspaces
-PQ_SUBDIM = 16      # dims per subspace (4 x 16 = 64)
-PQ_CODEWORDS = 8    # codewords per subspace (init = first 8 vectors)
+# PQ geometry lives in operators.similarity (shared with the ADC search
+# query there; importing from here would be circular since this module
+# imports similarity helpers)
+from .similarity import PQ_CODEWORDS, PQ_M, PQ_SUBDIM  # noqa: E402,F401
 
 
 def _pq_oracle() -> str:

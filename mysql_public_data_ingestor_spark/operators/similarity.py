@@ -957,14 +957,17 @@ def similarity_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- PQ asymmetric-distance (ADC) top-k search -----------------------------
 
+# PQ geometry (shared with operators.roundfive.embedding_pq_assign_stats)
+PQ_M = 4          # subspaces
+PQ_SUBDIM = 16    # dims per subspace (4 x 16 = 64)
+PQ_CODEWORDS = 8  # codewords per subspace (init = first 8 vectors)
+
 PQ_TOPK = 10      # neighbors returned per probe
 PQ_PROBES = 3     # probe vectors (vec_id < PQ_PROBES, same convention
                   # as N_QUERIES in the LSH family)
 
 
 def _pq_adc_oracle() -> str:
-    from .roundfive import PQ_CODEWORDS, PQ_M, PQ_SUBDIM
-
     subs = " UNION ALL ".join(
         f"SELECT vec_id, {m} AS m, v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] AS sv "
         "FROM emb"
@@ -1033,8 +1036,6 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment reuses the assign-stats argmin tie-break (round(d2, 9),
     then cid).
     """
-    from .roundfive import PQ_CODEWORDS, PQ_M, PQ_SUBDIM
-
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")

@@ -1458,3 +1458,376 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+# --- deterministic multiplier bootstrap CI ---------------------------------
+
+# B pseudo-replicas; each order gets a deterministic Poisson(1)-shaped
+# integer weight per replica from a portable hash — the "multiplier
+# bootstrap at scale" pattern: no resampled copies of the data ever
+# materialize, each replica is one weighted aggregate over the same
+# scan, and the B replica means reduce to a constant-size CI row.
+BOOT_B = 32
+_BOOT_P = 2_147_483_647
+_BOOT_A = 1_103_515_245
+_BOOT_S1, _BOOT_S0 = 2_654_435_761 % _BOOT_P, 12_345
+# cumulative-probability thresholds (per mille) of Poisson(1): 0,1,2,3,4+
+_BOOT_CUTS = (368, 736, 920, 981)
+
+
+def _boot_ci_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    w_case = (
+        f"CASE WHEN h < {_BOOT_CUTS[0]} THEN 0 WHEN h < {_BOOT_CUTS[1]} THEN 1 "
+        f"WHEN h < {_BOOT_CUTS[2]} THEN 2 WHEN h < {_BOOT_CUTS[3]} THEN 3 ELSE 4 END"
+    )
+    return f"""
+    WITH o AS (
+      SELECT o_orderkey, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), reps AS (
+      SELECT unnest(range(0, {BOOT_B})) AS b
+    ), weighted AS (
+      SELECT r.b, o.cents, {w_case} AS wt
+      FROM o CROSS JOIN reps r,
+      LATERAL (SELECT (((o.o_orderkey % {_BOOT_P}) * {_BOOT_A}
+                        + (r.b * {_BOOT_S1} + {_BOOT_S0})) % {_BOOT_P}) % 1000 AS h) x
+    ), rep_means AS (
+      SELECT b,
+             {sql_round_int_ratio('sum(wt * cents)', 'greatest(sum(wt), 1)', 2)}
+               AS mean_cents
+      FROM weighted GROUP BY b
+    ), base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             {sql_round_int_ratio('sum(cents)', 'count(*)', 2)} AS mean_cents_all
+      FROM o
+    )
+    SELECT base.n_orders,
+           CAST({BOOT_B} AS BIGINT) AS n_replicas,
+           base.mean_cents_all,
+           lst[2] AS ci_lo_cents,
+           lst[{BOOT_B - 1}] AS ci_hi_cents
+    FROM base, (SELECT list_sort(list(mean_cents)) AS lst FROM rep_means)
+    """
+
+
+@register("stats_bootstrap_mean_ci", oracle=_boot_ci_oracle())
+def stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean order value via a
+    DETERMINISTIC multiplier bootstrap: every order receives a portable
+    hash-derived Poisson(1)-shaped weight per replica, so the B
+    pseudo-resamples are pure weighted aggregates — no resampled data
+    copies, no RNG state, bit-identical across engines and partitionings
+    (the distributed answer to "you can't bootstrap 100 TB by
+    materializing resamples"; complements ``stats_jackknife_mean_ci``,
+    which is leave-one-GROUP-out rather than row-resampling).
+
+    Scale: the corpus expands B=32x into (replica, weight) rows that
+    partial-aggregate map-side to B rows of integer partials; the CI is
+    order statistics over the 32 replica means in a constant-size final
+    aggregate. Replica means are exact half-up integer ratios (int64
+    holds sum(wt*cents) to ~1e13 cents per replica; widen to the
+    decimal(38,0) ratio pattern beyond that).
+    """
+    from ..functions.exact import round_int_ratio
+
+    t = Tables(spark, sf_dir)
+    o = t.orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    # replica index must be long BEFORE the seed multiply: sequence()
+    # yields int32 and b * _BOOT_S1 overflows int at b >= 5 (ANSI crash)
+    b = F.col("b").cast("long")
+    h = (
+        (F.col("o_orderkey") % _BOOT_P) * _BOOT_A + (b * _BOOT_S1 + _BOOT_S0)
+    ) % _BOOT_P % 1000
+    wt = (
+        F.when(h < _BOOT_CUTS[0], 0)
+        .when(h < _BOOT_CUTS[1], 1)
+        .when(h < _BOOT_CUTS[2], 2)
+        .when(h < _BOOT_CUTS[3], 3)
+        .otherwise(4)
+        .cast("long")
+    )
+    weighted = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    ).select(b.alias("b"), "cents", wt.alias("wt"))
+    rep_means = weighted.groupBy("b").agg(
+        round_int_ratio(
+            F.sum(F.col("wt") * F.col("cents")),
+            F.greatest(F.sum("wt"), F.lit(1)),
+            2,
+        ).alias("mean_cents")
+    )
+    ci = rep_means.agg(
+        F.array_sort(F.collect_list("mean_cents")).alias("lst")
+    ).select(
+        F.element_at("lst", 2).alias("ci_lo_cents"),
+        F.element_at("lst", BOOT_B - 1).alias("ci_hi_cents"),
+    )
+    base = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round_int_ratio(F.sum("cents"), F.count(F.lit(1)), 2).alias("mean_cents_all"),
+    )
+    return base.crossJoin(F.broadcast(ci)).select(
+        "n_orders",
+        F.lit(BOOT_B).cast("long").alias("n_replicas"),
+        "mean_cents_all",
+        "ci_lo_cents",
+        "ci_hi_cents",
+    )
+
+
+# --- cross-table monetary reconciliation -----------------------------------
+
+
+def _reconciliation_oracle() -> str:
+    return """
+    WITH items AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                 * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS items_cents,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY 1
+    ), o AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS stated_cents
+      FROM orders
+    ), joined AS (
+      SELECT o.o_orderkey, o.stated_cents, i.items_cents, i.n_items,
+             o.stated_cents - i.items_cents AS diff_cents
+      FROM o LEFT JOIN items i ON o.o_orderkey = i.l_orderkey
+    )
+    SELECT CASE WHEN items_cents IS NULL THEN 'no_lineitems'
+                WHEN diff_cents = 0 THEN 'exact'
+                WHEN abs(diff_cents) <= 100 THEN 'within_1_dollar'
+                WHEN abs(diff_cents) <= 10000 THEN 'within_100_dollars'
+                ELSE 'large_discrepancy' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(coalesce(sum(n_items), 0) AS BIGINT) AS n_items,
+           CAST(min(diff_cents) AS BIGINT) AS min_diff_cents,
+           CAST(max(diff_cents) AS BIGINT) AS max_diff_cents
+    FROM joined GROUP BY 1
+    """
+
+
+@register("dq_order_lineitem_reconciliation", oracle=_reconciliation_oracle())
+def dq_order_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table monetary reconciliation — the DQ audit the
+    referential-integrity check can't do: do the MONEY columns agree?
+    Per order, the stated total is compared against the sum of its line
+    items' net charges (extendedprice * (1-discount) * (1+tax)), and
+    orders bucket into exact / within-$1 / within-$100 / large /
+    no-lineitems with count and diff range per bucket.
+
+    Everything is cents-quantized int64 (the per-item charge is a
+    product of IEEE doubles — deterministic — floored once to cents),
+    so the audit is bit-exact. Scale: one partial-aggregated groupBy on
+    the fact key, then the orders-side join — the same order-key
+    fact-fact edge as ``lineitem_shipment_latency``, i.e. exactly the
+    join the bucketed layout (operators/bucketed.py) removes at 100 TB;
+    output is a 5-row histogram.
+    """
+    t = Tables(spark, sf_dir)
+    charge_cents = F.floor(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+        * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("long")
+    items = (
+        t.lineitem.select("l_orderkey", charge_cents.alias("c"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("c").alias("items_cents"), F.count(F.lit(1)).alias("n_items"))
+    )
+    o = t.orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("stated_cents"),
+    )
+    joined = o.join(items, o.o_orderkey == items.l_orderkey, "left").select(
+        "stated_cents",
+        "items_cents",
+        "n_items",
+        (F.col("stated_cents") - F.col("items_cents")).alias("diff_cents"),
+    )
+    bucket = (
+        F.when(F.col("items_cents").isNull(), "no_lineitems")
+        .when(F.col("diff_cents") == 0, "exact")
+        .when(F.abs("diff_cents") <= 100, "within_1_dollar")
+        .when(F.abs("diff_cents") <= 10000, "within_100_dollars")
+        .otherwise("large_discrepancy")
+    )
+    return joined.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.coalesce(F.sum("n_items"), F.lit(0)).cast("long").alias("n_items"),
+        F.min("diff_cents").alias("min_diff_cents"),
+        F.max("diff_cents").alias("max_diff_cents"),
+    )
+
+
+# --- Gini revenue concentration per nation ---------------------------------
+
+
+def _gini_oracle() -> str:
+    return """
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT c_nationkey, cents,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents, o_custkey) AS rn
+      FROM rev
+    ), agg AS (
+      SELECT c_nationkey,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS tot,
+             sum(CAST(rn AS HUGEINT) * CAST(cents AS HUGEINT)) AS rnx
+      FROM ranked GROUP BY 1
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(tot AS BIGINT) AS total_cents,
+           CASE WHEN n > 1 AND tot > 0 THEN
+             CAST(((2000000::HUGEINT * (2 * rnx - (n + 1) * tot) + (n * tot))
+                   // (2::HUGEINT * n * tot)) AS BIGINT) / 1000000.0
+           END AS gini
+    FROM agg
+    """
+
+
+@register("stats_gini_by_nation", oracle=_gini_oracle())
+def stats_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per nation — the
+    concentration curve's single-number summary, complementing
+    ``stats_pareto_by_nation`` (top-decile share): Gini reads the WHOLE
+    Lorenz curve, via the rank identity
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending
+    ranked revenues.
+
+    Exactness: revenues are cents-int64; the rank products widen to
+    decimal(38,0) BEFORE multiplying (rank * cents overflows int64 at
+    warehouse scale), and the final Gini is an exact half-up integer
+    ratio at 6 dp in the decimal domain — the ``_round_big_int_ratio``
+    lesson applied at design time. Scale: one per-nation ranked window
+    (partitioned, never global) over customer aggregates, then a
+    |nations|-row reduce.
+    """
+    t = Tables(spark, sf_dir)
+    rev = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            t.orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            "c_nationkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents_row"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("cents_row").alias("cents"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ranked = rev.withColumn("rn", F.row_number().over(w).cast("long"))
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").alias("tot"),
+        F.sum(dec(F.col("rn")) * dec(F.col("cents"))).alias("rnx"),
+    )
+    n, tot, rnx = dec(F.col("n")), dec(F.col("tot")), F.col("rnx").cast("decimal(38,0)")
+    num = F.lit(2_000_000).cast("decimal(38,0)") * (
+        F.lit(2).cast("decimal(38,0)") * rnx - (n + F.lit(1).cast("decimal(38,0)")) * tot
+    ) + (n * tot)
+    den = F.lit(2).cast("decimal(38,0)") * n * tot
+    gini = ((num - num % den) / den).cast("long") / F.lit(1e6)
+    return agg.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("n").alias("n_customers"),
+        F.col("tot").cast("long").alias("total_cents"),
+        F.when((F.col("n") > 1) & (F.col("tot") > 0), gini).alias("gini"),
+    )
+
+
+# --- A/B sample-ratio-mismatch (SRM) audit ---------------------------------
+
+# chi-square critical value at alpha=0.05, 1 df, as an exact rational
+# (38415/10000) so the flag is an integer test on both engines
+_SRM_CRIT_NUM, _SRM_CRIT_DEN = 38_415, 10_000
+
+
+def _srm_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    return f"""
+    WITH assign AS (
+      SELECT DISTINCT event_type, user_id, user_id % 2 AS cohort
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), counts AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM assign GROUP BY 1
+    )
+    SELECT event_type, n_a, n_b,
+           {sql_round_int_ratio('(n_a - n_b) * (n_a - n_b)', 'n_a + n_b')}
+             AS chi2,
+           ({_SRM_CRIT_DEN} * (n_a - n_b) * (n_a - n_b)
+            > {_SRM_CRIT_NUM} * (n_a + n_b)) AS srm_detected
+    FROM counts
+    """
+
+
+@register("dq_ab_sample_ratio_mismatch", oracle=_srm_oracle())
+def dq_ab_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) audit for the A/B assignment the
+    t-test / Mann-Whitney queries consume: per experiment surface
+    (event type), count distinct users per cohort and chi-square-test
+    the observed split against the intended 50/50 — the standard
+    guardrail that invalidates an experiment BEFORE anyone reads its
+    metrics (a skewed split means assignment or logging is broken).
+
+    Exactness: chi2 for a 50/50 design reduces to (nA-nB)^2/(nA+nB) —
+    an exact half-up integer ratio — and the detection flag compares
+    against the 0.05 critical value as a rational (38415/10000), so
+    both stat and verdict are pure integer arithmetic. Scale: one
+    distinct-user aggregate per (event_type, cohort); shuffle volume is
+    the user dimension, output |event_types| rows.
+    """
+    from ..functions.exact import round_int_ratio
+
+    t = Tables(spark, sf_dir)
+    assign = (
+        t.events.filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_type", "user_id", (F.col("user_id") % 2).alias("cohort"))
+        .distinct()
+    )
+    counts = assign.groupBy("event_type").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    d = F.col("n_a") - F.col("n_b")
+    tot = F.col("n_a") + F.col("n_b")
+    return counts.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        round_int_ratio(d * d, tot).alias("chi2"),
+        (F.lit(_SRM_CRIT_DEN) * d * d > F.lit(_SRM_CRIT_NUM) * tot).alias(
+            "srm_detected"
+        ),
+    )

@@ -764,3 +764,98 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sum_q").cast("double") / F.lit(1e6), 6).alias("bm25"),
         )
     )
+
+
+# --- RAKE keyword extraction -----------------------------------------------
+
+RAKE_TOPK = 20
+RAKE_MIN_FREQ = 5  # report only words appearing in >= 5 phrases
+
+
+def _rake_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    sql_tokens = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {sql_tokens} AS ts FROM documents
+    ), toks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, ts[CAST(i AS INTEGER)] AS tok
+      FROM base, unnest(generate_series(1, len(ts))) AS t(i)
+    ), marked AS (
+      SELECT doc_id, pos, tok, (tok IN ({stop_in})) AS stop,
+             sum(CASE WHEN tok IN ({stop_in}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+      FROM toks
+    ), words AS (
+      SELECT doc_id, pid, tok FROM marked WHERE NOT stop
+    ), phr AS (
+      SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen
+      FROM words GROUP BY 1, 2
+    ), contrib AS (
+      SELECT w.tok, p.plen FROM words w JOIN phr p USING (doc_id, pid)
+    ), scores AS (
+      SELECT tok AS word,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS degree
+      FROM contrib GROUP BY 1
+    )
+    SELECT word, freq, degree,
+           {sql_round_int_ratio('degree', 'freq')} AS rake_score
+    FROM scores WHERE freq >= {RAKE_MIN_FREQ}
+    ORDER BY rake_score DESC, freq DESC, word
+    LIMIT {RAKE_TOPK}
+    """
+
+
+@register("text_rake_keywords_topk", oracle=_rake_oracle())
+def text_rake_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): split each document
+    into candidate phrases at stopword boundaries, then score every
+    content word by degree/frequency — degree = total length of the
+    phrases it appears in (rewards words that anchor long collocations),
+    frequency = phrase occurrences. Top-k corpus keywords by score.
+
+    The keyword-extraction member of the text-analysis family (tf-idf =
+    rarity, BM25 = retrieval, PMI = pairwise association, RAKE =
+    phrase-structural salience). Scale: phrase segmentation is a
+    per-document cumulative count over token positions — a partitioned
+    window on the doc key, never global; everything after reduces to
+    the (tiny) vocabulary, and the top-k is a TakeOrdered over exact
+    half-up integer ratios.
+    """
+    from ..functions.exact import round_int_ratio
+
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    is_stop = F.col("tok").isin(*STOPWORDS)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = toks.select(
+        "doc_id",
+        "tok",
+        is_stop.alias("stop"),
+        F.sum(is_stop.cast("int")).over(w).alias("pid"),
+    )
+    words = marked.filter(~F.col("stop")).select("doc_id", "pid", "tok")
+    phr = words.groupBy("doc_id", "pid").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    contrib = words.join(phr, ["doc_id", "pid"]).select("tok", "plen")
+    scores = contrib.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree")
+    )
+    return (
+        scores.filter(F.col("freq") >= RAKE_MIN_FREQ)
+        .select(
+            F.col("tok").alias("word"),
+            "freq",
+            "degree",
+            round_int_ratio(F.col("degree"), F.col("freq")).alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), F.col("freq").desc(), "word")
+        .limit(RAKE_TOPK)
+    )

@@ -1158,3 +1158,53 @@ def events_watermark_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             round_int_ratio(kept.cast("long"), F.count(F.lit(1))).alias("kept_share"),
         )
     )
+
+
+# --- ingestion freshness audit ---------------------------------------------
+
+
+@register(
+    "dq_freshness_lag_audit",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(ts) AS last_event_ts
+      FROM events GROUP BY 1
+    )
+    SELECT day, n_events, last_event_ts,
+           CAST(date_diff('second', last_event_ts,
+                          day + INTERVAL 1 DAY) AS BIGINT) AS tail_gap_s,
+           (date_diff('second', last_event_ts, day + INTERVAL 1 DAY) <= 3600)
+             AS fresh_to_the_hour
+    FROM daily
+    """,
+)
+def dq_freshness_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day ingestion freshness: when did each day's LAST event
+    arrive, and how much of the day's tail is silent? A silent tail
+    hours long on a feed that normally ticks every few seconds is the
+    classic symptom of an upstream outage or a stuck ingest offset —
+    this is the audit a 100 TB event lake runs per partition-day before
+    marking it complete (complements ``events_late_arrival_audit``:
+    that measures out-of-ORDER arrivals, this measures missing TAIL).
+
+    Scale: one partial-aggregated groupBy on the day key — shuffle rows
+    = |days|; the gap arithmetic is per-group scalar math.
+    """
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_event_ts"),
+    )
+    day_end = F.col("day") + F.expr("INTERVAL 1 DAY")
+    gap = (
+        F.unix_timestamp(day_end) - F.unix_timestamp("last_event_ts")
+    ).cast("long")
+    return daily.select(
+        "day",
+        "n_events",
+        "last_event_ts",
+        gap.alias("tail_gap_s"),
+        (gap <= 3600).alias("fresh_to_the_hour"),
+    )
