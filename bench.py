@@ -141,6 +141,12 @@ HEADLINE = [
     "privacy_pseudonymize_joinability",
     "dq_freshness_lag_audit",
     "dq_ab_sample_ratio_mismatch",
+    "dedup_simhash_pairs",
+    "stats_proportions_ztest",
+    "multimodal_chunk_manifest",
+    "corpus_shard_manifest_hash",
+    "stats_power_mde",
+    "events_heatmap_dow_hour",
 ]
 
 

@@ -1415,3 +1415,62 @@ def corpus_decontaminated_train_stats(spark: SparkSession, sf_dir: str) -> DataF
             "contam_share"
         ),
     )
+
+
+# --- shard manifest with order-free content digests ------------------------
+
+MANIFEST_SHARDS = 16
+_DIGEST_P = 1_000_000_007  # per-doc hash folded mod P so int64 holds 1e9-doc sums
+
+
+@register(
+    "corpus_shard_manifest_hash",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             {_SQL_ID_HASH} % {MANIFEST_SHARDS} AS shard,
+             len({_SQL_TOKENS}) AS n_tokens,
+             (('0x' || substr(sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15)))::BIGINT
+               % {_DIGEST_P} AS hmod
+      FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(sum(hmod) AS BIGINT) AS content_digest
+    FROM d GROUP BY shard
+    """,
+)
+def corpus_shard_manifest_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest for exactly-once training-data publishing: per
+    output shard (hash-mod of doc_id, same rule as
+    ``corpus_shuffle_shard``), doc/token counts, the id range, and an
+    ORDER-FREE content digest — the sum over docs of (normalized-text
+    hash mod p). A re-run of the corpus build reproduces the digest
+    bit-for-bit iff shard contents are identical, regardless of
+    partitioning or write order — the cheap equality certificate a
+    downstream trainer checks before trusting "the shards didn't
+    change" (the batch analogue of the ingest spool's checksums).
+
+    Scale: one projection + one partial-aggregated groupBy on the
+    shard key; the digest sum stays in int64 to ~1e9 docs per shard
+    (per-doc terms < 1e9+7).
+    """
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        F.pmod(sha256_prefix_i64(F.col("doc_id").cast("string")), F.lit(MANIFEST_SHARDS)).alias(
+            "shard"
+        ),
+        F.size(whitespace_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        (sha256_prefix_i64(normalized_text(F.col("text"))) % _DIGEST_P).alias("hmod"),
+    )
+    return d.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum("hmod").alias("content_digest"),
+    )

@@ -414,3 +414,71 @@ def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return with_payload.mapInPandas(batches, schema=out_schema)
+
+
+# --- byte-range chunk manifest ---------------------------------------------
+
+CHUNK_BYTES = 1024  # fixed chunk size for blob-store range reads
+
+
+@register(
+    "multimodal_chunk_manifest",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(c AS BIGINT) AS chunk_id,
+           CAST(c * {CHUNK_BYTES} AS BIGINT) AS byte_offset,
+           CAST(least({CHUNK_BYTES}, payload_bytes - c * {CHUNK_BYTES}) AS BIGINT)
+             AS chunk_bytes,
+           (c = (payload_bytes + {CHUNK_BYTES - 1}) // {CHUNK_BYTES} - 1)
+             AS is_last
+    FROM meta, unnest(range(0, (payload_bytes + {CHUNK_BYTES - 1}) // {CHUNK_BYTES}))
+         AS t(c)
+    WHERE payload_bytes > 0
+    """,
+)
+def multimodal_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-range chunk manifest for large binary payloads: the plan a
+    blob-store reader executes to fetch a video/audio payload in fixed
+    ranges (parallel range-GETs, resumable transfer, per-chunk
+    checksumming downstream) — pure metadata arithmetic, so the payload
+    bytes themselves NEVER move: the manifest derives from the length
+    column alone and the binary column prunes out of the scan.
+
+    Scale: one projection + a per-row sequence explode bounded by
+    payload size / chunk size; no shuffle at all. The 100 TB point is
+    that chunk planning for petabyte blob fetches is a metadata-only
+    query over lengths, not a pass over payloads.
+    """
+    t = Tables(spark, sf_dir)
+    payload_bytes = F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long")
+    n_chunks = F.floor(
+        (F.col("payload_bytes") + F.lit(CHUNK_BYTES - 1)) / F.lit(CHUNK_BYTES)
+    ).cast("long")
+    meta = t.documents.select(
+        "doc_id", payload_bytes.alias("payload_bytes")
+    ).filter(F.col("payload_bytes") > 0)
+    c = F.col("chunk_id")
+    return (
+        meta.select(
+            "doc_id",
+            "payload_bytes",
+            n_chunks.alias("nc"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            c.alias("chunk_id"),
+            (c * CHUNK_BYTES).alias("byte_offset"),
+            F.least(
+                F.lit(CHUNK_BYTES).cast("long"),
+                F.col("payload_bytes") - c * CHUNK_BYTES,
+            ).alias("chunk_bytes"),
+            (c == F.col("nc") - 1).alias("is_last"),
+        )
+    )

@@ -1831,3 +1831,196 @@ def dq_ab_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "srm_detected"
         ),
     )
+
+
+# --- two-proportion z-test (conversion-rate A/B) ---------------------------
+
+
+def _prop_ztest_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    return f"""
+    WITH users AS (
+      SELECT user_id % 2 AS cohort, user_id,
+             CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       > count(*) THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY 1, 2
+    ), counts AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS x
+      FROM users GROUP BY 1
+    ), wide AS (
+      SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
+      FROM counts a JOIN counts b ON a.cohort = 0 AND b.cohort = 1
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           {sql_round_int_ratio('x_a', 'n_a')} AS rate_a,
+           {sql_round_int_ratio('x_b', 'n_b')} AS rate_b,
+           CASE WHEN x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN
+             CAST(floor((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                         - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                         * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                         * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+                  * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+           END AS z_stat
+    FROM wide
+    """
+
+
+@register("stats_proportions_ztest", oracle=_prop_ztest_oracle())
+def stats_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test on user CONVERSION (purchase share
+    above 20% — an exact integer per-user test) between the A/B cohorts — the rate companion of the
+    value-based ``stats_ttest_ab``: experimentation platforms read
+    conversion deltas far more often than mean deltas.
+
+    Exactness without a t-table: the sufficient statistics are four
+    integers (n, conversions per cohort); the rates are exact half-up
+    ratios, and the z statistic is a fixed tree of IEEE
+    divisions/multiplications and one sqrt — all correctly-rounded
+    operations, so the 1e-6-quantized value is bit-identical across
+    engines with no transcendental involved. Scale: one distinct-user
+    aggregate (partial map-side), then arithmetic over a 1-row table.
+    """
+    t = Tables(spark, sf_dir)
+    # converted = purchase share above 20%, as the exact integer test
+    # 5*purchases > events ("ever purchased" is degenerate on this
+    # corpus: every user has one, so the pooled rate would be 1 and the
+    # z denominator 0)
+    users = (
+        t.events.groupBy((F.col("user_id") % 2).alias("cohort"), "user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "np"
+            ),
+            F.count(F.lit(1)).alias("ne"),
+        )
+        .select(
+            "cohort",
+            "user_id",
+            F.when(F.lit(5) * F.col("np") > F.col("ne"), 1).otherwise(0).alias(
+                "converted"
+            ),
+        )
+    )
+    counts = users.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").cast("long").alias("x")
+    )
+    a = counts.filter(F.col("cohort") == 0).select(
+        F.col("n").alias("n_a"), F.col("x").alias("x_a")
+    )
+    b = counts.filter(F.col("cohort") == 1).select(
+        F.col("n").alias("n_b"), F.col("x").alias("x_b")
+    )
+    wide = a.crossJoin(F.broadcast(b))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pp = (d("x_a") + d("x_b")) / (d("n_a") + d("n_b"))
+    z = (d("x_a") / d("n_a") - d("x_b") / d("n_b")) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / d("n_a") + F.lit(1.0) / d("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        round_int_ratio(F.col("x_a"), F.col("n_a")).alias("rate_a"),
+        round_int_ratio(F.col("x_b"), F.col("n_b")).alias("rate_b"),
+        F.when(
+            (F.col("x_a") + F.col("x_b") > 0)
+            & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b")),
+            F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long") / F.lit(1e6),
+        ).alias("z_stat"),
+    )
+
+
+# --- minimum detectable effect (experiment power planning) -----------------
+
+# z-quantiles as shared literals: two-sided alpha=0.05 and power=0.80.
+Z_ALPHA_2 = 1.959964
+Z_BETA = 0.841621
+
+
+@register(
+    "stats_power_mde",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id % 2 AS cohort, user_id,
+             CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       > count(*) THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY 1, 2
+    ), counts AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS x
+      FROM users GROUP BY 1
+    ), wide AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             CAST(a.x + b.x AS DOUBLE) / CAST(a.n + b.n AS DOUBLE) AS pp
+      FROM counts a JOIN counts b ON a.cohort = 0 AND b.cohort = 1
+    )
+    SELECT n_a, n_b,
+           CAST(floor(pp * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS baseline_rate,
+           CASE WHEN pp > 0 AND pp < 1 THEN
+             CAST(floor(({Z_ALPHA_2} + {Z_BETA})
+                  * sqrt(pp * (1.0 - pp)
+                         * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+                  * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+           END AS mde_abs
+    FROM wide
+    """,
+)
+def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at the CURRENT sample sizes — the
+    power-planning companion that closes the experimentation kit
+    (``dq_ab_sample_ratio_mismatch`` = is the split valid,
+    ``stats_proportions_ztest`` = is the delta significant, this = what
+    delta COULD we even detect): MDE = (z_a/2 + z_beta) * se(pooled)
+    at alpha = 0.05 two-sided, power = 0.80.
+
+    The z-quantiles are shared literals on both engines; the MDE is a
+    fixed tree of IEEE divisions, one multiply chain, and one sqrt —
+    all correctly rounded, so the 1e-6-quantized value is bit-identical
+    with no transcendental (same discipline as the z-test itself).
+    Scale: one distinct-user aggregate, then 1-row arithmetic.
+    """
+    t = Tables(spark, sf_dir)
+    users = (
+        t.events.groupBy((F.col("user_id") % 2).alias("cohort"), "user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "np"
+            ),
+            F.count(F.lit(1)).alias("ne"),
+        )
+        .select(
+            "cohort",
+            F.when(F.lit(5) * F.col("np") > F.col("ne"), 1).otherwise(0).alias(
+                "converted"
+            ),
+        )
+    )
+    counts = users.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").cast("long").alias("x")
+    )
+    a = counts.filter(F.col("cohort") == 0).select(
+        F.col("n").alias("n_a"), F.col("x").alias("x_a")
+    )
+    b = counts.filter(F.col("cohort") == 1).select(
+        F.col("n").alias("n_b"), F.col("x").alias("x_b")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    wide = a.crossJoin(F.broadcast(b)).select(
+        "n_a", "n_b", ((d("x_a") + d("x_b")) / (d("n_a") + d("n_b"))).alias("pp")
+    )
+    pp = F.col("pp")
+    q6 = lambda e: F.floor(e * F.lit(1e6) + F.lit(0.5)).cast("long") / F.lit(1e6)  # noqa: E731
+    mde = q6(
+        F.lit(Z_ALPHA_2 + Z_BETA)
+        * F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / d("n_a") + F.lit(1.0) / d("n_b")))
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        q6(pp).alias("baseline_rate"),
+        F.when((pp > 0) & (pp < 1), mde).alias("mde_abs"),
+    )

@@ -1208,3 +1208,44 @@ def dq_freshness_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap.alias("tail_gap_s"),
         (gap <= 3600).alias("fresh_to_the_hour"),
     )
+
+
+# --- day-of-week x hour activity heatmap -----------------------------------
+
+
+@register(
+    "events_heatmap_dow_hour",
+    oracle="""
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_micro_total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour activity heatmap (ISO weekday 1=Mon..7=Sun):
+    event counts, distinct users, and exact value totals per cell — the
+    product-analytics staple behind every "when are users active"
+    dashboard, and the seasonality input the hourly-baseline query
+    normalizes against.
+
+    Exactness: ISO weekday on both engines (Spark ``weekday()+1`` ==
+    DuckDB ``isodow``; plain dayofweek disagrees on the week start),
+    and the value total is the order-free quantized-int64 sum. Scale:
+    one partial-aggregated groupBy over a 168-cell key domain — shuffle
+    volume is constant no matter the corpus.
+    """
+    t = Tables(spark, sf_dir)
+    return t.events.groupBy(
+        (F.expr("weekday(ts)") + F.lit(1)).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")).alias(
+            "value_micro_total"
+        ),
+    )
