@@ -92,3 +92,30 @@ def sql_round_int_ratio(num: str, den: str, dp: int = 6) -> str:
     s = 10**dp
     mag = f"(({2 * s}::BIGINT*abs({num}) + ({den})) // (2*({den})))"
     return f"(CASE WHEN ({num}) < 0 THEN -{mag} ELSE {mag} END) / {float(s)}"
+
+
+def round_big_int_ratio(num: Column, den: Column, dp: int = 6) -> Column:
+    """Decimal-domain twin of :func:`round_int_ratio` for numerators too
+    large for the int64/double path: 2*10^dp*|num| must only fit
+    decimal(38,0), not int64, and the (a - a mod b)/b step runs in exact
+    decimal arithmetic (the quotient is integral, so the decimal division
+    is exact) before the one power-of-ten float divide. Use for ratios
+    over money-sums rather than counts — cents-sums at 100 TB dwarf the
+    ~4.6e12 ceiling of the int64 path (ADVICE r5)."""
+    s = 10**dp
+    a = (
+        F.lit(2 * s).cast("decimal(38,0)") * F.abs(num).cast("decimal(38,0)")
+        + den.cast("decimal(38,0)")
+    )
+    b = F.lit(2).cast("decimal(38,0)") * den.cast("decimal(38,0)")
+    mag = ((a - a % b) / b).cast("long")
+    return F.when(num < 0, -mag).otherwise(mag) / F.lit(float(s))
+
+
+def sql_round_big_int_ratio(num: str, den: str, dp: int = 6) -> str:
+    """DuckDB twin of :func:`round_big_int_ratio` — HUGEINT (int128)
+    arithmetic so cents-scale numerators cannot overflow where the
+    BIGINT twin would raise."""
+    s = 10**dp
+    mag = f"(({2 * s}::HUGEINT*abs({num}) + ({den})) // (2::HUGEINT*({den})))"
+    return f"CAST(CASE WHEN ({num}) < 0 THEN -{mag} ELSE {mag} END AS BIGINT) / {float(s)}"

@@ -32,8 +32,15 @@ from ..tables import Tables
 BUCKETS = 8  # bucket count for both sides (at 100 TB: O(thousands))
 
 
-def _fixture_tag(sf_dir: str) -> str:
-    parts = [os.path.abspath(sf_dir)]
+def _fixture_tag(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint of fixture path+mtimes AND the session's application
+    id: two sessions sharing a warehouse (parallel test/bench runs on
+    the same fixture) get disjoint table locations, so one session can
+    never delete or overwrite buckets another is reading (ADVICE r5).
+    The app id also makes orphan cleanup race-free — a directory
+    matching our own tag can only be a crashed earlier attempt of THIS
+    application, never a live foreign table."""
+    parts = [os.path.abspath(sf_dir), spark.sparkContext.applicationId]
     for name in ("lineitem.parquet", "orders.parquet"):
         p = os.path.join(sf_dir, name)
         try:
@@ -47,21 +54,23 @@ def _drop_orphan_location(spark: SparkSession, table: str) -> None:
     """The in-memory catalog forgets tables across sessions but the
     warehouse files persist; Spark then refuses to create a managed
     table over the orphaned location (LOCATION_ALREADY_EXISTS). Remove
-    it — the fixture fingerprint in the name guarantees the directory
-    holds nothing but a previous session's identical buckets."""
+    it — the application id in the fingerprinted name guarantees the
+    directory belongs to this application (a crashed earlier write),
+    never to a concurrently live session. Errors surface: a
+    half-deleted location must fail loudly, not read partially."""
     import shutil
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     path = os.path.join(warehouse.removeprefix("file:"), table)
     if os.path.exists(path):
-        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path)
 
 
 def ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize (once per session+fixture) lineitem/orders projected
     to the join's columns, bucketed AND sorted on the order key. Returns
     the two table names."""
-    tag = _fixture_tag(sf_dir)
+    tag = _fixture_tag(spark, sf_dir)
     li, od = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
     t = Tables(spark, sf_dir)
     if not spark.catalog.tableExists(li):

@@ -299,22 +299,35 @@ def pipeline_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = Tables(spark, sf_dir)
-    toks = whitespace_tokens(F.col("text"))
     w_fn = lambda tok: (  # noqa: E731
         F.conv(F.substring(F.sha2(tok, 256), 1, 15), 16, 10).cast("long") % _W_MOD - 1000
     )
-    milli = F.aggregate(F.transform(toks, w_fn), F.lit(0).cast("long"), lambda a, x: a + x)
+    milli = F.aggregate(
+        F.transform(F.col("toks"), w_fn), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    # staged projections: the sha2-per-token milli-sum materializes once
+    # before the quality floor references it three times (see
+    # ml._scored_labeled for the measured 4.5x cost of inlining it)
     # softsign floor as an exact integer test: (D+m)/(2D) >= 47/100
     # <=> 100*(D+m) >= 94*D with D = 1000 n + |m|
-    d_col = F.lit(1000) * F.size(toks).cast("long") + F.abs(milli)
-    q_ok = F.lit(100) * (d_col + milli) >= F.lit(2 * PIPE_MIN_SCORE_PCT) * d_col
-    base = t.documents.select(
-        "doc_id",
-        "lang",
-        toks.alias("toks"),
-        sha256_hex(normalized_text(F.col("text"))).alias("h"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        q_ok.alias("q_ok"),
+    d_col = F.lit(1000) * F.col("n_tokens") + F.abs(F.col("ms"))
+    q_ok = F.lit(100) * (d_col + F.col("ms")) >= F.lit(2 * PIPE_MIN_SCORE_PCT) * d_col
+    base = (
+        t.documents.select(
+            "doc_id",
+            "lang",
+            whitespace_tokens(F.col("text")).alias("toks"),
+            sha256_hex(normalized_text(F.col("text"))).alias("h"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "toks",
+            "h",
+            F.size("toks").cast("long").alias("n_tokens"),
+            milli.alias("ms"),
+        )
+        .select("doc_id", "lang", "toks", "h", "n_tokens", q_ok.alias("q_ok"))
     )
     bi = (
         base.where(F.size("toks") >= 2)

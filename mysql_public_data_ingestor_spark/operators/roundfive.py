@@ -83,11 +83,15 @@ MIX_ALPHA = 0.75
       FROM scored
     )
     SELECT lang, n_docs, n_tokens,
-           CAST(((2::HUGEINT * (w_q::HUGEINT * 1000000) + w_tot)
-                 // (2::HUGEINT * w_tot)) AS BIGINT) / 1000000.0 AS temp_share,
-           CAST(((2::HUGEINT * (w_q::HUGEINT * tok_tot) + w_tot)
-                 // (2::HUGEINT * w_tot)) AS BIGINT) AS target_tokens,
-           CASE WHEN n_tokens > 0 THEN
+           CASE WHEN w_tot > 0 THEN
+             CAST(((2::HUGEINT * (w_q::HUGEINT * 1000000) + w_tot)
+                   // (2::HUGEINT * w_tot)) AS BIGINT) / 1000000.0
+           END AS temp_share,
+           CASE WHEN w_tot > 0 THEN
+             CAST(((2::HUGEINT * (w_q::HUGEINT * tok_tot) + w_tot)
+                   // (2::HUGEINT * w_tot)) AS BIGINT)
+           END AS target_tokens,
+           CASE WHEN n_tokens > 0 AND w_tot > 0 THEN
              CAST(((2::HUGEINT * (w_q::HUGEINT * tok_tot * 1000000)
                     + w_tot::HUGEINT * n_tokens)
                    // (2::HUGEINT * w_tot * n_tokens)) AS BIGINT) / 1000000.0
@@ -149,12 +153,17 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         "n_tokens",
-        (half_up_int(dec(w_q) * F.lit(1_000_000), w_tot) / F.lit(1e6)).alias(
-            "temp_share"
-        ),
-        half_up_int(dec(w_q) * dec(tok_tot), w_tot).alias("target_tokens"),
+        # w_tot == 0 (all-empty corpus) would divide by zero: DuckDB
+        # raises while non-ANSI Spark nulls — guard both engines the
+        # same way (ADVICE r5)
         F.when(
-            n_tokens > 0,
+            w_tot > 0, half_up_int(dec(w_q) * F.lit(1_000_000), w_tot) / F.lit(1e6)
+        ).alias("temp_share"),
+        F.when(w_tot > 0, half_up_int(dec(w_q) * dec(tok_tot), w_tot)).alias(
+            "target_tokens"
+        ),
+        F.when(
+            (n_tokens > 0) & (w_tot > 0),
             half_up_int(
                 dec(w_q) * dec(tok_tot) * F.lit(1_000_000),
                 dec(w_tot) * dec(n_tokens),
@@ -1585,21 +1594,11 @@ def ml_confusion_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _round_big_int_ratio(num, den, dp: int = 6):
-    """Decimal-domain twin of ``functions.exact.round_int_ratio`` for
-    numerators too large for its int64/double path: 2*10^dp*|num| must
-    only fit decimal(38,0), not int64, and the (a - a mod b)/b step runs
-    in exact decimal arithmetic (the quotient is integral, so the
-    decimal division is exact) before the one power-of-ten float divide.
-    Needed when the ratio is over money-sums rather than counts —
-    top_cents at 100 TB dwarfs the 4.6e12 ceiling of the int64 path."""
-    s = 10**dp
-    a = (
-        F.lit(2 * s).cast("decimal(38,0)") * F.abs(num).cast("decimal(38,0)")
-        + den.cast("decimal(38,0)")
-    )
-    b = F.lit(2).cast("decimal(38,0)") * den.cast("decimal(38,0)")
-    mag = ((a - a % b) / b).cast("long")
-    return F.when(num < 0, -mag).otherwise(mag) / F.lit(float(s))
+    """Promoted to ``functions.exact.round_big_int_ratio`` (ADVICE r5);
+    kept as a delegating alias for existing call sites."""
+    from ..functions.exact import round_big_int_ratio
+
+    return round_big_int_ratio(num, den, dp)
 
 
 # ---------------------------------------------------------------------------
@@ -1608,9 +1607,9 @@ def _round_big_int_ratio(num, den, dp: int = 6):
 
 
 def _pareto_oracle() -> str:
-    from ..functions.exact import sql_round_int_ratio
+    from ..functions.exact import sql_round_big_int_ratio
 
-    share = sql_round_int_ratio("top_cents", "all_cents")
+    share = sql_round_big_int_ratio("top_cents", "all_cents")
     return f"""
     WITH rev AS (
       SELECT c.c_nationkey, o.o_custkey,

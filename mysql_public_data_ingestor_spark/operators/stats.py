@@ -1476,7 +1476,7 @@ _BOOT_CUTS = (368, 736, 920, 981)
 
 
 def _boot_ci_oracle() -> str:
-    from ..functions.exact import sql_round_int_ratio
+    from ..functions.exact import sql_round_big_int_ratio as sql_round_int_ratio
 
     w_case = (
         f"CASE WHEN h < {_BOOT_CUTS[0]} THEN 0 WHEN h < {_BOOT_CUTS[1]} THEN 1 "
@@ -1526,11 +1526,12 @@ def stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corpus expands B=32x into (replica, weight) rows that
     partial-aggregate map-side to B rows of integer partials; the CI is
     order statistics over the 32 replica means in a constant-size final
-    aggregate. Replica means are exact half-up integer ratios (int64
-    holds sum(wt*cents) to ~1e13 cents per replica; widen to the
-    decimal(38,0) ratio pattern beyond that).
+    aggregate. Replica means are exact half-up integer ratios in the
+    decimal(38,0) domain (``round_big_int_ratio`` — sum(wt*cents)
+    exceeds the int64 ratio path's ~4.6e16 dp=2 ceiling well before
+    100 TB; ADVICE r5).
     """
-    from ..functions.exact import round_int_ratio
+    from ..functions.exact import round_big_int_ratio as round_int_ratio
 
     t = Tables(spark, sf_dir)
     o = t.orders.select(

@@ -529,7 +529,6 @@ def text_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..functions.exact import round_int_ratio
 
     t = Tables(spark, sf_dir)
-    toks = whitespace_tokens(F.col("text"))
     half = (CLS_WEIGHT_MOD - 1) // 2
     w = lambda tok: (  # noqa: E731
         F.conv(F.substring(F.sha2(tok, 256), 1, 15), 16, 10).cast("long")
@@ -537,19 +536,29 @@ def text_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame
         - half
     )
     milli_sum = F.aggregate(
-        F.transform(toks, w), F.lit(0).cast("long"), lambda acc, x: acc + x
+        F.transform(F.col("toks"), w), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
-    n = F.size(toks)
-    d = F.lit(1000) * n.cast("long") + F.abs(milli_sum)
-    score = F.when(d > 0, round_int_ratio(d + milli_sum, F.lit(2) * d)).otherwise(
-        F.lit(0.5)
-    )
-    return t.documents.select(
+    # staged projections so the sha2-per-token milli-sum materializes
+    # once before the score arithmetic references it repeatedly (the
+    # round_int_ratio expansion would otherwise re-embed the whole
+    # aggregate ~4x — see ml._scored_labeled)
+    stats = t.documents.select(
+        "doc_id", "lang", whitespace_tokens(F.col("text")).alias("toks")
+    ).select(
         "doc_id",
         "lang",
-        n.cast("long").alias("n_tokens"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        milli_sum.alias("ms"),
+    )
+    ms = F.col("ms")
+    d = F.lit(1000) * F.col("n_tokens") + F.abs(ms)
+    score = F.when(d > 0, round_int_ratio(d + ms, F.lit(2) * d)).otherwise(F.lit(0.5))
+    return stats.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
         score.alias("score"),
-        (milli_sum >= 0).alias("keep"),
+        (ms >= 0).alias("keep"),
     )
 
 

@@ -52,54 +52,54 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # remaining queries keep registration order behind them and stay covered
 # by the identical local gate (tools/check_correctness.py).
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # Round-5 window. CORRECTNESS_r04 drained the backlog to ZERO
-    # (49/50 hash-green + 1 by-design rows-only, no failures), so this
-    # round's window is: the 23 banked queue operators from
-    # operators/roundfive.py (activated this round, in QUEUE order) —
-    # every one already passes the driver-identical canon/compare on
-    # all 7 fixtures plus the x10 replica — followed automatically by
-    # any newly registered round-5 queries (auto-unverified names sort
-    # after this manual list, in registration order). 23 + new <= 50
-    # keeps everything inside the driver's evaluation window.
-    "corpus_temperature_mixture",
-    "privacy_l_diversity_audit",
-    "agg_topk_mergeable",
-    "dq_schema_drift",
-    "similarity_ann_multiprobe_topk",
-    "stats_logistic_gd",
-    "embedding_pq_assign_stats",
-    "events_scd_asof_snapshot",
-    "dq_uniqueness_violations",
-    "join_range_bucketed",
-    "graph_label_propagation",
-    "events_funnel_time_windowed",
-    "text_pmi_cooccurrence",
-    "layout_compaction_plan",
-    "text_langid_confusion",
-    "stats_welch_anova",
-    "ml_confusion_threshold_sweep",
-    "stats_pareto_by_nation",
-    "events_hourly_topk_users",
-    "events_late_arrival_audit",
-    "text_char_trigram_profile",
-    "corpus_dedup_survivorship",
-    "lineitem_shipment_latency",
+    # Round-6 window. CORRECTNESS_r05 again drained the backlog to ZERO
+    # (49/50 hash-green + 1 by-design rows-only), so this round's window
+    # is: the four queries whose OUTPUT SEMANTICS changed in round 5
+    # (sigmoid->softsign classifier rework) and whose round-4 evidence
+    # is therefore stale (ADVICE r5 medium; see _EVIDENCE_MIN_ROUND) —
+    # followed automatically by every newly registered round-6 query
+    # (auto-unverified names sort after this manual list, in
+    # registration order). 4 + new <= 50 keeps everything inside the
+    # driver's evaluation window.
+    "text_quality_classifier_score",
+    "ml_auc_by_lang",
+    "ml_calibration_curve",
+    "pipeline_corpus_prep_full",
 ]
+
+# Evidence invalidation (ADVICE r5 medium): when a verified query's
+# output semantics change in round N, prior rounds' hash_match rows are
+# stale — only evidence from CORRECTNESS_r{>=N}.json counts for it.
+# Names auto-clear once fresh evidence lands (the entry is then inert;
+# prune opportunistically).
+_EVIDENCE_MIN_ROUND: dict[str, int] = {
+    # round 5 replaced sigmoid with softsign in the classifier family;
+    # these four verified queries' values changed without re-windowing.
+    "text_quality_classifier_score": 6,
+    "ml_auc_by_lang": 6,
+    "ml_calibration_curve": 6,
+    "pipeline_corpus_prep_full": 6,
+}
 
 
 def _verified_names() -> tuple[set[str], set[str]]:
     """(hash_verified, rows_verified) query names across all prior
     rounds' CORRECTNESS_r*.json. Used to rotate the evaluation window:
     once a query has external evidence, it yields its slot to queries
-    that have none. Missing/unreadable files mean no evidence."""
+    that have none. Missing/unreadable files mean no evidence.
+    Evidence older than ``_EVIDENCE_MIN_ROUND[name]`` is ignored — a
+    semantic change invalidates earlier hash rows."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     hash_verified: set[str] = set()
     rows_verified: set[str] = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -109,6 +109,8 @@ def _verified_names() -> tuple[set[str], set[str]]:
             continue
         for name, r in rows.items():
             if not isinstance(r, dict):
+                continue
+            if rnd < _EVIDENCE_MIN_ROUND.get(name, 0):
                 continue
             if r.get("hash_match") is True:
                 hash_verified.add(name)
