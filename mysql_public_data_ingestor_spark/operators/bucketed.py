@@ -20,77 +20,39 @@ buckets.
 
 from __future__ import annotations
 
-import hashlib
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import Tables
+from ..warehouse import ensure_table, fixture_tag
 
 BUCKETS = 8  # bucket count for both sides (at 100 TB: O(thousands))
-
-
-def _fixture_tag(spark: SparkSession, sf_dir: str) -> str:
-    """Fingerprint of fixture path+mtimes AND the session's application
-    id: two sessions sharing a warehouse (parallel test/bench runs on
-    the same fixture) get disjoint table locations, so one session can
-    never delete or overwrite buckets another is reading (ADVICE r5).
-    The app id also makes orphan cleanup race-free — a directory
-    matching our own tag can only be a crashed earlier attempt of THIS
-    application, never a live foreign table."""
-    parts = [os.path.abspath(sf_dir), spark.sparkContext.applicationId]
-    for name in ("lineitem.parquet", "orders.parquet"):
-        p = os.path.join(sf_dir, name)
-        try:
-            parts.append(str(int(os.path.getmtime(p))))
-        except OSError:
-            parts.append("missing")
-    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
-
-
-def _drop_orphan_location(spark: SparkSession, table: str) -> None:
-    """The in-memory catalog forgets tables across sessions but the
-    warehouse files persist; Spark then refuses to create a managed
-    table over the orphaned location (LOCATION_ALREADY_EXISTS). Remove
-    it — the application id in the fingerprinted name guarantees the
-    directory belongs to this application (a crashed earlier write),
-    never to a concurrently live session. Errors surface: a
-    half-deleted location must fail loudly, not read partially."""
-    import shutil
-
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    path = os.path.join(warehouse.removeprefix("file:"), table)
-    if os.path.exists(path):
-        shutil.rmtree(path)
 
 
 def ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize (once per session+fixture) lineitem/orders projected
     to the join's columns, bucketed AND sorted on the order key. Returns
-    the two table names."""
-    tag = _fixture_tag(spark, sf_dir)
+    the two table names. Fingerprinting/race rules: see warehouse.py."""
+    tag = fixture_tag(spark, sf_dir, ("lineitem.parquet", "orders.parquet"))
     li, od = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
     t = Tables(spark, sf_dir)
-    if not spark.catalog.tableExists(li):
-        _drop_orphan_location(spark, li)
-        (
-            t.lineitem.select("l_orderkey", "l_shipdate")
-            .write.bucketBy(BUCKETS, "l_orderkey")
-            .sortBy("l_orderkey")
-            .mode("overwrite")
-            .saveAsTable(li)
-        )
-    if not spark.catalog.tableExists(od):
-        _drop_orphan_location(spark, od)
-        (
-            t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
-            .write.bucketBy(BUCKETS, "o_orderkey")
-            .sortBy("o_orderkey")
-            .mode("overwrite")
-            .saveAsTable(od)
-        )
+    ensure_table(
+        spark,
+        li,
+        lambda: t.lineitem.select("l_orderkey", "l_shipdate"),
+        bucket_by=("l_orderkey",),
+        sort_by=("l_orderkey",),
+        buckets=BUCKETS,
+    )
+    ensure_table(
+        spark,
+        od,
+        lambda: t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        bucket_by=("o_orderkey",),
+        sort_by=("o_orderkey",),
+        buckets=BUCKETS,
+    )
     return li, od
 
 

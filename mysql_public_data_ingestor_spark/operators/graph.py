@@ -75,6 +75,26 @@ def _edges(t: Tables) -> DataFrame:
     )
 
 
+def edge_table(spark: SparkSession, t: Tables, sf_dir: str) -> DataFrame:
+    """Session-materialized co-purchase edge list, shared by the whole
+    graph family (degree/triangles/PageRank/link-prediction/LPA).
+
+    Rebuilding ``_edges`` per query was ~1-2 s of the 8.7 s LPA wall at
+    sf0.1 and pure waste across six queries; at 100 TB the edge list is
+    exactly the derived table a lakehouse maintains incrementally
+    rather than re-deriving per query. Materialized once per
+    (application, fixture) into the warehouse — fingerprinting/race
+    rules in warehouse.py — sorted by u so the parquet run-length/
+    delta encoding and min-max pruning favor the src-keyed joins every
+    consumer starts with."""
+    from ..warehouse import ensure_table, fixture_tag
+
+    tag = fixture_tag(spark, sf_dir, ("lineitem.parquet",))
+    return ensure_table(
+        spark, f"graph_edges_{tag}", lambda: _edges(t).sortWithinPartitions("u", "v")
+    )
+
+
 def _degrees(edges: DataFrame) -> DataFrame:
     """Per-node degree: count of incident undirected edges."""
     ends = edges.select(F.col("u").alias("node")).unionAll(
@@ -107,7 +127,7 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = Tables(spark, sf_dir)
     return (
-        _degrees(_edges(t))
+        _degrees(edge_table(spark, t, sf_dir))
         .groupBy("degree")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
@@ -160,7 +180,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian. ``global_clustering = 3 * triangles / wedges``.
     """
     t = Tables(spark, sf_dir)
-    edges = _edges(t).persist()
+    edges = edge_table(spark, t, sf_dir).persist()
     deg = _degrees(edges)
 
     # Degree attach: the node table is O(sqrt(edges))-ish (dimension
@@ -297,7 +317,7 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     is hash-verified value-for-value, not rows-only.
     """
     t = Tables(spark, sf_dir)
-    edges = _edges(t)
+    edges = edge_table(spark, t, sf_dir)
     # undirected -> both directions carry rank
     both = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -496,7 +516,7 @@ def graph_common_neighbors_linkpred(spark: SparkSession, sf_dir: str) -> DataFra
     from ..functions.exact import round_int_ratio
 
     t = Tables(spark, sf_dir)
-    edges = _edges(t)
+    edges = edge_table(spark, t, sf_dir)
     adj = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     hop1 = adj.filter(F.col("u") < LINKPRED_SEEDS).select(
         F.col("u").alias("seed"), F.col("v").alias("n")

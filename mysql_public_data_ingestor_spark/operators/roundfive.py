@@ -1065,10 +1065,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds so round K is one join, not a K-deep recompute. Output is
     per-community size, |V|-bounded.
     """
-    from .graph import _edges
+    from .graph import edge_table
 
     t = Tables(spark, sf_dir)
-    edges = _edges(t)
+    edges = edge_table(spark, t, sf_dir)
     directed = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
