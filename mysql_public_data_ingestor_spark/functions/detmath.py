@@ -55,42 +55,74 @@ def _c(dp: int) -> float:
 
 def det_ln_fix(x: Column) -> Column:
     """L = floor-ish fixed-point log2(x) * 2^30 as int64, deterministic
-    across engines. Null for x <= 0 / null."""
-    shift_elems = F.array(
+    across engines. Null for x <= 0 / null.
+
+    ONE runtime fold over 40 elements (10 exponent shifts marked by
+    p > 0, then 30 fraction sentinels with p = 0), finished by a
+    ``finish`` lambda into the int64 — so the fold is evaluated exactly
+    once per row (the two-fold formulation re-ran the normalization
+    fold for each field referenced, measured ~2x the per-row cost)."""
+    elems = F.array(
         *[
-            F.struct(
-                F.lit(float(2**s)).alias("p"), F.lit(s).cast("long").alias("s")
-            )
+            F.struct(F.lit(float(2**s)).alias("p"), F.lit(s).cast("long").alias("s"))
             for s in _SHIFTS
-        ]
+        ],
+        *[
+            F.struct(F.lit(0.0).alias("p"), F.lit(0).cast("long").alias("s"))
+            for _ in range(_B)
+        ],
     )
-    norm = F.aggregate(
-        shift_elems,
-        F.struct(x.cast("double").alias("m"), F.lit(0).cast("long").alias("e")),
-        lambda a, el: F.when(
-            a["m"] >= el["p"],
-            F.struct((a["m"] / el["p"]).alias("m"), (a["e"] + el["s"]).alias("e")),
-        )
-        .when(
-            a["m"] * el["p"] < F.lit(2.0),
-            F.struct((a["m"] * el["p"]).alias("m"), (a["e"] - el["s"]).alias("e")),
-        )
-        .otherwise(a),
+    init = F.struct(
+        x.cast("double").alias("m"),
+        F.lit(0).cast("long").alias("e"),
+        F.lit(0).cast("long").alias("a"),
     )
-    frac = F.aggregate(
-        F.sequence(F.lit(1), F.lit(_B)),
-        F.struct(norm["m"].alias("m"), F.lit(0).cast("long").alias("a")),
-        lambda a, _i: F.when(
+
+    def merge(a, el):
+        exp_step = (
+            F.when(
+                a["m"] >= el["p"],
+                F.struct(
+                    (a["m"] / el["p"]).alias("m"),
+                    (a["e"] + el["s"]).alias("e"),
+                    a["a"].alias("a"),
+                ),
+            )
+            .when(
+                a["m"] * el["p"] < F.lit(2.0),
+                F.struct(
+                    (a["m"] * el["p"]).alias("m"),
+                    (a["e"] - el["s"]).alias("e"),
+                    a["a"].alias("a"),
+                ),
+            )
+            .otherwise(a)
+        )
+        frac_step = F.when(
             a["m"] * a["m"] >= F.lit(2.0),
             F.struct(
                 (a["m"] * a["m"] * F.lit(0.5)).alias("m"),
+                a["e"].alias("e"),
                 (a["a"] * F.lit(2) + F.lit(1)).alias("a"),
             ),
         ).otherwise(
-            F.struct((a["m"] * a["m"]).alias("m"), (a["a"] * F.lit(2)).alias("a"))
+            F.struct(
+                (a["m"] * a["m"]).alias("m"),
+                a["e"].alias("e"),
+                (a["a"] * F.lit(2)).alias("a"),
+            )
+        )
+        return F.when(el["p"] > F.lit(0.0), exp_step).otherwise(frac_step)
+
+    return F.when(
+        x > 0,
+        F.aggregate(
+            elems,
+            init,
+            merge,
+            lambda a: a["e"] * F.lit(_SCALE).cast("long") + a["a"],
         ),
     )
-    return F.when(x > 0, norm["e"] * F.lit(_SCALE).cast("long") + frac["a"])
 
 
 def det_ln_q(x: Column, dp: int = 6) -> Column:
@@ -99,7 +131,21 @@ def det_ln_q(x: Column, dp: int = 6) -> Column:
     return F.floor(det_ln_fix(x) * F.lit(_c(dp)) + F.lit(0.5)).cast("long")
 
 
-def sql_det_ln_steps(rel: str, col: str, out: str, dp: int = 6) -> str:
+def det_ln_dbl(x: Column) -> Column:
+    """Deterministic ln(x) as a double: L * (ln2 / 2^30), one
+    correctly-rounded multiply on the exact int64 L — bit-identical
+    across engines, ~6.5e-10 absolute accuracy. For use where the log
+    feeds further double arithmetic (weighted terms) before a final
+    quantization; every downstream +-*/ chain stays deterministic as
+    long as the SQL twin uses the same association order and casts
+    non-representable literals ::DOUBLE (DuckDB parses bare decimal
+    literals as DECIMAL — measured divergence, see test_detmath)."""
+    return det_ln_fix(x) * F.lit(_c(0))
+
+
+def sql_det_ln_steps(
+    rel: str, col: str, out: str, dp: int = 6, as_double: bool = False
+) -> str:
     """DuckDB twin of :func:`det_ln_q`, as a generated CTE chain.
 
     NOT an inline expression: DuckDB 1.0's vectorized ``list_reduce``
@@ -114,6 +160,9 @@ def sql_det_ln_steps(rel: str, col: str, out: str, dp: int = 6) -> str:
     inside a WITH clause. ``rel`` is the input relation name; the final
     CTE is named ``{out}_rel`` and carries all of ``rel``'s columns
     plus ``{out}`` (the quantized ln of ``col``; NULL for col <= 0).
+    With ``as_double`` the output column is the deterministic double
+    ln value (twin of :func:`det_ln_dbl`) instead of the quantized
+    int64, and ``dp`` is ignored.
     """
     steps = [f"{out}_s0 AS (SELECT *, CAST(({col}) AS DOUBLE) AS _dm, 0::BIGINT AS _de FROM {rel})"]
     prev = f"{out}_s0"
@@ -143,6 +192,14 @@ def sql_det_ln_steps(rel: str, col: str, out: str, dp: int = 6) -> str:
     # IEEE double rounding — the ::DOUBLE cast is load-bearing; (2) the
     # product and the +0.5 must round separately (no fused multiply-add
     # ambiguity), so the product materializes as its own column.
+    if as_double:
+        steps.append(
+            f"{out}_rel AS (SELECT * EXCLUDE (_dm, _de, _da), "
+            f"CASE WHEN ({col}) > 0 THEN "
+            f"(_de * {_SCALE}::BIGINT + _da) * {_c(0)!r}::DOUBLE END AS {out} "
+            f"FROM {prev})"
+        )
+        return ", ".join(steps)
     steps.append(
         f"{out}_p AS (SELECT *, "
         f"(_de * {_SCALE}::BIGINT + _da) * {_c(dp)!r}::DOUBLE AS _dprod FROM {prev})"

@@ -166,9 +166,10 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_token_entropy",
-    oracle=f"""
+def _token_entropy_oracle() -> str:
+    from ..functions.detmath import sql_det_ln_steps
+
+    return f"""
     WITH toks AS (
       SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
     ), tc AS (
@@ -177,21 +178,29 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS distinct_tokens,
              CAST(sum(c * c) AS BIGINT) AS sum_c2
       FROM tc GROUP BY doc_id
+    ), tcn AS (
+      SELECT tc.doc_id, c, n FROM tc JOIN tot ON tc.doc_id = tot.doc_id
+    ), cn AS (
+      SELECT DISTINCT CAST(c AS DOUBLE) AS cd, CAST(n AS DOUBLE) AS nd FROM tcn
+    ), {sql_det_ln_steps('cn', 'nd / cd', 'lnr', as_double=True)}, terms AS (
+      SELECT cd, nd,
+             CAST(floor((cd / nd) * lnr * 1000000.0 + 0.5) AS BIGINT) AS term_q
+      FROM lnr_rel
     ), ent AS (
-      SELECT tc.doc_id,
-             sum(CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-                            * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
-                            * 1000000.0 + 0.5) AS BIGINT)) AS ent_q
-      FROM tc JOIN tot ON tc.doc_id = tot.doc_id
-      GROUP BY tc.doc_id
+      SELECT t.doc_id, sum(term_q) AS ent_q
+      FROM tcn t JOIN terms
+        ON CAST(t.c AS DOUBLE) = terms.cd AND CAST(t.n AS DOUBLE) = terms.nd
+      GROUP BY t.doc_id
     )
     SELECT tot.doc_id, n AS n_tokens, distinct_tokens,
            ent_q / 1000000.0 AS entropy,
            CAST(floor((1.0 - CAST(sum_c2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
                       * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS gini_diversity
     FROM tot JOIN ent ON tot.doc_id = ent.doc_id
-    """,
-)
+    """
+
+
+@register("text_token_entropy", oracle=_token_entropy_oracle())
 def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token diversity: Shannon entropy + Gini–Simpson index.
 
@@ -213,13 +222,39 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("distinct_tokens"),
         F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
     )
+    from ..functions.detmath import det_ln_dbl
+
     cd = F.col("c").cast("double")
     nd = F.col("n").cast("double")
-    term_q = F.floor((cd / nd) * F.log(nd / cd) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    # det_ln_dbl, not F.log: the per-(doc, token) entropy term must
+    # quantize to the same int64 on both engines (functions/detmath.py).
+    # The deterministic fold is interpreted (no codegen), so it runs on
+    # the DISTINCT (count, doc-length) domain — bounded by
+    # |distinct c| x |distinct n|, far below the (doc, token) row count
+    # — and broadcast-joins back to the fact rows.
+    tcn = tc.join(tot.select("doc_id", "n"), "doc_id")
+    terms = (
+        tcn.select(cd.alias("cd"), nd.alias("nd"))
+        .distinct()
+        .select(
+            "cd",
+            "nd",
+            F.floor(
+                (F.col("cd") / F.col("nd")) * det_ln_dbl(F.col("nd") / F.col("cd"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("term_q"),
+        )
+    )
     ent = (
-        tc.join(tot.select("doc_id", "n"), "doc_id")
+        tcn.join(
+            F.broadcast(terms),
+            (cd == F.col("cd")) & (nd == F.col("nd")),
+        )
         .groupBy("doc_id")
-        .agg(F.sum(term_q).alias("ent_q"))
+        .agg(F.sum("term_q").alias("ent_q"))
     )
     gini = (
         F.floor(

@@ -226,9 +226,10 @@ PIPE_CE_LO, PIPE_CE_HI = 3.30, 3.50   # LM cross-entropy keep band
 _W_MOD = 2001                # milli-weights in [-1000, 1000]
 
 
-@register(
-    "pipeline_corpus_prep_full",
-    oracle=f"""
+def _prep_full_oracle() -> str:
+    from ..functions.detmath import sql_det_ln_steps
+
+    return f"""
     WITH base AS (
       SELECT doc_id, lang,
              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
@@ -253,12 +254,14 @@ _W_MOD = 2001                # milli-weights in [-1000, 1000]
       SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
     ), ctx AS (
       SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY w1
-    ), ce AS (
+    ), lmj AS (
+      SELECT lm.w1, lm.w2,
+             CAST(ctx.c1 AS DOUBLE) AS c1d, CAST(lm.c12 AS DOUBLE) AS c12d
+      FROM lm JOIN ctx USING (w1)
+    ), {{DET_LN}}, ce AS (
       SELECT b.doc_id,
-             round(CAST(sum(CAST(floor(ln(CAST(ctx.c1 AS DOUBLE) / CAST(lm.c12 AS DOUBLE))
-                                       * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                   / 1000000.0 / count(*), 6) AS ce
-      FROM bi b JOIN lm USING (w1, w2) JOIN ctx USING (w1)
+             round(CAST(sum(s.nll_q) AS DOUBLE) / 1000000.0 / count(*), 6) AS ce
+      FROM bi b JOIN nll_q_rel s USING (w1, w2)
       GROUP BY b.doc_id
     ), flagged AS (
       SELECT s.doc_id, s.lang, s.h, s.n_tokens,
@@ -280,8 +283,12 @@ _W_MOD = 2001                # milli-weights in [-1000, 1000]
            CAST(coalesce(sum(CASE WHEN keep_final THEN n_tokens END), 0) AS BIGINT)
              AS tokens_final
     FROM winners GROUP BY lang
-    """,
-)
+    """.replace(
+        "{DET_LN}", sql_det_ln_steps("lmj", "c1d / c12d", "nll_q", 6)
+    )
+
+
+@register("pipeline_corpus_prep_full", oracle=_prep_full_oracle())
 def pipeline_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-2 flagship composition, as ONE declarative plan:
     hashed-classifier quality floor -> bigram-LM cross-entropy band
@@ -345,19 +352,26 @@ def pipeline_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "b.w1", "b.w2")
     )
+    from ..functions.detmath import det_ln_q
+
     lm = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ctx = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    nll_q = F.floor(
-        F.log(F.col("c1").cast("double") / F.col("c12").cast("double")) * F.lit(1e6)
-        + F.lit(0.5)
-    ).cast("long")
+    # det_ln_q, not F.log: cross-engine identical micro-nats, scored on
+    # the vocab^2-bounded LM rows before the fact-side join fans them
+    # out (the higher-order fold is interpreted; see text_lm_cross_entropy)
+    scored_lm = lm.join(ctx, ["w1"]).select(
+        "w1",
+        "w2",
+        det_ln_q(F.col("c1").cast("double") / F.col("c12").cast("double"), 6).alias(
+            "nll_q"
+        ),
+    )
     ce = (
-        bi.join(F.broadcast(lm), ["w1", "w2"])
-        .join(F.broadcast(ctx), ["w1"])
+        bi.join(F.broadcast(scored_lm), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.round(
-                F.sum(nll_q).cast("double") / F.lit(1e6) / F.count(F.lit(1)), 6
+                F.sum("nll_q").cast("double") / F.lit(1e6) / F.count(F.lit(1)), 6
             ).alias("ce")
         )
     )

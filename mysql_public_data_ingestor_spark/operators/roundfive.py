@@ -1185,6 +1185,8 @@ PMI_CO_MIN = 5       # report pairs co-occurring in >= 5 docs
 
 
 def _pmi_oracle() -> str:
+    from ..functions.detmath import sql_det_ln_steps
+
     return f"""
     WITH toks AS (
       SELECT doc_id,
@@ -1204,15 +1206,17 @@ def _pmi_oracle() -> str:
       FROM vinc a JOIN vinc b ON a.doc_id = b.doc_id AND a.tok < b.tok
       GROUP BY 1, 2
     )
-    SELECT p.u, p.v, p.n_uv, du.df AS n_u, dv.df AS n_v,
-           CAST(floor(ln(CAST(p.n_uv AS DOUBLE) * n.n_docs
-                         / (CAST(du.df AS DOUBLE) * dv.df)) * 1e9 + 0.5) AS BIGINT)
-             / 1e9 AS pmi
-    FROM pairs p
-    JOIN vocab du ON du.tok = p.u
-    JOIN vocab dv ON dv.tok = p.v
-    CROSS JOIN n
-    WHERE p.n_uv >= {PMI_CO_MIN}
+    , joined AS (
+      SELECT p.u, p.v, p.n_uv, du.df AS n_u, dv.df AS n_v,
+             CAST(p.n_uv AS DOUBLE) * n.n_docs
+               / (CAST(du.df AS DOUBLE) * dv.df) AS arg
+      FROM pairs p
+      JOIN vocab du ON du.tok = p.u
+      JOIN vocab dv ON dv.tok = p.v
+      CROSS JOIN n
+      WHERE p.n_uv >= {PMI_CO_MIN}
+    ), {sql_det_ln_steps('joined', 'arg', 'pmi_q', 9)}
+    SELECT u, v, n_uv, n_u, n_v, pmi_q / 1e9 AS pmi FROM pmi_q_rel
     """
 
 
@@ -1267,18 +1271,16 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = vocab.select(F.col("tok").alias("u"), F.col("df").alias("n_u"))
     dv = vocab.select(F.col("tok").alias("v"), F.col("df").alias("n_v"))
-    pmi = (
-        F.floor(
-            F.log(
-                F.col("n_uv").cast("double")
-                * F.col("n_docs")
-                / (F.col("n_u").cast("double") * F.col("n_v"))
-            )
-            * F.lit(1e9)
-            + F.lit(0.5)
-        ).cast("long")
-        / F.lit(1e9)
-    )
+    from ..functions.detmath import det_ln_q
+
+    # det_ln_q, not F.log: nano-nat quantization identical across
+    # engines (functions/detmath.py)
+    pmi = det_ln_q(
+        F.col("n_uv").cast("double")
+        * F.col("n_docs")
+        / (F.col("n_u").cast("double") * F.col("n_v")),
+        9,
+    ) / F.lit(1e9)
     return (
         pairs.join(F.broadcast(du), "u")
         .join(F.broadcast(dv), "v")

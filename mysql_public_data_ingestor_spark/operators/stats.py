@@ -920,9 +920,10 @@ def stats_ttest_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dq_psi_value_drift",
-    oracle="""
+def _psi_oracle() -> str:
+    from ..functions.detmath import sql_det_ln_steps
+
+    return """
     WITH e AS (
       SELECT event_type,
              CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_u,
@@ -959,22 +960,27 @@ def stats_ttest_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tot AS (
       SELECT event_type, sum(n_base) AS tb, sum(n_cur) AS tc
       FROM filled GROUP BY event_type
-    ), terms AS (
+    ), pq AS (
       SELECT f.event_type, t.tb, t.tc,
-             CAST(floor(
-               ((f.n_base + 0.5) / (t.tb + 5.0) - (f.n_cur + 0.5) / (t.tc + 5.0))
-               * ln(((f.n_base + 0.5) / (t.tb + 5.0))
-                    / ((f.n_cur + 0.5) / (t.tc + 5.0)))
-               * 1000000000.0 + 0.5) AS BIGINT) AS term_nano
+             (f.n_base + 0.5::DOUBLE) / (t.tb + 5.0::DOUBLE) AS p,
+             (f.n_cur + 0.5::DOUBLE) / (t.tc + 5.0::DOUBLE) AS q
       FROM filled f JOIN tot t USING (event_type)
+    ), __DET_LN__, terms AS (
+      SELECT event_type, tb, tc,
+             CAST(floor((p - q) * lnpq * 1000000000.0 + 0.5) AS BIGINT) AS term_nano
+      FROM lnpq_rel
     )
     SELECT event_type,
            CAST(max(tb) AS BIGINT) AS n_base,
            CAST(max(tc) AS BIGINT) AS n_cur,
            round(sum(term_nano) / 1000000000.0, 6) AS psi
     FROM terms GROUP BY event_type
-    """,
-)
+    """.replace(
+        "__DET_LN__", sql_det_ln_steps("pq", "p / q", "lnpq", as_double=True)
+    )
+
+
+@register("dq_psi_value_drift", oracle=_psi_oracle())
 def dq_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of ``value`` per event type between
     the first and second half of the time range — the drift monitor a
@@ -1038,13 +1044,18 @@ def dq_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = filled.groupBy("event_type").agg(
         F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
     )
+    from ..functions.detmath import det_ln_dbl
+
     p_ = (F.col("n_base") + F.lit(0.5)) / (F.col("tb") + F.lit(5.0))
     q_ = (F.col("n_cur") + F.lit(0.5)) / (F.col("tc") + F.lit(5.0))
+    # det_ln_dbl, not F.log: the scaled term must quantize to the same
+    # nano-nat integer on both engines (see functions/detmath.py);
+    # the surrounding +-*/ chain mirrors the oracle's association order
     terms = filled.join(F.broadcast(tot), "event_type").select(
         "event_type",
         "tb",
         "tc",
-        F.floor((p_ - q_) * F.log(p_ / q_) * F.lit(1e9) + F.lit(0.5))
+        F.floor((p_ - q_) * det_ln_dbl(p_ / q_) * F.lit(1e9) + F.lit(0.5))
         .cast("long")
         .alias("term_nano"),
     )

@@ -562,9 +562,10 @@ def text_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
-    "text_lm_cross_entropy",
-    oracle=f"""
+def _lm_ce_oracle() -> str:
+    from ..functions.detmath import sql_det_ln_steps
+
+    return f"""
     WITH toks AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
@@ -577,19 +578,21 @@ def text_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
     ), ctx AS (
       SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY w1
-    ), scored AS (
-      SELECT b.doc_id,
-             CAST(floor(ln(CAST(ctx.c1 AS DOUBLE) / CAST(lm.c12 AS DOUBLE))
-                        * 1000000.0 + 0.5) AS BIGINT) AS nll_q
-      FROM bi b JOIN lm USING (w1, w2) JOIN ctx USING (w1)
-    )
-    SELECT doc_id,
+    ), lmd AS (
+      SELECT lm.w1, lm.w2,
+             CAST(ctx.c1 AS DOUBLE) AS c1d, CAST(lm.c12 AS DOUBLE) AS c12d
+      FROM lm JOIN ctx USING (w1)
+    ), {sql_det_ln_steps('lmd', 'c1d / c12d', 'nll_q', 6)}
+    SELECT b.doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(CAST(sum(nll_q) AS DOUBLE) / 1000000.0 / count(*), 6)
+           round(CAST(sum(s.nll_q) AS DOUBLE) / 1000000.0 / count(*), 6)
              AS cross_entropy
-    FROM scored GROUP BY doc_id
-    """,
-)
+    FROM bi b JOIN nll_q_rel s USING (w1, w2)
+    GROUP BY b.doc_id
+    """
+
+
+@register("text_lm_cross_entropy", oracle=_lm_ce_oracle())
 def text_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document cross-entropy under the corpus's own bigram LM —
     the CCNet/Wenzek-style perplexity filter: documents that the
@@ -625,17 +628,26 @@ def text_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
+    from ..functions.detmath import det_ln_q
+
     lm = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ctx = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    nll_q = F.floor(
-        F.log(F.col("c1").cast("double") / F.col("c12").cast("double")) * F.lit(1e6)
-        + F.lit(0.5)
-    ).cast("long")
+    # det_ln_q, not F.log: the per-bigram micro-nat must quantize to
+    # the same int64 on both engines (functions/detmath.py). Scored on
+    # the vocab^2-bounded LM rows, NOT per bigram instance — the
+    # higher-order fold is interpreted (no codegen), so evaluations
+    # must be minimized before the fact-side join fans them out.
+    scored_lm = lm.join(ctx, ["w1"]).select(
+        "w1",
+        "w2",
+        det_ln_q(F.col("c1").cast("double") / F.col("c12").cast("double"), 6).alias(
+            "nll_q"
+        ),
+    )
     return (
-        bi.join(F.broadcast(lm), ["w1", "w2"])
-        .join(F.broadcast(ctx), ["w1"])
+        bi.join(F.broadcast(scored_lm), ["w1", "w2"])
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(nll_q).alias("sum_q"))
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("nll_q").alias("sum_q"))
         .select(
             "doc_id",
             "n_bigrams",

@@ -65,6 +65,13 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "ml_auc_by_lang",
     "ml_calibration_curve",
     "pipeline_corpus_prep_full",
+    # round-6 deterministic-ln conversions (functions/detmath.py): the
+    # quantized log values can differ from the libm ones in the last
+    # digit, so prior evidence is stale
+    "text_token_entropy",
+    "text_lm_cross_entropy",
+    "text_pmi_cooccurrence",
+    "dq_psi_value_drift",
 ]
 
 # Evidence invalidation (ADVICE r5 medium): when a verified query's
@@ -79,6 +86,12 @@ _EVIDENCE_MIN_ROUND: dict[str, int] = {
     "ml_auc_by_lang": 6,
     "ml_calibration_curve": 6,
     "pipeline_corpus_prep_full": 6,
+    # round 6 converted the 1e6/1e9-quantized ln sites to the
+    # deterministic fixed-point ln (functions/detmath.py)
+    "text_token_entropy": 6,
+    "text_lm_cross_entropy": 6,
+    "text_pmi_cooccurrence": 6,
+    "dq_psi_value_drift": 6,
 }
 
 
