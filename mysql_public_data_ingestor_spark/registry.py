@@ -184,6 +184,7 @@ def _ensure_loaded() -> None:
         pipeline,
         privacy,
         relational,
+        roundsix,
         similarity,
         sketches,
         stats,
