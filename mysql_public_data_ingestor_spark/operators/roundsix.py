@@ -785,3 +785,463 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type", F.col("n").alias("n_events"), rho.alias("spearman_rho")
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. NDCG@10 ranking eval of the quality classifier
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+# integer nano-gains 1e9/log2(i+1), precomputed in Python so BOTH
+# engines embed the identical int64 literals — no runtime log anywhere
+import math as _math  # noqa: E402
+
+NDCG_W = [int(_math.floor(1e9 / _math.log2(i + 1) + 0.5)) for i in range(1, NDCG_K + 1)]
+NDCG_PW = [sum(NDCG_W[: i + 1]) for i in range(NDCG_K)]  # prefix sums
+
+
+def _ndcg_oracle() -> str:
+    from .ml import _scored_labeled_sql
+
+    w_list = ", ".join(str(w) for w in NDCG_W)
+    pw_list = ", ".join(str(w) for w in NDCG_PW)
+    return (
+        _scored_labeled_sql()
+        + f"""
+    , ranked AS (
+      SELECT lang, label,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score_q DESC, doc_id) AS rn
+      FROM scored
+    ), pos AS (
+      SELECT lang, CAST(sum(label) AS BIGINT) AS n_pos FROM scored GROUP BY lang
+    ), dcg AS (
+      SELECT lang,
+             CAST(sum(label * ([{w_list}])[CAST(rn AS INTEGER)]) AS BIGINT)
+               AS dcg_q
+      FROM ranked WHERE rn <= {NDCG_K} GROUP BY lang
+    ), j AS (
+      SELECT p.lang, p.n_pos, coalesce(d.dcg_q, 0) AS dcg_q,
+             CASE WHEN p.n_pos > 0 THEN
+               ([{pw_list}])[CAST(least(p.n_pos, {NDCG_K}) AS INTEGER)]
+             ELSE 0 END AS idcg_q
+      FROM pos p LEFT JOIN dcg d USING (lang)
+    )
+    SELECT lang, n_pos, dcg_q, CAST(idcg_q AS BIGINT) AS idcg_q,
+           CASE WHEN idcg_q > 0 THEN
+             CAST(((2000000::HUGEINT * dcg_q + idcg_q)
+                   // (2::HUGEINT * idcg_q)) AS BIGINT) / 1000000.0
+           END AS ndcg
+    FROM j
+    """
+    )
+
+
+@register("ml_ndcg_by_lang", oracle=_ndcg_oracle())
+def ml_ndcg_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the hashed-feature quality classifier against the
+    rule-gate labels, per language — the RANKING eval completing the
+    classifier's scorecard (calibration = probability quality, AUC =
+    pairwise ordering, NDCG = top-of-list ordering, which is what a
+    "select the best documents" pipeline actually consumes).
+
+    Exactness: discount gains 1e9/log2(i+1) are PRECOMPUTED integer
+    literals (i <= 10), so DCG and ideal DCG are exact int64 sums and
+    NDCG is one decimal half-up ratio — no runtime logarithm at all.
+    Scale: one per-lang top-10 window over the single-scan scored
+    projection; everything after is |langs| rows.
+    """
+    from ..functions.exact import round_big_int_ratio
+    from .ml import _scored_labeled
+
+    t = Tables(spark, sf_dir)
+    s = _scored_labeled(t)
+    w = Window.partitionBy("lang").orderBy(F.col("score_q").desc(), "doc_id")
+    w_arr = F.array(*[F.lit(x).cast("long") for x in NDCG_W])
+    pw_arr = F.array(*[F.lit(x).cast("long") for x in NDCG_PW])
+    ranked = s.select("lang", "label", F.row_number().over(w).alias("rn"))
+    dcg = (
+        ranked.where(F.col("rn") <= NDCG_K)
+        .groupBy("lang")
+        .agg(F.sum(F.col("label") * F.element_at(w_arr, F.col("rn"))).alias("dcg_q"))
+    )
+    pos = s.groupBy("lang").agg(F.sum("label").alias("n_pos"))
+    j = pos.join(dcg, "lang", "left").select(
+        "lang",
+        "n_pos",
+        F.coalesce(F.col("dcg_q"), F.lit(0)).alias("dcg_q"),
+        F.when(
+            F.col("n_pos") > 0,
+            F.element_at(
+                pw_arr, F.least(F.col("n_pos"), F.lit(NDCG_K)).cast("int")
+            ),
+        )
+        .otherwise(0)
+        .alias("idcg_q"),
+    )
+    return j.select(
+        "lang",
+        "n_pos",
+        "dcg_q",
+        F.col("idcg_q").cast("long").alias("idcg_q"),
+        F.when(
+            F.col("idcg_q") > 0,
+            round_big_int_ratio(F.col("dcg_q"), F.col("idcg_q")),
+        ).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 9. Differentially-private counts via deterministic inverse-CDF Laplace
+# ---------------------------------------------------------------------------
+
+DP_EPS = 0.5
+DP_HASH_A, DP_HASH_B = 1_103_515_245, 12_345
+
+
+def _dp_oracle() -> str:
+    from ..functions.detmath import sql_det_ln_steps
+
+    b = 1.0 / DP_EPS
+    return f"""
+    WITH counts AS (
+      SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS true_count
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    ), u AS (
+      SELECT c_nationkey, true_count,
+             (CAST((((c_nationkey::BIGINT % {_P}) * {DP_HASH_A} + {DP_HASH_B}) % {_P})
+                   AS DOUBLE) + 1.0) / {float(_P + 1)!r}::DOUBLE AS u01
+      FROM counts
+    ), centered AS (
+      SELECT c_nationkey, true_count, u01 - 0.5 AS c,
+             1.0 - 2.0 * abs(u01 - 0.5) AS arg
+      FROM u
+    ), {sql_det_ln_steps('centered', 'arg', 'lnv', as_double=True)}, noise AS (
+      SELECT c_nationkey, true_count,
+             CAST(floor((CASE WHEN c >= 0 THEN -{b!r}::DOUBLE * lnv
+                              ELSE {b!r}::DOUBLE * lnv END)
+                        * 1000000.0 + 0.5) AS BIGINT) AS noise_q6
+      FROM lnv_rel
+    )
+    SELECT nn.n_name AS nation, true_count, noise_q6,
+           true_count
+             + CAST(floor(noise_q6 / 1000000.0 + 0.5) AS BIGINT) AS noisy_count
+    FROM noise JOIN nation nn ON nn.n_nationkey = noise.c_nationkey
+    """
+
+
+@register("privacy_dp_laplace_counts", oracle=_dp_oracle())
+def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation order counts with Laplace(1/eps) noise, eps = 0.5 —
+    the differential-privacy release primitive, made REPRODUCIBLE: the
+    noise is inverse-CDF Laplace driven by a portable hash of the
+    partition key instead of an RNG, so the "random" release is a pure
+    function of the data — re-runnable, auditable, and bit-identical
+    across engines (a seeded-noise pattern for DP pipelines that must
+    be replayed; the privacy guarantee then holds per-release, keyed by
+    the hash seed).
+
+    The inverse CDF needs ln(1 - 2|u - 0.5|) — exactly what the
+    deterministic fixed-point ln (functions/detmath.py) exists for: the
+    noise quantizes to the same micro-unit integer on both engines.
+    Scale: one partial-aggregated count; noise is |nations| rows of
+    scalar math.
+    """
+    from ..functions.detmath import det_ln_dbl
+
+    t = Tables(spark, sf_dir)
+    b = 1.0 / DP_EPS
+    counts = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            t.orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    h = ((F.col("c_nationkey").cast("long") % _P) * DP_HASH_A + DP_HASH_B) % _P
+    u01 = (h.cast("double") + F.lit(1.0)) / F.lit(float(_P + 1))
+    centered = counts.select(
+        "c_nationkey",
+        "true_count",
+        (u01 - F.lit(0.5)).alias("c"),
+        (F.lit(1.0) - F.lit(2.0) * F.abs(u01 - F.lit(0.5))).alias("arg"),
+    )
+    lnv = det_ln_dbl(F.col("arg"))
+    noise_q6 = F.floor(
+        F.when(F.col("c") >= 0, F.lit(-b) * lnv).otherwise(F.lit(b) * lnv)
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    noise = centered.select("c_nationkey", "true_count", noise_q6.alias("noise_q6"))
+    return noise.join(
+        F.broadcast(t.nation.select("n_nationkey", "n_name")),
+        noise.c_nationkey == F.col("n_nationkey"),
+    ).select(
+        F.col("n_name").alias("nation"),
+        "true_count",
+        "noise_q6",
+        (
+            F.col("true_count")
+            + F.floor(F.col("noise_q6") / F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("noisy_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 10. Zipf exponent fit of the token frequency distribution
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP = 1000
+
+
+def _zipf_oracle() -> str:
+    from ..functions.detmath import sql_det_ln_steps
+    from .corpus import _SQL_TOKENS
+
+    return f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+    ), freq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS f
+      FROM toks WHERE token <> '' GROUP BY token
+    ), ranked AS (
+      SELECT CAST(row_number() OVER (ORDER BY f DESC, token) AS BIGINT) AS r, f
+      FROM freq
+      ORDER BY f DESC, token
+      LIMIT {ZIPF_TOP}
+    ), rd AS (
+      SELECT CAST(r AS DOUBLE) AS rd, CAST(f AS DOUBLE) AS fd FROM ranked
+    ), {sql_det_ln_steps('rd', 'rd', 'x_q', 6)},
+    {sql_det_ln_steps('x_q_rel', 'fd', 'y_q', 6)},
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x_q) AS HUGEINT) AS sx, CAST(sum(y_q) AS HUGEINT) AS sy,
+             sum(x_q::HUGEINT * x_q) AS sxx, sum(y_q::HUGEINT * y_q) AS syy,
+             sum(x_q::HUGEINT * y_q) AS sxy
+      FROM y_q_rel
+    ), fit AS (
+      SELECT CAST(n AS BIGINT) AS n_ranks,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS denx,
+             n * syy - sy * sy AS deny
+      FROM s
+    )
+    SELECT n_ranks,
+           CAST(CASE WHEN num >= 0
+             THEN  ((2000000::HUGEINT * num + denx) // (2::HUGEINT * denx))
+             ELSE -((2000000::HUGEINT * (-num) + denx) // (2::HUGEINT * denx))
+           END AS BIGINT) / 1000000.0 AS zipf_slope,
+           CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                      / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS r_squared
+    FROM fit
+    """
+
+
+@register("text_zipf_fit", oracle=_zipf_oracle())
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of log-frequency against log-rank over the top-1000
+    token frequency table — the Zipf exponent (slope ~ -1 for natural
+    language; strong deviation flags templated/synthetic corpora), a
+    standard corpus-health diagnostic.
+
+    Both logs are the deterministic fixed-point ln in micro-nat int64
+    (functions/detmath.py) — the fit's sufficient statistics are then
+    exact decimal sums and the slope is one decimal half-up ratio (the
+    micro-unit scale cancels between numerator and denominator). R^2
+    runs in doubles cast from the same exact integers on both engines.
+    Scale: token counting is the usual partial-aggregated explode; the
+    fit itself touches only the top-1000 rows of the frequency table.
+    """
+    from ..functions.detmath import det_ln_q
+    from ..functions.exact import round_big_int_ratio
+    from ..functions.textnorm import whitespace_tokens
+
+    t = Tables(spark, sf_dir)
+    freq = (
+        t.documents.select(F.explode(whitespace_tokens(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = (
+        freq.select(
+            F.row_number()
+            .over(Window.orderBy(F.col("f").desc(), "token"))
+            .cast("long")
+            .alias("r"),
+            "f",
+        )
+        .where(F.col("r") <= ZIPF_TOP)
+    )
+    xy = ranked.select(
+        det_ln_q(F.col("r").cast("double"), 6).alias("x_q"),
+        det_ln_q(F.col("f").cast("double"), 6).alias("y_q"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_q").alias("sx"),
+        F.sum("y_q").alias("sy"),
+        F.sum(_dec(F.col("x_q")) * _dec(F.col("x_q"))).alias("sxx"),
+        F.sum(_dec(F.col("y_q")) * _dec(F.col("y_q"))).alias("syy"),
+        F.sum(_dec(F.col("x_q")) * _dec(F.col("y_q"))).alias("sxy"),
+    )
+    n = _dec(F.col("n"))
+    fit = s.select(
+        F.col("n").alias("n_ranks"),
+        (n * F.col("sxy") - _dec(F.col("sx")) * _dec(F.col("sy"))).alias("num"),
+        (n * F.col("sxx") - _dec(F.col("sx")) * _dec(F.col("sx"))).alias("denx"),
+        (n * F.col("syy") - _dec(F.col("sy")) * _dec(F.col("sy"))).alias("deny"),
+    )
+    r2 = (
+        F.floor(
+            F.col("num").cast("double")
+            * F.col("num").cast("double")
+            / (F.col("denx").cast("double") * F.col("deny").cast("double"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long")
+        / F.lit(1e6)
+    )
+    return fit.select(
+        "n_ranks",
+        round_big_int_ratio(F.col("num"), F.col("denx")).alias("zipf_slope"),
+        r2.alias("r_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 11. Single change-point detection (binary segmentation, 1 split)
+# ---------------------------------------------------------------------------
+
+
+def _binseg_oracle() -> str:
+    return """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, d, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+             CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY d)
+                  AS BIGINT) AS sl
+      FROM daily
+    ), cand AS (
+      SELECT event_type, d, i, n,
+             CAST(i AS BIGINT) AS nl, n - i AS nr,
+             sl, s - sl AS sr,
+             CASE WHEN sl >= 0
+               THEN  ((200::HUGEINT * sl + i) // (2::HUGEINT * i))
+               ELSE -((200::HUGEINT * (-sl) + i) // (2::HUGEINT * i)) END AS dl_q2,
+             CASE WHEN (s - sl) >= 0
+               THEN  ((200::HUGEINT * (s - sl) + (n - i)) // (2::HUGEINT * (n - i)))
+               ELSE -((200::HUGEINT * (sl - s) + (n - i)) // (2::HUGEINT * (n - i)))
+             END AS dr_q2
+      FROM idx WHERE i < n
+    ), scored AS (
+      SELECT event_type, d, nl, nr,
+             CAST(floor(
+               (CAST(dl_q2 AS DOUBLE) / 100.0 - CAST(dr_q2 AS DOUBLE) / 100.0)
+               * (CAST(dl_q2 AS DOUBLE) / 100.0 - CAST(dr_q2 AS DOUBLE) / 100.0)
+               * CAST(nl AS DOUBLE) * CAST(nr AS DOUBLE)
+               / CAST(nl + nr AS DOUBLE) + 0.5) AS BIGINT) AS t_q
+      FROM cand
+    ), best AS (
+      SELECT event_type, d, nl, nr, t_q,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY t_q DESC, d) AS rn
+      FROM scored
+    )
+    SELECT event_type, CAST(d AS TIMESTAMP) AS change_day,
+           CAST(nl AS BIGINT) AS n_before, CAST(nr AS BIGINT) AS n_after, t_q
+    FROM best WHERE rn = 1
+    """
+
+
+@register("stats_changepoint_binseg", oracle=_binseg_oracle())
+def stats_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection on the daily revenue series per
+    event type — binary segmentation's first split: the day whose
+    before/after mean shift maximizes the pooled two-sample statistic
+    d^2 * nL * nR / n (the CUSUM-family scan complementary to
+    ``events_cusum_changepoint``, which flags drift online; this
+    locates the globally best breakpoint offline).
+
+    Candidate evaluation is prefix-sum algebra on the BOUNDED daily
+    series: each split's side means are exact half-up cents ratios
+    (2 dp, int128/decimal domain), the scan statistic then runs in
+    doubles derived from those identical quantized integers with
+    matching association, and the argmax tie-breaks on day. One
+    window pass + one |days|-row ranking per type — no O(days^2).
+    """
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("c_row"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c_row").alias("cents"))
+    )
+    wp = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "d",
+        F.row_number().over(wp.orderBy("d")).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("cents").over(wp).alias("s"),
+        F.sum("cents").over(wp.orderBy("d")).alias("sl"),
+    )
+
+    def half_up_signed(num, den, scale):
+        a_ = F.lit(2 * scale).cast("decimal(38,0)") * F.abs(num) + den
+        b_ = F.lit(2).cast("decimal(38,0)") * den
+        mag = ((a_ - a_ % b_) / b_).cast("long")
+        return F.when(num < 0, -mag).otherwise(mag)
+
+    cand = idx.where(F.col("i") < F.col("n")).select(
+        "event_type",
+        "d",
+        F.col("i").cast("long").alias("nl"),
+        (F.col("n") - F.col("i")).alias("nr"),
+        half_up_signed(_dec(F.col("sl")), _dec(F.col("i")), 100).alias("dl_q2"),
+        half_up_signed(
+            _dec(F.col("s")) - _dec(F.col("sl")),
+            _dec(F.col("n")) - _dec(F.col("i")),
+            100,
+        ).alias("dr_q2"),
+    )
+    diff = F.col("dl_q2").cast("double") / F.lit(100.0) - F.col("dr_q2").cast(
+        "double"
+    ) / F.lit(100.0)
+    t_q = F.floor(
+        diff
+        * diff
+        * F.col("nl").cast("double")
+        * F.col("nr").cast("double")
+        / (F.col("nl") + F.col("nr")).cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    scored = cand.select("event_type", "d", "nl", "nr", t_q.alias("t_q"))
+    best = scored.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(F.col("t_q").desc(), "d"))
+        .alias("rn"),
+    ).where(F.col("rn") == 1)
+    return best.select(
+        "event_type",
+        F.col("d").cast("timestamp").alias("change_day"),
+        F.col("nl").alias("n_before"),
+        F.col("nr").alias("n_after"),
+        "t_q",
+    )
