@@ -147,6 +147,21 @@ HEADLINE = [
     "corpus_shard_manifest_hash",
     "stats_power_mde",
     "events_heatmap_dow_hour",
+    # round-6 additions
+    "stats_ks_two_sample",
+    "stats_wilson_ci_by_nation",
+    "privacy_t_closeness_audit",
+    "events_acf_daily_lags",
+    "graph_kcore_membership",
+    "stats_theil_sen_trend",
+    "stats_spearman_corr",
+    "ml_ndcg_by_lang",
+    "privacy_dp_laplace_counts",
+    "text_zipf_fit",
+    "stats_changepoint_binseg",
+    "ml_pr_auc_by_lang",
+    "ml_naive_bayes_langid",
+    "ml_decision_stump",
 ]
 
 
