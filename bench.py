@@ -162,6 +162,10 @@ HEADLINE = [
     "ml_pr_auc_by_lang",
     "ml_naive_bayes_langid",
     "ml_decision_stump",
+    "stats_kendall_tau_b",
+    "graph_degree_assortativity",
+    "events_holt_linear_fit",
+    "events_poisson_rate_test",
 ]
 
 

@@ -1704,3 +1704,420 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec(F.col("nt")),
         ).alias("stump_accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 15. Kendall tau-b (concordance over the bounded bucket grid)
+# ---------------------------------------------------------------------------
+
+KT_VBINS = 10
+
+
+def _kendall_oracle() -> str:
+    return f"""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v_m,
+             CAST(hour(ts) AS BIGINT) AS h
+      FROM events
+    ), ext AS (
+      SELECT event_type, CAST(min(v_m) AS BIGINT) AS mn, CAST(max(v_m) AS BIGINT) AS mx
+      FROM q GROUP BY event_type
+    ), cells AS (
+      SELECT q.event_type,
+             least(CAST(floor((q.v_m - e.mn) * {KT_VBINS}
+                              / (e.mx - e.mn + 1)) AS BIGINT),
+                   {KT_VBINS - 1}) AS vb,
+             q.h,
+             CAST(count(*) AS HUGEINT) AS n
+      FROM q JOIN ext e USING (event_type)
+      GROUP BY 1, 2, 3
+    ), pairs AS (
+      SELECT a.event_type,
+             sum(CASE WHEN b.vb > a.vb AND b.h > a.h THEN a.n * b.n ELSE 0 END)
+               AS c2,
+             sum(CASE WHEN b.vb > a.vb AND b.h < a.h THEN a.n * b.n ELSE 0 END)
+               AS d2
+      FROM cells a JOIN cells b USING (event_type)
+      GROUP BY a.event_type
+    ), ties AS (
+      SELECT event_type,
+             CAST(sum(n) AS HUGEINT) AS nn,
+             sum(n * (n - 1)) AS tie_cell2
+      FROM cells GROUP BY event_type
+    ), tx AS (
+      SELECT event_type, sum(rn * (rn - 1)) AS tie_x2
+      FROM (SELECT event_type, vb, CAST(sum(n) AS HUGEINT) AS rn
+            FROM cells GROUP BY 1, 2)
+      GROUP BY event_type
+    ), ty AS (
+      SELECT event_type, sum(rn * (rn - 1)) AS tie_y2
+      FROM (SELECT event_type, h, CAST(sum(n) AS HUGEINT) AS rn
+            FROM cells GROUP BY 1, 2)
+      GROUP BY event_type
+    )
+    SELECT t.event_type, CAST(t.nn AS BIGINT) AS n_events,
+           CAST(floor(CAST(p.c2 - p.d2 AS DOUBLE)
+                      / sqrt(CAST(t.nn * (t.nn - 1) - x.tie_x2 AS DOUBLE)
+                             * CAST(t.nn * (t.nn - 1) - y.tie_y2 AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS kendall_tau_b
+    FROM ties t
+    JOIN pairs p USING (event_type)
+    JOIN tx x USING (event_type)
+    JOIN ty y USING (event_type)
+    """
+
+
+@register("stats_kendall_tau_b", oracle=_kendall_oracle())
+def stats_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between event value (10 equal-width bins) and
+    hour-of-day, per event type — the concordance-based association
+    test completing the correlation trio (Pearson = linear, Spearman =
+    monotonic-by-rank, Kendall = pairwise-concordance; tau-b's tie
+    correction makes it the right one for coarsely-bucketed data).
+
+    Concordant/discordant pair counts NEVER enumerate row pairs: the
+    corpus collapses to a 10 x 24 contingency grid (value bin x hour)
+    and the pair sums run over grid-cell pairs (bounded at 240^2)
+    with exact int128 products; tie corrections come from the grid's
+    margins. One final double expression (sqrt of exact integers,
+    matching association) and a micro-unit quantization. The binning
+    itself is pure integer arithmetic off broadcast min/max — no
+    data-dependent float edges.
+    """
+    t = Tables(spark, sf_dir)
+    from ..functions.exact import quantize
+
+    q = t.events.select(
+        "event_type",
+        quantize(F.col("value"), 3).alias("v_m"),
+        F.hour("ts").cast("long").alias("h"),
+    )
+    ext = q.groupBy("event_type").agg(
+        F.min("v_m").alias("mn"), F.max("v_m").alias("mx")
+    )
+    vb = F.least(
+        F.floor(
+            ((F.col("v_m") - F.col("mn")) * KT_VBINS)
+            / (F.col("mx") - F.col("mn") + 1)
+        ).cast("long"),
+        F.lit(KT_VBINS - 1).cast("long"),
+    )
+    cells = (
+        q.join(F.broadcast(ext), "event_type")
+        .select("event_type", vb.alias("vb"), "h")
+        .groupBy("event_type", "vb", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    b = cells.select(
+        F.col("event_type").alias("et_b"),
+        F.col("vb").alias("vb_b"),
+        F.col("h").alias("h_b"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = (
+        cells.join(b, F.col("et_b") == F.col("event_type"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("vb_b") > F.col("vb")) & (F.col("h_b") > F.col("h")),
+                    _dec(F.col("n")) * _dec(F.col("n_b")),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("c2"),
+            F.sum(
+                F.when(
+                    (F.col("vb_b") > F.col("vb")) & (F.col("h_b") < F.col("h")),
+                    _dec(F.col("n")) * _dec(F.col("n_b")),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("d2"),
+        )
+    )
+    ties = cells.groupBy("event_type").agg(F.sum("n").alias("nn"))
+    tx = (
+        cells.groupBy("event_type", "vb")
+        .agg(F.sum("n").alias("rn"))
+        .groupBy("event_type")
+        .agg(F.sum(_dec(F.col("rn")) * (_dec(F.col("rn")) - 1)).alias("tie_x2"))
+    )
+    ty = (
+        cells.groupBy("event_type", "h")
+        .agg(F.sum("n").alias("rn"))
+        .groupBy("event_type")
+        .agg(F.sum(_dec(F.col("rn")) * (_dec(F.col("rn")) - 1)).alias("tie_y2"))
+    )
+    nn = _dec(F.col("nn"))
+    tau = (
+        F.floor(
+            (F.col("c2") - F.col("d2")).cast("double")
+            / F.sqrt(
+                (nn * (nn - 1) - F.col("tie_x2")).cast("double")
+                * (nn * (nn - 1) - F.col("tie_y2")).cast("double")
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long")
+        / F.lit(1e6)
+    )
+    return (
+        ties.join(pairs, "event_type")
+        .join(tx, "event_type")
+        .join(ty, "event_type")
+        .select("event_type", F.col("nn").alias("n_events"), tau.alias("kendall_tau_b"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 16. Degree assortativity of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def _assortativity_oracle() -> str:
+    from .graph import _SQL_EDGES
+
+    return (
+        _SQL_EDGES
+        + """
+    , deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY node
+    ), dir AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+      UNION ALL
+      SELECT dv.d AS x, du.d AS y
+      FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ), s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS m,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             sum(x::HUGEINT * x) AS sxx,
+             sum(x::HUGEINT * y) AS sxy
+      FROM dir
+    )
+    SELECT CAST(m AS BIGINT) AS n_directed_edges,
+           CAST(floor(CAST(m * sxy - sx * sx AS DOUBLE)
+                      / CAST(m * sxx - sx * sx AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+             AS assortativity
+    FROM s
+    """
+    )
+
+
+@register("graph_degree_assortativity", oracle=_assortativity_oracle())
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient of the co-purchase graph — the
+    Pearson correlation of endpoint degrees over the directed edge
+    list (both orientations): do hubs link to hubs (assortative, r>0)
+    or to leaves (disassortative, r<0)? The one-number structural
+    summary complementing the degree histogram.
+
+    By x/y symmetry over both orientations the sufficient statistics
+    collapse to m, sum(d), sum(d^2), sum(du*dv) — exact int128/decimal
+    sums off the session-cached edge table with the (broadcastable)
+    degree table joined in; one final double ratio from identical
+    integers. Scale: degree join + one partial-aggregated sum, no
+    shuffle beyond the degree aggregation.
+    """
+    from .graph import _degrees, edge_table
+
+    t = Tables(spark, sf_dir)
+    edges = edge_table(spark, t, sf_dir)
+    deg = _degrees(edges)
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("xd"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("yd"))
+    j = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    dirs = j.select(F.col("xd").alias("x"), F.col("yd").alias("y")).unionAll(
+        j.select(F.col("yd").alias("x"), F.col("xd").alias("y"))
+    )
+    s = dirs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum(_dec(F.col("x")) * _dec(F.col("x"))).alias("sxx"),
+        F.sum(_dec(F.col("x")) * _dec(F.col("y"))).alias("sxy"),
+    )
+    m = _dec(F.col("m"))
+    sx = _dec(F.col("sx"))
+    r = (
+        F.floor(
+            (m * F.col("sxy") - sx * sx).cast("double")
+            / (m * F.col("sxx") - sx * sx).cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long")
+        / F.lit(1e6)
+    )
+    return s.select(F.col("m").alias("n_directed_edges"), r.alias("assortativity"))
+
+
+# ---------------------------------------------------------------------------
+# 17. Holt linear-trend smoothing of the daily series
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.5    # exactly representable binary fractions: the
+HOLT_BETA = 0.25    # smoothing recurrences stay bit-exact trivially
+
+
+def _holt_oracle() -> str:
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM daily
+    ), rec AS (
+      SELECT event_type, 1::BIGINT AS i, n, y AS level, 0.0::DOUBLE AS trend
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT r.event_type, r.i + 1, r.n,
+             {HOLT_ALPHA!r} * x.y
+               + {1.0 - HOLT_ALPHA!r} * (r.level + r.trend),
+             {HOLT_BETA!r} * (({HOLT_ALPHA!r} * x.y
+                               + {1.0 - HOLT_ALPHA!r} * (r.level + r.trend))
+                              - r.level)
+               + {1.0 - HOLT_BETA!r} * r.trend
+      FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1
+    )
+    SELECT event_type, n AS n_days,
+           CAST(floor(level + 0.5) AS BIGINT) AS level_cents,
+           CAST(floor(trend * 100.0 + 0.5) AS BIGINT) AS trend_cents_q2,
+           CAST(floor((level + trend) + 0.5) AS BIGINT) AS forecast_cents
+    FROM rec WHERE i = n
+    """
+
+
+@register("events_holt_linear_fit", oracle=_holt_oracle())
+def events_holt_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over the daily revenue
+    series per event type — level + trend state after a full pass, and
+    the one-step-ahead forecast: the classical operational forecast
+    (EWMA tracks level only; this tracks drift too).
+
+    The recurrence is inherently sequential, so it runs where
+    sequential is FREE: the corpus collapses to the bounded
+    |event_types| x |days| series, which collects into a per-type
+    ordered array and folds once through a runtime higher-order
+    aggregate (level', trend' per step). Smoothing constants are exact
+    binary fractions (0.5, 0.25), every update is a correctly-rounded
+    double chain identical on both engines (the DuckDB twin is a
+    recursive CTE executing the same arithmetic), and outputs quantize
+    to integer cents. No window over raw rows, no driver loop.
+    """
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("c_row"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c_row").cast("double").alias("y"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "y"))), lambda s: s["y"]
+        ).alias("ys")
+    )
+    ys = F.col("ys")
+    a, b = HOLT_ALPHA, HOLT_BETA
+    init = F.struct(
+        F.element_at(ys, 1).alias("level"), F.lit(0.0).alias("trend")
+    )
+
+    def step(acc, y):
+        new_level = F.lit(a) * y + F.lit(1.0 - a) * (acc["level"] + acc["trend"])
+        new_trend = F.lit(b) * (new_level - acc["level"]) + F.lit(1.0 - b) * acc[
+            "trend"
+        ]
+        return F.struct(new_level.alias("level"), new_trend.alias("trend"))
+
+    fit = F.aggregate(F.slice(ys, 2, F.size(ys)), init, step)
+    return series.select(
+        "event_type",
+        F.size(ys).cast("long").alias("n_days"),
+        F.floor(fit["level"] + F.lit(0.5)).cast("long").alias("level_cents"),
+        F.floor(fit["trend"] * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("trend_cents_q2"),
+        F.floor((fit["level"] + fit["trend"]) + F.lit(0.5))
+        .cast("long")
+        .alias("forecast_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 18. Poisson rate test between the two halves of the time range
+# ---------------------------------------------------------------------------
+
+
+def _poisson_oracle() -> str:
+    return """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS us FROM events
+    ), b AS (SELECT min(us) + max(us) AS lohi FROM e),
+    k AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN us * 2 <= lohi THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+             CAST(sum(CASE WHEN us * 2 > lohi THEN 1 ELSE 0 END) AS BIGINT) AS k2
+      FROM e CROSS JOIN b GROUP BY event_type
+    )
+    SELECT event_type, k1, k2,
+           CASE WHEN k1 + k2 > 0 THEN
+             CAST(floor(CAST(k1 - k2 AS DOUBLE)
+                        / sqrt(CAST(k1 + k2 AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+           END AS z_rate
+    FROM k
+    """
+
+
+@register("events_poisson_rate_test", oracle=_poisson_oracle())
+def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate-change test per event type between the first and
+    second half of the time range: under H0 (constant rate with equal
+    exposure) k1 - k2 has variance k1 + k2, so z = (k1-k2)/sqrt(k1+k2)
+    — the event-COUNT drift monitor beside dq_psi_value_drift's
+    value-distribution drift (conditional-binomial normal
+    approximation).
+
+    One scan, one partial-aggregated conditional count per type, one
+    correctly-rounded sqrt expression from exact integers.
+    """
+    t = Tables(spark, sf_dir)
+    e = t.events.select("event_type", F.unix_micros(F.col("ts")).alias("us"))
+    b = e.agg((F.min("us") + F.max("us")).alias("lohi"))
+    k = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("us") * 2 <= F.col("lohi"), 1).otherwise(0)).alias(
+                "k1"
+            ),
+            F.sum(F.when(F.col("us") * 2 > F.col("lohi"), 1).otherwise(0)).alias(
+                "k2"
+            ),
+        )
+    )
+    z = (
+        F.floor(
+            (F.col("k1") - F.col("k2")).cast("double")
+            / F.sqrt((F.col("k1") + F.col("k2")).cast("double"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long")
+        / F.lit(1e6)
+    )
+    return k.select(
+        "event_type",
+        "k1",
+        "k2",
+        F.when(F.col("k1") + F.col("k2") > 0, z).alias("z_rate"),
+    )
