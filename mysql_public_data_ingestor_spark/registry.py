@@ -185,6 +185,7 @@ def _ensure_loaded() -> None:
         privacy,
         relational,
         roundsix,
+        roundsix2,
         similarity,
         sketches,
         stats,
