@@ -940,3 +940,638 @@ def ml_score_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("lang", "n_pos", "n_neg", ks.alias("ks_stat")).orderBy(
         "lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# 12. Jensen-Shannon divergence of priority mix per nation
+# ---------------------------------------------------------------------------
+
+
+def _js_oracle() -> str:
+    from ..functions.detmath import sql_det_ln_steps
+
+    return f"""
+    WITH cust_orders AS (
+      SELECT c.c_nationkey, o.o_orderpriority AS pri
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), cell AS (
+      SELECT c_nationkey, pri, CAST(count(*) AS BIGINT) AS c
+      FROM cust_orders GROUP BY 1, 2
+    ), nat AS (
+      SELECT c_nationkey, CAST(sum(c) AS BIGINT) AS n FROM cell GROUP BY 1
+    ), gpri AS (
+      SELECT pri, CAST(sum(c) AS BIGINT) AS g FROM cell GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS big_n FROM cell
+    ), grid AS (
+      SELECT nat.c_nationkey, nat.n, gpri.pri, gpri.g, tot.big_n,
+             coalesce(cell.c, 0) AS c
+      FROM nat CROSS JOIN gpri CROSS JOIN tot
+      LEFT JOIN cell ON cell.c_nationkey = nat.c_nationkey
+                    AND cell.pri = gpri.pri
+    ), pq AS (
+      SELECT c_nationkey, n, c, g, big_n,
+             CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             CAST(g AS DOUBLE) / CAST(big_n AS DOUBLE) AS q
+      FROM grid
+    ), pm AS (
+      SELECT *, (p + q) * 0.5 AS m FROM pq
+    ), {sql_det_ln_steps('pm', 'p / m', 'lnp', as_double=True)},
+    {sql_det_ln_steps('lnp_rel', 'q / m', 'lnq', as_double=True)},
+    terms AS (
+      SELECT c_nationkey, n,
+             CAST(floor(
+               (CASE WHEN c > 0 THEN 0.5 * p * lnp ELSE 0.0 END
+                + CASE WHEN g > 0 THEN 0.5 * q * lnq ELSE 0.0 END)
+               * 1000000000.0 + 0.5) AS BIGINT) AS term_q
+      FROM lnq_rel
+    ), agg AS (
+      SELECT c_nationkey, n, CAST(sum(term_q) AS BIGINT) AS js_q
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT nn.n_name AS nation, agg.n AS n_orders,
+           js_q / 1000000000.0 AS js_nats
+    FROM agg JOIN nation nn ON nn.n_nationkey = agg.c_nationkey
+    ORDER BY nation
+    """
+
+
+@register("stats_js_divergence_priority", oracle=_js_oracle())
+def stats_js_divergence_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each nation's order-priority
+    mix and the global mix — the symmetric, bounded (<= ln 2)
+    distribution-drift score; the same statistic a corpus pipeline
+    runs between a shard's language mix and the corpus mix
+    (``dq_psi_value_drift`` is the banded PSI twin; JS is the
+    information-theoretic one).
+
+    Determinism: p, q, m = (p+q)/2 are single correctly-rounded double
+    ops on exact integer counts; ln comes from the fixed-point
+    deterministic ln (functions/detmath.py), each 0.5*p*ln(p/m) term
+    quantizes to 1e-9 int64 per grid cell, and the per-nation sum is
+    exact. Zero cells contribute their defined limits (0 for p=0).
+
+    Scale: one fact groupBy to the |nations|x|priorities| grid;
+    everything after is 125-row scalar math. The det-ln fold is
+    interpreted, which is why it runs on the collapsed grid, never on
+    fact rows.
+    """
+    from ..functions.detmath import det_ln_dbl
+
+    t = Tables(spark, sf_dir)
+    cell = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            t.orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", F.col("o_orderpriority").alias("pri"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nat = cell.groupBy("c_nationkey").agg(F.sum("c").alias("n"))
+    glob = cell.groupBy("pri").agg(F.sum("c").alias("g"))
+    tot = cell.agg(F.sum("c").alias("big_n"))
+    grid = (
+        nat.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cell, ["c_nationkey", "pri"], "left")
+        .select(
+            "c_nationkey",
+            "n",
+            "g",
+            "big_n",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    q = F.col("g").cast("double") / F.col("big_n").cast("double")
+    m = (p + q) * F.lit(0.5)
+    t_p = F.when(F.col("c") > 0, F.lit(0.5) * p * det_ln_dbl(p / m)).otherwise(
+        F.lit(0.0)
+    )
+    t_q = F.when(F.col("g") > 0, F.lit(0.5) * q * det_ln_dbl(q / m)).otherwise(
+        F.lit(0.0)
+    )
+    terms = grid.select(
+        "c_nationkey",
+        "n",
+        F.floor((t_p + t_q) * F.lit(1_000_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("term_q"),
+    )
+    agg = terms.groupBy("c_nationkey", "n").agg(F.sum("term_q").alias("js_q"))
+    return (
+        agg.join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            agg.c_nationkey == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").alias("n_orders"),
+            (F.col("js_q") / F.lit(1_000_000_000.0)).alias("js_nats"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 13. Log odds ratio of urgent orders per nation, Woolf CI
+# ---------------------------------------------------------------------------
+
+WOOLF_Z = 1.96
+
+
+def _odds_oracle() -> str:
+    from ..functions.detmath import sql_det_ln_steps
+
+    return f"""
+    WITH cust_orders AS (
+      SELECT c.c_nationkey,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS urg
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), per AS (
+      SELECT c_nationkey,
+             CAST(sum(urg) AS BIGINT) AS a,
+             CAST(sum(1 - urg) AS BIGINT) AS b
+      FROM cust_orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+      FROM per
+    ), cells AS (
+      SELECT p.c_nationkey, p.a, p.b,
+             t.ta - p.a AS c, t.tb - p.b AS d
+      FROM per p CROSS JOIN tot t
+    ), hald AS (
+      SELECT *,
+             CAST(a AS DOUBLE) + 0.5 AS ah, CAST(b AS DOUBLE) + 0.5 AS bh,
+             CAST(c AS DOUBLE) + 0.5 AS ch, CAST(d AS DOUBLE) + 0.5 AS dh
+      FROM cells
+    ), orv AS (
+      SELECT *, (ah * dh) / (bh * ch) AS orate,
+             sqrt(1.0 / ah + 1.0 / bh + 1.0 / ch + 1.0 / dh) AS se
+      FROM hald
+    ), {sql_det_ln_steps('orv', 'orate', 'lnor', as_double=True)}
+    SELECT nn.n_name AS nation, a, b, c, d,
+           CAST(floor(lnor * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+             AS log_or,
+           CAST(floor((lnor - {WOOLF_Z!r}::DOUBLE * se) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS ci_lo,
+           CAST(floor((lnor + {WOOLF_Z!r}::DOUBLE * se) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS ci_hi
+    FROM lnor_rel JOIN nation nn ON nn.n_nationkey = lnor_rel.c_nationkey
+    ORDER BY nation
+    """
+
+
+@register("stats_odds_ratio_woolf", oracle=_odds_oracle())
+def stats_odds_ratio_woolf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log odds ratio of urgent-order incidence, each nation vs the
+    rest of the world, with the Woolf 95% confidence interval — the
+    case-control effect-size report (reported in the log domain, where
+    the CI is symmetric and no exp() is needed; readers exponentiate
+    off-line).
+
+    Determinism: cells take the Haldane-Anscombe +0.5 correction
+    (always-defined OR, exact double halves), the OR is two exact-int
+    products and one correctly-rounded divide, ln is the deterministic
+    fixed-point ln, and the Woolf standard error is a left-to-right
+    sum of four correctly-rounded reciprocals — every step
+    bit-identical across engines before 1e-6 quantization.
+
+    Scale: one fact groupBy to |nations| rows + a broadcast 1-row
+    total; all effect-size math is 25-row scalar.
+    """
+    from ..functions.detmath import det_ln_dbl
+
+    t = Tables(spark, sf_dir)
+    per = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            t.orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("a"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 0).otherwise(1)
+            ).alias("b"),
+        )
+    )
+    tot = per.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    cells = per.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "a",
+        "b",
+        (F.col("ta") - F.col("a")).alias("c"),
+        (F.col("tb") - F.col("b")).alias("d"),
+    )
+    ah = F.col("a").cast("double") + F.lit(0.5)
+    bh = F.col("b").cast("double") + F.lit(0.5)
+    ch = F.col("c").cast("double") + F.lit(0.5)
+    dh = F.col("d").cast("double") + F.lit(0.5)
+    orate = (ah * dh) / (bh * ch)
+    se = F.sqrt(
+        F.lit(1.0) / ah + F.lit(1.0) / bh + F.lit(1.0) / ch + F.lit(1.0) / dh
+    )
+    lnor = det_ln_dbl(orate)
+    q6 = lambda col: (  # noqa: E731
+        F.floor(col * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+        / F.lit(1_000_000.0)
+    )
+    out = cells.select(
+        "c_nationkey",
+        "a",
+        "b",
+        "c",
+        "d",
+        q6(lnor).alias("log_or"),
+        q6(lnor - F.lit(WOOLF_Z) * se).alias("ci_lo"),
+        q6(lnor + F.lit(WOOLF_Z) * se).alias("ci_hi"),
+    )
+    return (
+        out.join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            out.c_nationkey == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "a",
+            "b",
+            "c",
+            "d",
+            "log_or",
+            "ci_lo",
+            "ci_hi",
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 14. Kaplan-Meier log-survival of shipment transit time
+# ---------------------------------------------------------------------------
+
+
+def _km_oracle() -> str:
+    from ..functions.detmath import sql_det_ln_steps
+
+    return f"""
+    WITH obs AS (
+      SELECT l.l_returnflag AS flag,
+             CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS dur,
+             CASE WHEN l.l_linestatus = 'F' THEN 1 ELSE 0 END AS ev
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), pts AS (
+      SELECT flag, dur,
+             CAST(sum(ev) AS BIGINT) AS d,
+             CAST(sum(1 - ev) AS BIGINT) AS w
+      FROM obs GROUP BY 1, 2
+    ), risk AS (
+      SELECT flag, dur, d, w,
+             CAST(sum(d + w) OVER (PARTITION BY flag) AS BIGINT)
+               - CAST(coalesce(sum(d + w) OVER (
+                   PARTITION BY flag ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_risk
+      FROM pts
+    ), kept AS (
+      SELECT * FROM risk WHERE NOT (d > 0 AND n_risk = d)
+    ), rat AS (
+      SELECT *, CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS sratio
+      FROM kept
+    ), {sql_det_ln_steps('rat', 'sratio', 'lnq', dp=9)},
+    terms AS (
+      SELECT flag, dur, d, w, n_risk,
+             CASE WHEN d > 0 THEN lnq ELSE 0 END AS term_q
+      FROM lnq_rel
+    )
+    SELECT flag AS return_flag, dur AS transit_days, n_risk,
+           d AS n_events, w AS n_censored,
+           CAST(sum(term_q) OVER (PARTITION BY flag ORDER BY dur
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             / 1000000000.0 AS log_survival
+    FROM terms
+    ORDER BY return_flag, transit_days
+    """
+
+
+@register("stats_km_log_survival", oracle=_km_oracle())
+def stats_km_log_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of order-to-ship latency
+    (orderdate→shipdate), one curve per return flag, with right-censoring:
+    open-status lines (l_linestatus <> 'F') count as censored at their
+    observed duration — they leave the risk set without an "event".
+    Reported as log-survival: logS(t) = sum over event times <= t of
+    ln(1 - d/n), the form in which the product-limit estimator is a
+    SUM and therefore exact under quantization (S itself would need
+    exp; readers exponentiate off-line).
+
+    Determinism: risk-set sizes and event counts are exact integers
+    computed on the collapsed (flag, duration) curve, the hazard ratio
+    (n-d)/n is one correctly-rounded double divide, and ln is the
+    deterministic fixed-point ln quantized to 1e-9 per step, so the
+    running sum is integer-exact. The terminal point where the whole
+    risk set fails (S -> 0, logS -> -inf) is excluded by definition.
+
+    Scale: the fact scan collapses to |flags| x |distinct durations|
+    rows before any window; the ordered passes run per flag on the
+    ~100-point curve, never on raw lineitem.
+    """
+    from ..functions.detmath import det_ln_q
+
+    t = Tables(spark, sf_dir)
+    obs = t.lineitem.join(
+        t.orders.select("o_orderkey", "o_orderdate"),
+        t.lineitem.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.col("l_returnflag").alias("flag"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("dur"),
+        F.when(F.col("l_linestatus") == "F", 1).otherwise(0).alias("ev"),
+    )
+    pts = obs.groupBy("flag", "dur").agg(
+        F.sum("ev").alias("d"), F.sum(F.lit(1) - F.col("ev")).alias("w")
+    )
+    w_tot = Window.partitionBy("flag")
+    w_prev = (
+        Window.partitionBy("flag")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = pts.select(
+        "flag",
+        "dur",
+        "d",
+        "w",
+        (
+            F.sum(F.col("d") + F.col("w")).over(w_tot)
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("w")).over(w_prev), F.lit(0)
+            )
+        ).alias("n_risk"),
+    ).where(~((F.col("d") > 0) & (F.col("n_risk") == F.col("d"))))
+    sratio = (F.col("n_risk") - F.col("d")).cast("double") / F.col(
+        "n_risk"
+    ).cast("double")
+    terms = risk.select(
+        "flag",
+        "dur",
+        "d",
+        "w",
+        "n_risk",
+        F.when(F.col("d") > 0, det_ln_q(sratio, 9)).otherwise(F.lit(0)).alias(
+            "term_q"
+        ),
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return terms.select(
+        F.col("flag").alias("return_flag"),
+        F.col("dur").alias("transit_days"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.col("w").alias("n_censored"),
+        (F.sum("term_q").over(w_cum) / F.lit(1_000_000_000.0)).alias(
+            "log_survival"
+        ),
+    ).orderBy("return_flag", "transit_days")
+
+
+# ---------------------------------------------------------------------------
+# 15. Split-quality metrics (weighted Gini, information gain)
+# ---------------------------------------------------------------------------
+
+SPLIT_THRESHOLDS = (10, 20, 40, 80, 160)  # candidate n_tokens cuts
+
+
+def _split_quality_oracle() -> str:
+    from ..functions.detmath import sql_det_ln_steps
+    from .corpus import _SQL_TOKENS
+    from .text import STOPWORDS
+
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    th_values = ", ".join(f"({th})" for th in SPLIT_THRESHOLDS)
+    return f"""
+    WITH docs AS (
+      SELECT len({_SQL_TOKENS}) AS n_tok,
+             CASE WHEN len({_SQL_TOKENS}) >= 20
+                   AND 5 * len(list_filter({_SQL_TOKENS},
+                                           w -> w IN ({stop_in})))
+                       <= 3 * len({_SQL_TOKENS})
+                  THEN 1 ELSE 0 END AS label
+      FROM documents
+    ), th(threshold) AS (VALUES {th_values}),
+    conf AS (
+      SELECT th.threshold,
+             CAST(sum(CASE WHEN n_tok <= th.threshold AND label = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+             CAST(sum(CASE WHEN n_tok <= th.threshold AND label = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS l0,
+             CAST(sum(CASE WHEN n_tok > th.threshold AND label = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+             CAST(sum(CASE WHEN n_tok > th.threshold AND label = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r0
+      FROM docs CROSS JOIN th GROUP BY 1
+    ), sides AS (
+      SELECT threshold, 'L' AS side, l1 AS n1, l0 AS n0 FROM conf
+      UNION ALL
+      SELECT threshold, 'R', r1, r0 FROM conf
+      UNION ALL
+      SELECT threshold, 'P', l1 + r1, l0 + r0 FROM conf
+    ), sn AS (
+      SELECT *, n1 + n0 AS n FROM sides
+    ), pr AS (
+      SELECT *,
+             CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE) AS p1,
+             CAST(n0 AS DOUBLE) / CAST(n AS DOUBLE) AS p0
+      FROM sn WHERE n > 0
+    ), {sql_det_ln_steps('pr', 'p1', 'ln1', as_double=True)},
+    {sql_det_ln_steps('ln1_rel', 'p0', 'ln0', as_double=True)},
+    ent AS (
+      SELECT threshold, side, n,
+             CAST(floor(-(CASE WHEN n1 > 0 THEN p1 * ln1 ELSE 0.0 END
+                          + CASE WHEN n0 > 0 THEN p0 * ln0 ELSE 0.0 END)
+                        * 1000000000.0 + 0.5) AS BIGINT) AS h_q
+      FROM ln0_rel
+    ), wide AS (
+      SELECT c.threshold, c.l1, c.l0, c.r1, c.r0,
+             c.l1 + c.l0 AS n_l, c.r1 + c.r0 AS n_r,
+             c.l1 + c.l0 + c.r1 + c.r0 AS big_n,
+             coalesce(max(CASE WHEN e.side = 'L' THEN e.h_q END), 0) AS h_l,
+             coalesce(max(CASE WHEN e.side = 'R' THEN e.h_q END), 0) AS h_r,
+             max(CASE WHEN e.side = 'P' THEN e.h_q END) AS h_p
+      FROM conf c JOIN ent e ON e.threshold = c.threshold
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
+           CASE WHEN n_l = 0 OR n_r = 0 THEN
+             CAST(((2000000::HUGEINT
+                    * (big_n::HUGEINT * big_n
+                       - ((l1+r1)::HUGEINT * (l1+r1) + (l0+r0)::HUGEINT * (l0+r0)))
+                    + big_n::HUGEINT * big_n)
+                   // (2::HUGEINT * big_n * big_n)) AS BIGINT) / 1000000.0
+           ELSE
+             CAST(((2000000::HUGEINT
+                    * (n_r::HUGEINT * (n_l::HUGEINT * n_l
+                                       - (l1::HUGEINT * l1 + l0::HUGEINT * l0))
+                       + n_l::HUGEINT * (n_r::HUGEINT * n_r
+                                       - (r1::HUGEINT * r1 + r0::HUGEINT * r0)))
+                    + big_n::HUGEINT * n_l * n_r)
+                   // (2::HUGEINT * big_n * n_l * n_r)) AS BIGINT) / 1000000.0
+           END AS weighted_gini,
+           (h_p - CAST(((2::HUGEINT
+                         * (n_l::HUGEINT * h_l + n_r::HUGEINT * h_r)
+                         + big_n) // (2::HUGEINT * big_n)) AS BIGINT))
+             / 1000000000.0 AS info_gain_nats
+    FROM wide
+    ORDER BY threshold
+    """
+
+
+@register("ml_split_quality_metrics", oracle=_split_quality_oracle())
+def ml_split_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree split-quality scan: for each candidate token-count
+    threshold, the weighted Gini impurity and the information gain of
+    splitting the corpus against the rule-gate label — the metric pair
+    behind ``ml_decision_stump``'s argmax, exposed as a full profile
+    (the stump picks ONE split; this reports the whole candidate
+    ladder so the choice is auditable).
+
+    Exactness: the per-threshold confusion counts are one conditional
+    aggregate; weighted Gini reduces to a single integer ratio
+    [n_r(n_l^2 - s_l) + n_l(n_r^2 - s_r)] / (N n_l n_r) in
+    decimal/HUGEINT; entropies use the deterministic fixed-point ln on
+    correctly-rounded class fractions, quantized to 1e-9 per side, and
+    the n_l/N-weighted mix is an exact integer half-up ratio. An empty
+    side degrades to the parent Gini and zero gain by construction.
+
+    Scale: one document scan (token counts + gate), a 5-row broadcast
+    threshold cross, and 15 rows of scalar math. The label derivation
+    matches ml._scored_labeled's gate exactly (n >= 20 and stopword
+    ratio <= 0.6), so θ=20 dominating the gain column is the expected
+    self-consistency check.
+    """
+    from ..functions.detmath import det_ln_dbl
+    from ..functions.exact import round_big_int_ratio
+    from ..functions.textnorm import whitespace_tokens
+    from .text import STOPWORDS
+
+    t = Tables(spark, sf_dir)
+    toks = F.col("toks")
+    docs = t.documents.select(
+        whitespace_tokens(F.col("text")).alias("toks")
+    ).select(
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).alias("n_stop"),
+    ).select(
+        "n_tok",
+        F.when(
+            (F.col("n_tok") >= 20) & (5 * F.col("n_stop") <= 3 * F.col("n_tok")),
+            1,
+        )
+        .otherwise(0)
+        .alias("label"),
+    )
+    th = spark.createDataFrame(
+        [(int(x),) for x in SPLIT_THRESHOLDS], "threshold long"
+    )
+    left = F.col("n_tok") <= F.col("threshold")
+    pos = F.col("label") == 1
+    conf = (
+        docs.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(left & pos, 1).otherwise(0)).alias("l1"),
+            F.sum(F.when(left & ~pos, 1).otherwise(0)).alias("l0"),
+            F.sum(F.when(~left & pos, 1).otherwise(0)).alias("r1"),
+            F.sum(F.when(~left & ~pos, 1).otherwise(0)).alias("r0"),
+        )
+    )
+    sides = conf.select(
+        "threshold",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("L").alias("side"),
+                    F.col("l1").alias("n1"),
+                    F.col("l0").alias("n0"),
+                ),
+                F.struct(
+                    F.lit("R").alias("side"),
+                    F.col("r1").alias("n1"),
+                    F.col("r0").alias("n0"),
+                ),
+                F.struct(
+                    F.lit("P").alias("side"),
+                    (F.col("l1") + F.col("r1")).alias("n1"),
+                    (F.col("l0") + F.col("r0")).alias("n0"),
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        "threshold",
+        F.col("s.side").alias("side"),
+        F.col("s.n1").alias("n1"),
+        F.col("s.n0").alias("n0"),
+        (F.col("s.n1") + F.col("s.n0")).alias("n"),
+    ).where(F.col("n") > 0)
+    p1 = F.col("n1").cast("double") / F.col("n").cast("double")
+    p0 = F.col("n0").cast("double") / F.col("n").cast("double")
+    t1 = F.when(F.col("n1") > 0, p1 * det_ln_dbl(p1)).otherwise(F.lit(0.0))
+    t0 = F.when(F.col("n0") > 0, p0 * det_ln_dbl(p0)).otherwise(F.lit(0.0))
+    ent = sides.select(
+        "threshold",
+        "side",
+        F.floor(-(t1 + t0) * F.lit(1_000_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("h_q"),
+    )
+    wide = (
+        conf.join(ent, "threshold")
+        .groupBy("threshold", "l1", "l0", "r1", "r0")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("side") == "L", F.col("h_q"))), F.lit(0)
+            ).alias("h_l"),
+            F.coalesce(
+                F.max(F.when(F.col("side") == "R", F.col("h_q"))), F.lit(0)
+            ).alias("h_r"),
+            F.max(F.when(F.col("side") == "P", F.col("h_q"))).alias("h_p"),
+        )
+    )
+    l1, l0, r1, r0 = (F.col(x) for x in ("l1", "l0", "r1", "r0"))
+    n_l, n_r = l1 + l0, r1 + r0
+    big_n = n_l + n_r
+    s_l = _dec(l1) * _dec(l1) + _dec(l0) * _dec(l0)
+    s_r = _dec(r1) * _dec(r1) + _dec(r0) * _dec(r0)
+    s_p = (_dec(l1 + r1) * _dec(l1 + r1)
+           + _dec(l0 + r0) * _dec(l0 + r0))
+    gini_split = round_big_int_ratio(
+        _dec(n_r) * (_dec(n_l) * _dec(n_l) - s_l)
+        + _dec(n_l) * (_dec(n_r) * _dec(n_r) - s_r),
+        _dec(big_n) * _dec(n_l) * _dec(n_r),
+    )
+    gini_parent = round_big_int_ratio(
+        _dec(big_n) * _dec(big_n) - s_p, _dec(big_n) * _dec(big_n)
+    )
+    # n/N-weighted entropy mix, half-up on the exact integer ratio
+    wnum = _dec(n_l) * _dec(F.col("h_l")) + _dec(n_r) * _dec(F.col("h_r"))
+    a = F.lit(2).cast("decimal(38,0)") * wnum + _dec(big_n)
+    b = F.lit(2).cast("decimal(38,0)") * _dec(big_n)
+    h_mix_q = ((a - a % b) / b).cast("long")
+    return wide.select(
+        "threshold",
+        n_l.alias("n_left"),
+        n_r.alias("n_right"),
+        F.when((n_l == 0) | (n_r == 0), gini_parent)
+        .otherwise(gini_split)
+        .alias("weighted_gini"),
+        ((F.col("h_p") - h_mix_q) / F.lit(1_000_000_000.0)).alias(
+            "info_gain_nats"
+        ),
+    ).orderBy("threshold")
