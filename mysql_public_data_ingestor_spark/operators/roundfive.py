@@ -1013,7 +1013,10 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ROUNDS = 2
 
 
-def _lpa_oracle() -> str:
+def lpa_label_sql() -> tuple[str, str]:
+    """DuckDB CTE chain computing the 2-round LPA labels; returns
+    (sql_prefix, final_label_rel). Shared by the LPA community-size
+    query and the round-6 modularity audit (roundsix2)."""
     from .graph import _SQL_EDGES
 
     sql = _SQL_EDGES + """
@@ -1039,35 +1042,24 @@ def _lpa_oracle() -> str:
       ) WHERE rn = 1
     )"""
         prev = f"l{k}"
-    sql += f"""
+    return sql, prev
+
+
+def _lpa_oracle() -> str:
+    sql, prev = lpa_label_sql()
+    return sql + f"""
     SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes,
            CAST(min(node) AS BIGINT) AS min_node
     FROM {prev} GROUP BY label
     """
-    return sql
 
 
-@_queued("graph_label_propagation", oracle=_lpa_oracle())
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synchronous label propagation (2 fixed rounds) over the part
-    co-purchase graph: every node starts as its own community, then
-    repeatedly adopts its neighbors' plurality label (ties -> smallest
-    label, making each round a deterministic function of the graph) —
-    the classic near-linear community-detection primitive, here fully
-    declarative like the PageRank/k-means/GD siblings: no driver-side
-    labels, no RNG.
-
-    Scale: each round is one equi-join of the directed edge list
-    against the |V|-row label table (labels re-shuffle on node id;
-    edges reuse their partitioning) plus a per-(node, label) count and
-    an argmax-by-min(struct)-shaped rank — identical cost profile to
-    one PageRank iteration. The label table localCheckpoints between
-    rounds so round K is one join, not a K-deep recompute. Output is
-    per-community size, |V|-bounded.
-    """
+def lpa_labels(spark: SparkSession, t: Tables, sf_dir: str) -> DataFrame:
+    """Final (node, label) table of the 2-round synchronous LPA over
+    the co-purchase graph — the label loop shared by
+    ``graph_label_propagation`` and the round-6 modularity audit."""
     from .graph import edge_table
 
-    t = Tables(spark, sf_dir)
     edges = edge_table(spark, t, sf_dir)
     directed = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
@@ -1092,6 +1084,29 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.col("b.label").alias("label"))
             .localCheckpoint()
         )
+    return labels
+
+
+@_queued("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (2 fixed rounds) over the part
+    co-purchase graph: every node starts as its own community, then
+    repeatedly adopts its neighbors' plurality label (ties -> smallest
+    label, making each round a deterministic function of the graph) —
+    the classic near-linear community-detection primitive, here fully
+    declarative like the PageRank/k-means/GD siblings: no driver-side
+    labels, no RNG.
+
+    Scale: each round is one equi-join of the directed edge list
+    against the |V|-row label table (labels re-shuffle on node id;
+    edges reuse their partitioning) plus a per-(node, label) count and
+    an argmax-by-min(struct)-shaped rank — identical cost profile to
+    one PageRank iteration. The label table localCheckpoints between
+    rounds so round K is one join, not a K-deep recompute. Output is
+    per-community size, |V|-bounded.
+    """
+    t = Tables(spark, sf_dir)
+    labels = lpa_labels(spark, t, sf_dir)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.min("node").cast("long").alias("min_node"),

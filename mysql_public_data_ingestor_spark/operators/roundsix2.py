@@ -1575,3 +1575,616 @@ def ml_split_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "info_gain_nats"
         ),
     ).orderBy("threshold")
+
+
+# ---------------------------------------------------------------------------
+# 16. Modularity of the LPA communities
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    from .roundfive import lpa_label_sql
+
+    sql, lab = lpa_label_sql()
+    return sql + f"""
+    , deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY node
+    ), m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS m_edges FROM edges
+    ), intra AS (
+      SELECT CAST(count(*) AS HUGEINT) AS l_in
+      FROM edges e
+      JOIN {lab} lu ON lu.node = e.u
+      JOIN {lab} lv ON lv.node = e.v
+      WHERE lu.label = lv.label
+    ), dsq AS (
+      SELECT CAST(sum(dc * dc) AS HUGEINT) AS sum_d2
+      FROM (
+        SELECT l.label, CAST(sum(d.degree) AS HUGEINT) AS dc
+        FROM {lab} l JOIN deg d ON d.node = l.node
+        GROUP BY l.label
+      )
+    ), com AS (
+      SELECT CAST(count(DISTINCT label) AS BIGINT) AS n_communities
+      FROM {lab}
+    )
+    SELECT n_communities,
+           CAST(m.m_edges AS BIGINT) AS n_edges,
+           CAST(l_in AS BIGINT) AS intra_edges,
+           CAST(CASE WHEN (4::HUGEINT * m.m_edges * l_in - sum_d2) < 0
+             THEN -((2000000::HUGEINT
+                     * abs(4::HUGEINT * m.m_edges * l_in - sum_d2)
+                     + 4::HUGEINT * m.m_edges * m.m_edges)
+                    // (2::HUGEINT * 4 * m.m_edges * m.m_edges))
+             ELSE ((2000000::HUGEINT
+                     * (4::HUGEINT * m.m_edges * l_in - sum_d2)
+                     + 4::HUGEINT * m.m_edges * m.m_edges)
+                    // (2::HUGEINT * 4 * m.m_edges * m.m_edges))
+           END AS BIGINT) / 1000000.0 AS modularity
+    FROM com, m, intra, dsq
+    """
+
+
+@register("graph_modularity_lpa", oracle=_modularity_oracle())
+def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the 2-round LPA communities over the
+    co-purchase graph — the community-QUALITY audit the detection
+    query itself doesn't give you (``graph_label_propagation`` reports
+    sizes; Q says whether the partition beats the degree-preserving
+    random baseline).
+
+    Exactness: Q = (4m * L_in - sum_c D_c^2) / (4m^2) — intra-edge
+    count, per-community degree sums and m are exact integers, so Q is
+    ONE signed decimal-domain half-up ratio; no floats anywhere.
+
+    Scale: reuses the session-materialized edge table and the same
+    LPA label passes (localCheckpointed, one join deep); the quality
+    audit adds two label equi-joins (edge endpoints) and a
+    |communities|-row degree reduce — same cost class as one LPA
+    round.
+    """
+    from ..functions.exact import round_big_int_ratio
+    from .graph import edge_table
+    from .roundfive import lpa_labels
+
+    t = Tables(spark, sf_dir)
+    edges = edge_table(spark, t, sf_dir)
+    labels = lpa_labels(spark, t, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    m = edges.agg(F.count(F.lit(1)).alias("m_edges"))
+    lu = labels.select(F.col("node").alias("u"), F.col("label").alias("lab_u"))
+    lv = labels.select(F.col("node").alias("v"), F.col("label").alias("lab_v"))
+    intra = (
+        edges.join(lu, "u")
+        .join(lv, "v")
+        .where(F.col("lab_u") == F.col("lab_v"))
+        .agg(F.count(F.lit(1)).alias("l_in"))
+    )
+    dsq = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("degree").alias("dc"))
+        .agg(F.sum(_dec(F.col("dc")) * _dec(F.col("dc"))).alias("sum_d2"))
+    )
+    com = labels.agg(F.countDistinct("label").alias("n_communities"))
+    j = (
+        com.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(intra))
+        .crossJoin(F.broadcast(dsq))
+    )
+    me = _dec(F.col("m_edges"))
+    num = F.lit(4).cast("decimal(38,0)") * me * _dec(F.col("l_in")) - F.col(
+        "sum_d2"
+    )
+    den = F.lit(4).cast("decimal(38,0)") * me * me
+    return j.select(
+        "n_communities",
+        F.col("m_edges").alias("n_edges"),
+        F.col("l_in").alias("intra_edges"),
+        round_big_int_ratio(num, den).alias("modularity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 17. Per-node local clustering coefficient, top-k
+# ---------------------------------------------------------------------------
+
+LCC_MIN_DEGREE = 5
+LCC_TOPK = 20
+
+
+def _lcc_oracle() -> str:
+    from .graph import _SQL_EDGES
+
+    return _SQL_EDGES + f"""
+    , deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY node
+    ), orient AS (
+      SELECT CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.v ELSE e.u END AS t
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ), tris AS (
+      SELECT e1.s AS a, least(e1.t, e2.t) AS b, greatest(e1.t, e2.t) AS c
+      FROM orient e1 JOIN orient e2 ON e1.s = e2.s AND e1.t < e2.t
+      JOIN edges e ON least(e1.t, e2.t) = e.u AND greatest(e1.t, e2.t) = e.v
+    ), node_tri AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+      FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+      ) GROUP BY node
+    ), cc AS (
+      SELECT d.node, d.degree, coalesce(t.n_tri, 0) AS n_tri,
+             ((2000000::HUGEINT * 2 * coalesce(t.n_tri, 0)
+               + d.degree::HUGEINT * (d.degree - 1))
+              // (2::HUGEINT * d.degree * (d.degree - 1))) / 1000000.0
+               AS local_cc
+      FROM deg d LEFT JOIN node_tri t ON t.node = d.node
+      WHERE d.degree >= {LCC_MIN_DEGREE}
+    )
+    SELECT CAST(node AS BIGINT) AS node, degree, n_tri, local_cc
+    FROM cc
+    ORDER BY local_cc DESC, n_tri DESC, node
+    LIMIT {LCC_TOPK}
+    """
+
+
+@register("graph_local_clustering_topk", oracle=_lcc_oracle())
+def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{LCC_TOPK} nodes by LOCAL clustering coefficient (degree >=
+    {LCC_MIN_DEGREE}): per-node triangle membership over the
+    co-purchase graph, cc_v = 2T_v / (d_v (d_v - 1)) — the "how
+    clique-like is this product's neighborhood" ranking
+    (``graph_triangle_count`` reports the single global coefficient;
+    this attributes triangles to nodes).
+
+    Triangles enumerate once via the same degree-ordered wedge closure
+    as the global count (each triangle found at its unique low-degree
+    apex), then credit all three corners through a 3-way unpivot —
+    never a per-node neighborhood self-join. The ranking ties on
+    (coefficient, triangles, node id), a total order, and the
+    coefficient itself is an exact integer half-up ratio, so the
+    top-k cut is deterministic; the global sort resolves as a
+    TakeOrderedAndProject (per-partition heaps + driver merge of
+    {LCC_TOPK}-row tops), not a full sort.
+    """
+    from ..functions.exact import round_int_ratio
+    from .graph import edge_table
+
+    t = Tables(spark, sf_dir)
+    edges = edge_table(spark, t, sf_dir).persist()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    orient = (
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    e1 = orient.select("s", F.col("t").alias("t1"))
+    e2 = orient.select("s", F.col("t").alias("t2"))
+    tris = (
+        e1.join(e2, "s")
+        .where(F.col("t1") < F.col("t2"))
+        .join(
+            F.broadcast(edges),
+            (F.least("t1", "t2") == F.col("u"))
+            & (F.greatest("t1", "t2") == F.col("v")),
+        )
+        .select(
+            F.col("s").alias("a"),
+            F.least("t1", "t2").alias("b"),
+            F.greatest("t1", "t2").alias("c"),
+        )
+    )
+    node_tri = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    cc = (
+        deg.where(F.col("degree") >= LCC_MIN_DEGREE)
+        .join(node_tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+        )
+        .select(
+            "node",
+            "degree",
+            "n_tri",
+            round_int_ratio(
+                F.lit(2) * F.col("n_tri"),
+                F.col("degree") * (F.col("degree") - 1),
+            ).alias("local_cc"),
+        )
+    )
+    return cc.orderBy(
+        F.col("local_cc").desc(), F.col("n_tri").desc(), F.col("node")
+    ).limit(LCC_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# 18. Incremental decontamination of an incoming batch
+# ---------------------------------------------------------------------------
+
+
+def _incr_decon_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+    from .corpus import (
+        DECON_K,
+        TRAIN_CUT,
+        VAL_CUT,
+        _SQL_ID_HASH,
+        _SQL_TOKENS,
+    )
+
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, lang,
+             {_SQL_ID_HASH} % 100 AS b,
+             len({_SQL_TOKENS}) AS n_tok,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - {DECON_K - 1}, 0) + 1),
+               i -> ('0x' || substr(sha256(array_to_string(t[i:i+{DECON_K - 1}], ' ')),
+                                    1, 15))::BIGINT)) AS gs
+      FROM (SELECT doc_id, lang, text, {_SQL_TOKENS} AS t FROM documents)
+    ), vg AS (
+      SELECT DISTINCT unnest(gs) AS g
+      FROM grams WHERE b >= {TRAIN_CUT} AND b < {VAL_CUT}
+    ), incoming AS (
+      SELECT doc_id, lang, n_tok, gs FROM grams WHERE b >= {VAL_CUT}
+    ), contaminated AS (
+      SELECT DISTINCT i.doc_id
+      FROM (SELECT doc_id, unnest(gs) AS g FROM incoming) i
+      JOIN vg ON vg.g = i.g
+    ), flagged AS (
+      SELECT inc.lang, inc.n_tok,
+             CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS bad
+      FROM incoming inc LEFT JOIN contaminated c ON c.doc_id = inc.doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_incoming,
+           CAST(sum(bad) AS BIGINT) AS n_contaminated,
+           CAST(count(*) - sum(bad) AS BIGINT) AS n_admitted,
+           {sql_round_int_ratio('sum(bad)', 'count(*)')} AS contamination_rate,
+           CAST(sum(CASE WHEN bad = 0 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS admitted_tokens
+    FROM flagged GROUP BY lang
+    ORDER BY lang
+    """
+
+
+@register("corpus_incremental_decontamination", oracle=_incr_decon_oracle())
+def corpus_incremental_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Admission control for an INCOMING crawl batch (the held-back
+    hash band, b >= VAL_CUT): screen every new document's n-grams
+    against the frozen eval set's gram store and admit only clean
+    ones — the steady-state decontamination a production corpus runs
+    per ingest cycle, where the eval set is fixed and each new batch
+    is checked incrementally (``corpus_decontaminate_ngram_overlap``
+    is the one-shot full-corpus audit; this is its per-batch sibling,
+    pairing with ``dedup_incremental_new_docs`` the way VERDICT r5
+    sketched).
+
+    Scale: the val-gram store is a distinct 60-bit hash column —
+    at 100 TB it is the persisted side of the pipeline, re-derived
+    here only because the fixture is ephemeral; the probe is an
+    equi-join of the incoming batch's gram stream (~10% band) against
+    it, hash-only shuffles, then a left anti-style flag join back on
+    doc_id and a |langs|-row rollup.
+    """
+    from ..functions.exact import round_int_ratio
+    from ..functions.partitioning import cpu_repartition
+    from ..functions.textnorm import shingle_base_hash_udf, whitespace_tokens
+    from .corpus import DECON_K, TRAIN_CUT, VAL_CUT, _id_hash_bucket
+
+    t = Tables(spark, sf_dir)
+    bases_udf = shingle_base_hash_udf(DECON_K)
+    grams = (
+        cpu_repartition(t.documents, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            _id_hash_bucket().alias("b"),
+            F.size(whitespace_tokens(F.col("text"))).cast("long").alias("n_tok"),
+            bases_udf(F.col("text")).alias("gs"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    vg = (
+        grams.where((F.col("b") >= TRAIN_CUT) & (F.col("b") < VAL_CUT))
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    incoming = grams.where(F.col("b") >= VAL_CUT).select(
+        "doc_id", "lang", "n_tok", "gs"
+    )
+    contaminated = (
+        incoming.select("doc_id", F.explode("gs").alias("g"))
+        .join(vg, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(1).alias("bad"))
+    )
+    flagged = incoming.join(contaminated, "doc_id", "left").select(
+        "lang", "n_tok", F.coalesce(F.col("bad"), F.lit(0)).alias("bad")
+    )
+    agg = flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum("bad").alias("n_contaminated"),
+        F.sum(F.lit(1) - F.col("bad")).alias("n_admitted"),
+        F.sum(F.when(F.col("bad") == 0, F.col("n_tok")).otherwise(0)).alias(
+            "admitted_tokens"
+        ),
+    )
+    return agg.select(
+        "lang",
+        "n_incoming",
+        "n_contaminated",
+        "n_admitted",
+        round_int_ratio(F.col("n_contaminated"), F.col("n_incoming")).alias(
+            "contamination_rate"
+        ),
+        "admitted_tokens",
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# 19. IVF-PQ composed ANN search
+# ---------------------------------------------------------------------------
+
+IVFPQ_NPROBE = 2  # coarse cells probed per query
+
+
+def _ivfpq_oracle() -> str:
+    from .similarity import (
+        N_CENTROIDS,
+        PQ_CODEWORDS,
+        PQ_M,
+        PQ_PROBES,
+        PQ_SUBDIM,
+        PQ_TOPK,
+    )
+
+    subs = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] AS sv "
+        "FROM emb"
+        for m in range(PQ_M)
+    )
+    cbs = " UNION ALL ".join(
+        f"SELECT vec_id AS cid, {m} AS m, v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] AS cv "
+        f"FROM emb WHERE vec_id < {PQ_CODEWORDS}"
+        for m in range(PQ_M)
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS centroid_id, v AS cv FROM emb
+      WHERE vec_id < {N_CENTROIDS}
+    ), coarse AS (
+      SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY round(list_cosine_similarity(v, cv), 9) DESC,
+                                         centroid_id) AS rn
+      FROM emb, cent
+    ), cells AS (
+      SELECT vec_id, centroid_id AS cell FROM coarse WHERE rn = 1
+    ), probe_cells AS (
+      SELECT vec_id AS probe_id, centroid_id AS cell
+      FROM coarse WHERE vec_id < {PQ_PROBES} AND rn <= {IVFPQ_NPROBE}
+    ), sub AS ({subs}), cb AS ({cbs}),
+    dists AS (
+      SELECT s.vec_id, s.m, c.cid,
+             list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+                      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d2
+      FROM sub s JOIN cb c USING (m)
+    ), codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY round(d2, 9), cid) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), lut AS (
+      SELECT p.vec_id AS probe_id, p.m, c.cid,
+             CAST(floor(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+                      i -> (p.sv[i] - c.cv[i]) * (p.sv[i] - c.cv[i])))
+                  * 1000000.0 + 0.5) AS BIGINT) AS d2q
+      FROM (SELECT * FROM sub WHERE vec_id < {PQ_PROBES}) p
+      JOIN cb c USING (m)
+    ), cand AS (
+      SELECT pc.probe_id, cl.vec_id, pc.cell
+      FROM probe_cells pc JOIN cells cl ON cl.cell = pc.cell
+      WHERE cl.vec_id <> pc.probe_id
+    ), adc AS (
+      SELECT ca.probe_id, ca.vec_id, ca.cell,
+             CAST(sum(l.d2q) AS BIGINT) AS adc_micro
+      FROM cand ca
+      JOIN codes k ON k.vec_id = ca.vec_id
+      JOIN lut l ON l.probe_id = ca.probe_id AND l.m = k.m AND l.cid = k.cid
+      GROUP BY 1, 2, 3
+    )
+    SELECT probe_id, vec_id AS neighbor_id, cell, adc_micro, rnk FROM (
+      SELECT probe_id, vec_id, cell, adc_micro,
+             CAST(row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY adc_micro, vec_id) AS BIGINT) AS rnk
+      FROM adc
+    ) WHERE rnk <= {PQ_TOPK}
+    """
+
+
+@register("similarity_ivfpq_topk", oracle=_ivfpq_oracle())
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the full production ANN index shape — a coarse inverted
+    file (cells around N_CENTROIDS centroids, top-{IVFPQ_NPROBE}
+    probed per query) combined with product-quantized codes searched
+    by ADC table lookups inside the probed cells only. Composes
+    ``ann_ivf_topk``'s coarse quantizer with
+    ``similarity_pq_adc_topk``'s code search, exactly the VERDICT r5
+    follow-through.
+
+    The 100 TB shape: the scan side is the CODE TABLE (4 small ints
+    per vector) pre-partitioned by cell; a query touches nprobe cells'
+    code lists and sums M broadcast-LUT lookups per candidate — no
+    full-precision vectors at query time anywhere. Candidate volume =
+    nprobe/|cells| of the corpus instead of 1.0 (brute) — the recall/
+    fanout dial is (nprobe, |cells|); LUT distances are 1e-6-quantized
+    int64 so ADC sums and the per-probe top-k rank exactly.
+    """
+    from .similarity import (
+        N_CENTROIDS,
+        PQ_CODEWORDS,
+        PQ_M,
+        PQ_PROBES,
+        PQ_SUBDIM,
+        PQ_TOPK,
+    )
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    embn = emb.withColumn("nrm", norm)
+    centroids = embn.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    coarse = embn.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(dot / (F.col("nrm") * F.col("cn")), 9).alias("sim"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    ranked = coarse.withColumn("rn", F.row_number().over(w_assign))
+    cells = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("centroid_id").alias("cell")
+    )
+    probe_cells = ranked.filter(
+        (F.col("vec_id") < PQ_PROBES) & (F.col("rn") <= IVFPQ_NPROBE)
+    ).select(F.col("vec_id").alias("probe_id"), F.col("centroid_id").alias("cell"))
+
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    cb = (
+        emb.filter(F.col("vec_id") < PQ_CODEWORDS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                                "cv"
+                            ),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .select("cid", F.col("c.m").alias("m"), F.col("c.cv").alias("cv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "cid", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(
+                    F.round(F.col("d2"), 9).alias("d2r"), F.col("cid").alias("cid")
+                )
+            ).alias("b")
+        )
+        .select("vec_id", "m", F.col("b.cid").alias("cid"))
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < PQ_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), "m", "sv")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "probe_id",
+            "m",
+            "cid",
+            F.floor(d2 * F.lit(1e6) + F.lit(0.5)).cast("long").alias("d2q"),
+        )
+    )
+    cand = (
+        probe_cells.join(cells.withColumnRenamed("vec_id", "cand_id"), "cell")
+        .where(F.col("cand_id") != F.col("probe_id"))
+        .select("probe_id", F.col("cand_id").alias("vec_id"), "cell")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["probe_id", "m", "cid"])
+        .groupBy("probe_id", "vec_id", "cell")
+        .agg(F.sum("d2q").cast("long").alias("adc_micro"))
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_micro", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= PQ_TOPK)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            "adc_micro",
+            "rnk",
+        )
+    )
