@@ -166,6 +166,27 @@ HEADLINE = [
     "graph_degree_assortativity",
     "events_holt_linear_fit",
     "events_poisson_rate_test",
+    # round-7 backfill (VERDICT r6 item 3): the 19 roundsix2.py
+    # operators registered in round 6 with no wall-time record
+    "stats_hhi_supplier_concentration",
+    "stats_cramers_v_priority_status",
+    "stats_overdispersion_vmr",
+    "dq_completeness_profile",
+    "text_ttr_hapax_by_lang",
+    "events_interarrival_burstiness",
+    "ml_brier_score_by_lang",
+    "ml_mcc_threshold",
+    "ml_cohens_kappa_gates",
+    "ml_lift_deciles_by_lang",
+    "ml_score_ks_separation",
+    "stats_js_divergence_priority",
+    "stats_odds_ratio_woolf",
+    "stats_km_log_survival",
+    "ml_split_quality_metrics",
+    "graph_modularity_lpa",
+    "graph_local_clustering_topk",
+    "corpus_incremental_decontamination",
+    "similarity_ivfpq_topk",
 ]
 
 

@@ -523,16 +523,20 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("deg") >= KCORE_K)
             .select("node")
         )
-        # persist (lazy), not eager localCheckpoint: the three rounds'
-        # stats evaluate in ONE action over the unioned plan, with each
-        # round's edge set cached the first time the chain reaches it —
-        # eager per-round materialization + per-round counts was 9 jobs
-        # and 3.9s warm at sf0.1
+        # lazy localCheckpoint, not eager: the three rounds' stats
+        # evaluate in ONE action over the unioned plan, with each
+        # round's edge set materialized the first time the chain
+        # reaches it — eager per-round materialization + per-round
+        # counts was 9 jobs and 3.9s warm at sf0.1. Non-eager
+        # localCheckpoint (not .persist()) so the blocks are dropped by
+        # the ContextCleaner once the Python refs go away — a persist()
+        # here pinned 3 cached edge sets in executor storage for the
+        # rest of the session (ADVICE r6).
         cur = (
             cur.join(surv.select(F.col("node").alias("u")), "u")
             .join(surv.select(F.col("node").alias("v")), "v")
             .select("u", "v")
-            .persist()
+            .localCheckpoint(eager=False)
         )
         ends_r = cur.select(F.col("u").alias("node")).unionAll(
             cur.select(F.col("v").alias("node"))
@@ -933,14 +937,17 @@ def _dp_oracle() -> str:
 
 @register("privacy_dp_laplace_counts", oracle=_dp_oracle())
 def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-nation order counts with Laplace(1/eps) noise, eps = 0.5 —
-    the differential-privacy release primitive, made REPRODUCIBLE: the
-    noise is inverse-CDF Laplace driven by a portable hash of the
-    partition key instead of an RNG, so the "random" release is a pure
-    function of the data — re-runnable, auditable, and bit-identical
-    across engines (a seeded-noise pattern for DP pipelines that must
-    be replayed; the privacy guarantee then holds per-release, keyed by
-    the hash seed).
+    """Per-nation order counts with Laplace(1/eps)-SHAPED pseudo-noise,
+    eps = 0.5 — a reproducible DEMO of the DP release mechanism's
+    plumbing, NOT a differential-privacy guarantee: the noise is
+    inverse-CDF Laplace driven by a portable hash of the public
+    partition key with constants fixed in source, so anyone holding the
+    code can subtract it exactly and recover true_count (ADVICE r6). A
+    production release would derive the hash seed from a secret salt
+    held outside the code (the mechanism below is unchanged by that
+    substitution); what this query demonstrates — and what the oracle
+    verifies bit-for-bit — is the deterministic inverse-CDF transform
+    itself.
 
     The inverse CDF needs ln(1 - 2|u - 0.5|) — exactly what the
     deterministic fixed-point ln (functions/detmath.py) exists for: the

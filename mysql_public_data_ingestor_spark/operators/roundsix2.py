@@ -138,10 +138,11 @@ def _cramers_oracle() -> str:
       FROM cell c
     ), terms AS (
       SELECT m.pri, m.st,
-             ((2000000000::HUGEINT
-               * ((m.o * t.n - m.r * m.cc) * (m.o * t.n - m.r * m.cc))
-               + (t.n * m.r * m.cc))
-              // (2::HUGEINT * t.n * m.r * m.cc)) AS term_q
+             CAST(floor(
+               (CAST(m.o * t.n - m.r * m.cc AS DOUBLE)
+                * CAST(m.o * t.n - m.r * m.cc AS DOUBLE))
+               / CAST(t.n * m.r * m.cc AS DOUBLE)
+               * 1000000000.0 + 0.5) AS BIGINT) AS term_q
       FROM margins m CROSS JOIN tot t
     ), chi AS (
       SELECT CAST(sum(term_q) AS BIGINT) AS chi2_q FROM terms
@@ -167,14 +168,18 @@ def stats_cramers_v_priority_status(
     chi-square statistic itself grows with N; V is comparable across
     fixture scales).
 
-    Exactness: chi2 = sum over cells of (o*N - r*c)^2 / (N*r*c); each
-    cell term is quantized half-up at 1e-9 in decimal(38,0) (the
-    squared numerator reaches ~(N^2)^2 ~ 1e40 at 100 TB in raw form —
-    here products stay under 38 digits because o,r,c <= N and terms
-    divide through before summing), and the integer term sum is exact.
-    The final sqrt runs on a bit-identical double on both engines
-    (exact int / power-of-ten literal, one correctly-rounded divide
-    and sqrt).
+    Exactness: chi2 = sum over cells of (o*N - r*c)^2 / (N*r*c). The
+    numerator o*N - r*c (|.| <= N^2, exact in decimal(38,0)/HUGEINT up
+    to N ~ 1e12 orders) and the denominator N*r*c (<= N^3, 34 digits
+    at N ~ 1e11) are exact integers; the per-cell term is computed in
+    DOUBLE off those exact integers (square after the correctly-rounded
+    cast, so nothing overflows 38 digits — squaring in decimal would
+    reach ~N^4 ~ 1e44 and overflow, the round-6 draft's bug), quantized
+    half-up at 1e-9 to a bigint, and the integer term sum is exact.
+    Both engines evaluate the identical double expression tree on the
+    same exact inputs (decimal->double casts are correctly rounded on
+    both), so the quantized terms are bit-identical cross-engine. The
+    final sqrt runs on a bit-identical double on both engines.
 
     Scale: one groupBy over the 15-cell contingency; margins via
     windows over 15 rows; single-row output (final-aggregate
@@ -198,17 +203,20 @@ def stats_cramers_v_priority_status(
         F.sum("o").over(Window.partitionBy("st")).alias("cc"),
     )
     j = m.crossJoin(F.broadcast(tot))
-    num = _dec(F.col("o")) * _dec(F.col("n")) - _dec(F.col("r")) * _dec(
-        F.col("cc")
-    )
-    den = _dec(F.col("n")) * _dec(F.col("r")) * _dec(F.col("cc"))
-    a = F.lit(2_000_000_000).cast("decimal(38,0)") * num * num + den
-    b = F.lit(2).cast("decimal(38,0)") * den
+    num = (
+        _dec(F.col("o")) * _dec(F.col("n"))
+        - _dec(F.col("r")) * _dec(F.col("cc"))
+    ).cast("double")
+    den = (
+        _dec(F.col("n")) * _dec(F.col("r")) * _dec(F.col("cc"))
+    ).cast("double")
     terms = j.select(
         "n",
         "k_r",
         "k_c",
-        ((a - a % b) / b).cast("long").alias("term_q"),
+        F.floor(num * num / den * F.lit(1_000_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("term_q"),
     )
     chi = terms.groupBy("n", "k_r", "k_c").agg(
         F.sum("term_q").alias("chi2_q")
@@ -1764,7 +1772,11 @@ def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import edge_table
 
     t = Tables(spark, sf_dir)
-    edges = edge_table(spark, t, sf_dir).persist()
+    # feeds degree + orientation + closure probe; non-eager
+    # localCheckpoint (not .persist(), which leaked pinned storage for
+    # the session — ADVICE r6) materializes once in the single action
+    # and is ContextCleaner-collected afterwards
+    edges = edge_table(spark, t, sf_dir).localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))

@@ -52,46 +52,34 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # remaining queries keep registration order behind them and stay covered
 # by the identical local gate (tools/check_correctness.py).
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # Round-6 window. CORRECTNESS_r05 again drained the backlog to ZERO
-    # (49/50 hash-green + 1 by-design rows-only), so this round's window
-    # is: the four queries whose OUTPUT SEMANTICS changed in round 5
-    # (sigmoid->softsign classifier rework) and whose round-4 evidence
-    # is therefore stale (ADVICE r5 medium; see _EVIDENCE_MIN_ROUND) —
-    # followed automatically by every newly registered round-6 query
-    # (auto-unverified names sort after this manual list, in
-    # registration order). 4 + new <= 50 keeps everything inside the
-    # driver's evaluation window.
-    "text_quality_classifier_score",
-    "ml_auc_by_lang",
-    "ml_calibration_curve",
-    "pipeline_corpus_prep_full",
-    # round-6 deterministic-ln conversions (functions/detmath.py): the
-    # quantized log values can differ from the libm ones in the last
-    # digit, so prior evidence is stale
-    "text_token_entropy",
-    "text_lm_cross_entropy",
-    "text_pmi_cooccurrence",
-    "dq_psi_value_drift",
+    # Round-7 window. CORRECTNESS_r06 drained the backlog to ZERO
+    # (50/50 green), so this round's window is: the one query whose
+    # OUTPUT VALUES may have changed this round (the Cramér's V cell
+    # term moved from staged-exact decimal division to
+    # double-off-exact-integers to fix a decimal(38,0) overflow at
+    # N >~ 1e8 orders — identical on both engines, but quantized terms
+    # one ULP from a half-up boundary can land differently than the
+    # exact division did), followed automatically by every newly
+    # registered round-7 query (auto-unverified names sort after this
+    # manual list, in registration order).
+    # Budget: len(this list) + new round-7 registrations <= 50 keeps
+    # everything inside the driver's evaluation window
+    # (tests/test_entry.py asserts it).
+    "stats_cramers_v_priority_status",
 ]
 
 # Evidence invalidation (ADVICE r5 medium): when a verified query's
 # output semantics change in round N, prior rounds' hash_match rows are
 # stale — only evidence from CORRECTNESS_r{>=N}.json counts for it.
-# Names auto-clear once fresh evidence lands (the entry is then inert;
-# prune opportunistically).
+# Authoring rule: ANY change to a verified query's output values adds
+# an entry here (and a _DRIVER_WINDOW_PRIORITY slot) in the SAME
+# commit. Names auto-clear once fresh evidence lands; prune inert
+# entries at the start of the next round (round-6's eight entries all
+# collected CORRECTNESS_r06 evidence and were pruned in round 7).
 _EVIDENCE_MIN_ROUND: dict[str, int] = {
-    # round 5 replaced sigmoid with softsign in the classifier family;
-    # these four verified queries' values changed without re-windowing.
-    "text_quality_classifier_score": 6,
-    "ml_auc_by_lang": 6,
-    "ml_calibration_curve": 6,
-    "pipeline_corpus_prep_full": 6,
-    # round 6 converted the 1e6/1e9-quantized ln sites to the
-    # deterministic fixed-point ln (functions/detmath.py)
-    "text_token_entropy": 6,
-    "text_lm_cross_entropy": 6,
-    "text_pmi_cooccurrence": 6,
-    "dq_psi_value_drift": 6,
+    # round 7 rebuilt the Cramér's V per-cell chi-square term in double
+    # off the exact integer margins (overflow fix, ADVICE r6 medium).
+    "stats_cramers_v_priority_status": 7,
 }
 
 

@@ -20,9 +20,29 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
+import time
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Directory-name shape of every table this module manages: a family
+# prefix plus the 12-hex fixture_tag. GC only ever touches names
+# matching this pattern — user tables in a shared warehouse are
+# untouchable by construction.
+_MANAGED_NAME = re.compile(r"^[a-z][a-z0-9_]*_[0-9a-f]{12}$")
+
+# Age before a foreign managed directory is considered dead. The tag
+# embeds the application id, so another LIVE session's tables have
+# names this session will never generate; the TTL exists only to avoid
+# racing a concurrent same-host run that is still reading its own
+# tables. Longest observed legitimate session is the ~25 min sf0.1
+# full-registry gate, so 2 h is conservative.
+_GC_TTL_S = int(os.environ.get("SPARK_GRAFT_WAREHOUSE_GC_TTL", "7200"))
+
+# Table names created by THIS session (never GC-eligible).
+_SESSION_TABLES: set[str] = set()
+_GC_DONE = False
 
 
 def fixture_tag(spark: SparkSession, sf_dir: str, files: Sequence[str]) -> str:
@@ -53,6 +73,42 @@ def drop_orphan_location(spark: SparkSession, table: str) -> None:
         shutil.rmtree(path)
 
 
+def _warehouse_root(spark: SparkSession) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    return warehouse.removeprefix("file:")
+
+
+def gc_stale_tables(spark: SparkSession, now: float | None = None) -> list[str]:
+    """Remove managed-table directories left behind by DEAD sessions
+    (ADVICE r6: app-id-fingerprinted names mean no session ever reuses
+    another's directories, so they accumulate unboundedly). A directory
+    is reclaimed when (a) its name matches the managed pattern, (b) this
+    session did not create it, and (c) it has not been modified for
+    ``_GC_TTL_S`` — a concurrently live session's tables are younger
+    than the TTL for as long as that session can still be reading them.
+    Deletion failures surface loudly (a half-deleted location must not
+    be silently readable). Returns the removed names; called once per
+    session from ensure_table, and directly testable with ``now``."""
+    import shutil
+
+    root = _warehouse_root(spark)
+    removed: list[str] = []
+    if not os.path.isdir(root):
+        return removed
+    t = time.time() if now is None else now
+    for entry in os.listdir(root):
+        path = os.path.join(root, entry)
+        if (
+            _MANAGED_NAME.match(entry)
+            and entry not in _SESSION_TABLES
+            and os.path.isdir(path)
+            and t - os.path.getmtime(path) > _GC_TTL_S
+        ):
+            shutil.rmtree(path)
+            removed.append(entry)
+    return removed
+
+
 def ensure_table(
     spark: SparkSession,
     name: str,
@@ -63,6 +119,11 @@ def ensure_table(
 ) -> DataFrame:
     """Materialize ``build()`` as warehouse table ``name`` once per
     session; return a reader DataFrame over it."""
+    global _GC_DONE
+    _SESSION_TABLES.add(name)
+    if not _GC_DONE:
+        _GC_DONE = True
+        gc_stale_tables(spark)
     if not spark.catalog.tableExists(name):
         drop_orphan_location(spark, name)
         writer = build().write.mode("overwrite")

@@ -90,3 +90,43 @@ def test_registered_bucketed_latency_join_no_join_side_shuffle(spark, sf_dir):
         assert count_exchanges(df) <= 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_warehouse_gc_reclaims_only_dead_foreign_tables(spark, tmp_path, monkeypatch):
+    """ADVICE r6: app-id-fingerprinted table names mean no session ever
+    reuses (or cleans) another session's warehouse directories — they
+    accumulate forever. gc_stale_tables must remove managed-pattern
+    directories that are (a) foreign to this session AND (b) older than
+    the TTL, and must never touch this session's own tables, young
+    foreign tables, or non-managed names."""
+    import os
+    import time
+
+    from mysql_public_data_ingestor_spark import warehouse
+
+    root = warehouse._warehouse_root(spark)
+    os.makedirs(root, exist_ok=True)
+
+    old_foreign = os.path.join(root, "bkt_lineitem_aaaaaaaaaaaa")
+    young_foreign = os.path.join(root, "graph_edges_bbbbbbbbbbbb")
+    ours = os.path.join(root, "bkt_orders_cccccccccccc")
+    unmanaged = os.path.join(root, "user_table")  # no 12-hex tag suffix
+    for d in (old_foreign, young_foreign, ours, unmanaged):
+        os.makedirs(d, exist_ok=True)
+    monkeypatch.setattr(
+        warehouse, "_SESSION_TABLES", {"bkt_orders_cccccccccccc"}
+    )
+    now = time.time()
+    for d in (young_foreign, ours, unmanaged):
+        os.utime(d, (now, now))
+    os.utime(old_foreign, (now - warehouse._GC_TTL_S - 60,) * 2)
+
+    removed = warehouse.gc_stale_tables(spark, now=now)
+
+    assert removed == ["bkt_lineitem_aaaaaaaaaaaa"]
+    assert not os.path.exists(old_foreign)
+    assert os.path.exists(young_foreign)
+    assert os.path.exists(ours)
+    assert os.path.exists(unmanaged)
+    for d in (young_foreign, ours, unmanaged):
+        os.rmdir(d)

@@ -125,3 +125,32 @@ def test_r4_window_covers_entire_backlog():
         f"50-slot driver window: {stranded} — either too many new "
         f"registrations this round or the priority list regressed"
     )
+
+
+def test_stale_evidence_names_sort_into_window_head(monkeypatch):
+    """Evidence invalidation contract (ADVICE r5 medium, VERDICT r6
+    item 6): marking a verified query stale via _EVIDENCE_MIN_ROUND
+    must push it back into the unverified head of all_queries() — in
+    front of every still-verified query — so the driver's 50-slot
+    window re-checks it next round. Simulated with a min-round beyond
+    any existing artifact, so the test is independent of which rounds'
+    CORRECTNESS files exist."""
+    from mysql_public_data_ingestor_spark import registry
+    from mysql_public_data_ingestor_spark.registry import all_queries
+
+    hash_verified, _ = registry._verified_names()
+    candidates = [n for n in hash_verified if n in registry._REGISTRY]
+    if not candidates:
+        import pytest
+
+        pytest.skip("no hash-verified queries to invalidate")
+    victim = sorted(candidates)[0]
+    monkeypatch.setattr(
+        registry, "_EVIDENCE_MIN_ROUND", {victim: 10_000}, raising=True
+    )
+    names = list(all_queries())
+    still_verified = [
+        n for n in hash_verified if n in names and n != victim
+    ]
+    assert still_verified, "need at least two verified queries"
+    assert names.index(victim) < min(names.index(n) for n in still_verified)
