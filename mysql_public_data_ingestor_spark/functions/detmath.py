@@ -53,6 +53,34 @@ def _c(dp: int) -> float:
     return math.log(2.0) * (10.0**dp) / float(_SCALE)
 
 
+# The 40-element fold-step array is a CONSTANT, but building it with 40
+# F.struct(F.lit(...)) calls costs ~0.4 s of py4j round trips PER
+# det_ln construction — measured as the dominant share of the round-6
+# det-ln bench regressions (dq_psi_value_drift, pipeline_corpus_prep_
+# full: plan BUILD time, not execution). One F.expr() call parses the
+# whole literal server-side; the resulting immutable expression tree is
+# reused across queries, keyed by application id so a restarted JVM
+# never sees a stale py4j handle.
+_ELEMS_CACHE: dict[str, Column] = {}
+
+
+def _elems() -> Column:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = sc.applicationId if sc is not None else "none"
+    col = _ELEMS_CACHE.get(key)
+    if col is None:
+        parts = [
+            f"named_struct('p', {float(2 ** s)!r}D, 's', {s}L)"
+            for s in _SHIFTS
+        ] + ["named_struct('p', 0.0D, 's', 0L)"] * _B
+        col = F.expr("array(" + ",".join(parts) + ")")
+        _ELEMS_CACHE.clear()  # one live application at a time
+        _ELEMS_CACHE[key] = col
+    return col
+
+
 def det_ln_fix(x: Column) -> Column:
     """L = floor-ish fixed-point log2(x) * 2^30 as int64, deterministic
     across engines. Null for x <= 0 / null.
@@ -62,16 +90,7 @@ def det_ln_fix(x: Column) -> Column:
     ``finish`` lambda into the int64 — so the fold is evaluated exactly
     once per row (the two-fold formulation re-ran the normalization
     fold for each field referenced, measured ~2x the per-row cost)."""
-    elems = F.array(
-        *[
-            F.struct(F.lit(float(2**s)).alias("p"), F.lit(s).cast("long").alias("s"))
-            for s in _SHIFTS
-        ],
-        *[
-            F.struct(F.lit(0.0).alias("p"), F.lit(0).cast("long").alias("s"))
-            for _ in range(_B)
-        ],
-    )
+    elems = _elems()
     init = F.struct(
         x.cast("double").alias("m"),
         F.lit(0).cast("long").alias("e"),
