@@ -557,9 +557,23 @@ LOGIT_STEPS = 3
 # lr = 0.5 expressed as an integer halving of the micro-unit gradient sum
 
 
+def logit_cte_chain() -> tuple[list[str], str, str]:
+    """The GD loop as an unrolled CTE list, plus scalar-subquery refs to
+    the FINAL step's micro-weights — shared by the ``stats_logistic_gd``
+    oracle and the round-7 diagnostics (deviance, Hosmer-Lemeshow) that
+    score with the trained weights."""
+    ctes, prev_w0, prev_w1, _ = _logit_parts()
+    return ctes, prev_w0, prev_w1
+
+
 def _logit_oracle() -> str:
     """Unrolled-CTE twin of the GD loop: identical per-step quantized
     integer weight updates, so every step's weights hash-match."""
+    ctes, _, _, selects = _logit_parts()
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+def _logit_parts() -> tuple[list[str], str, str, list[str]]:
     x = "CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000000.0"
     y = "CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END"
     ctes = ["base AS (SELECT " + x + " AS x, " + y + " AS y FROM orders)"]
@@ -586,7 +600,7 @@ def _logit_oracle() -> str:
         selects.append(
             f"SELECT CAST({k} AS BIGINT) AS step, w0q AS w0_micro, w1q AS w1_micro FROM w{k}"
         )
-    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+    return ctes, prev_w0, prev_w1, selects
 
 
 @_queued("stats_logistic_gd", oracle=_logit_oracle())
