@@ -531,12 +531,16 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpoint (not .persist()) so the blocks are dropped by
         # the ContextCleaner once the Python refs go away — a persist()
         # here pinned 3 cached edge sets in executor storage for the
-        # rest of the session (ADVICE r6).
-        cur = (
+        # rest of the session (ADVICE r6). iter_checkpoint gates the
+        # executor-loss caveat (ADVICE r7): SPARK_GRAFT_ITER_PERSIST=1
+        # restores the recomputable persist path for clusters with
+        # dynamic allocation.
+        from ..functions.partitioning import iter_checkpoint
+
+        cur = iter_checkpoint(
             cur.join(surv.select(F.col("node").alias("u")), "u")
             .join(surv.select(F.col("node").alias("v")), "v")
             .select("u", "v")
-            .localCheckpoint(eager=False)
         )
         ends_r = cur.select(F.col("u").alias("node")).unionAll(
             cur.select(F.col("v").alias("node"))
@@ -1927,6 +1931,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers. Scale: degree join + one partial-aggregated sum, no
     shuffle beyond the degree aggregation.
     """
+    from ..functions.partitioning import gated_broadcast
     from .graph import _degrees, edge_table
 
     t = Tables(spark, sf_dir)
@@ -1934,7 +1939,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = _degrees(edges)
     du = deg.select(F.col("node").alias("u"), F.col("degree").alias("xd"))
     dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("yd"))
-    j = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    j = edges.join(gated_broadcast(du), "u").join(gated_broadcast(dv), "v")
     dirs = j.select(F.col("xd").alias("x"), F.col("yd").alias("y")).unionAll(
         j.select(F.col("yd").alias("x"), F.col("xd").alias("y"))
     )

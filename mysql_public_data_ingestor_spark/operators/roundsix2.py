@@ -1758,10 +1758,13 @@ def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``graph_triangle_count`` reports the single global coefficient;
     this attributes triangles to nodes).
 
-    Triangles enumerate once via the same degree-ordered wedge closure
-    as the global count (each triangle found at its unique low-degree
-    apex), then credit all three corners through a 3-way unpivot —
-    never a per-node neighborhood self-join. The ranking ties on
+    Triangles come from the session-shared ``graph.triangle_table``
+    (the same degree-ordered wedge closure the global count uses —
+    each triangle found once at its unique low-degree apex; VERDICT r7
+    item 3: the two queries used to run the enumeration twice, and a
+    per-construction localCheckpoint here defeated warm runs), then
+    credit all three corners through a 3-way unpivot — never a
+    per-node neighborhood self-join. The ranking ties on
     (coefficient, triangles, node id), a total order, and the
     coefficient itself is an exact integer half-up ratio, so the
     top-k cut is deterministic; the global sort resolves as a
@@ -1769,49 +1772,17 @@ def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     {LCC_TOPK}-row tops), not a full sort.
     """
     from ..functions.exact import round_int_ratio
-    from .graph import edge_table
+    from .graph import edge_table, triangle_table
 
     t = Tables(spark, sf_dir)
-    # feeds degree + orientation + closure probe; non-eager
-    # localCheckpoint (not .persist(), which leaked pinned storage for
-    # the session — ADVICE r6) materializes once in the single action
-    # and is ContextCleaner-collected afterwards
-    edges = edge_table(spark, t, sf_dir).localCheckpoint(eager=False)
+    edges = edge_table(spark, t, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
-    lower_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    orient = (
-        edges.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
-        .select(
-            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-        )
-    )
-    e1 = orient.select("s", F.col("t").alias("t1"))
-    e2 = orient.select("s", F.col("t").alias("t2"))
-    tris = (
-        e1.join(e2, "s")
-        .where(F.col("t1") < F.col("t2"))
-        .join(
-            F.broadcast(edges),
-            (F.least("t1", "t2") == F.col("u"))
-            & (F.greatest("t1", "t2") == F.col("v")),
-        )
-        .select(
-            F.col("s").alias("a"),
-            F.least("t1", "t2").alias("b"),
-            F.greatest("t1", "t2").alias("c"),
-        )
-    )
+    tris = triangle_table(spark, t, sf_dir)
     node_tri = (
         tris.select(F.col("a").alias("node"))
         .unionAll(tris.select(F.col("b").alias("node")))
@@ -1915,22 +1886,23 @@ def corpus_incremental_decontamination(
     doc_id and a |langs|-row rollup.
     """
     from ..functions.exact import round_int_ratio
-    from ..functions.partitioning import cpu_repartition
+    from ..functions.partitioning import cpu_repartition, iter_checkpoint
     from ..functions.textnorm import shingle_base_hash_udf, whitespace_tokens
     from .corpus import DECON_K, TRAIN_CUT, VAL_CUT, _id_hash_bucket
 
     t = Tables(spark, sf_dir)
     bases_udf = shingle_base_hash_udf(DECON_K)
-    grams = (
-        cpu_repartition(t.documents, "doc_id")
-        .select(
+    # iter_checkpoint: one materialization of the shingled stream feeds
+    # both the store and the probe; SPARK_GRAFT_ITER_PERSIST=1 restores
+    # the recomputable persist path under executor churn (ADVICE r7)
+    grams = iter_checkpoint(
+        cpu_repartition(t.documents, "doc_id").select(
             "doc_id",
             "lang",
             _id_hash_bucket().alias("b"),
             F.size(whitespace_tokens(F.col("text"))).cast("long").alias("n_tok"),
             bases_udf(F.col("text")).alias("gs"),
         )
-        .localCheckpoint(eager=False)
     )
     vg = (
         grams.where((F.col("b") >= TRAIN_CUT) & (F.col("b") < VAL_CUT))

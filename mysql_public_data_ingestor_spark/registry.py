@@ -52,20 +52,23 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # remaining queries keep registration order behind them and stay covered
 # by the identical local gate (tools/check_correctness.py).
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # Round-7 window. CORRECTNESS_r06 drained the backlog to ZERO
-    # (50/50 green), so this round's window is: the one query whose
-    # OUTPUT VALUES may have changed this round (the Cramér's V cell
-    # term moved from staged-exact decimal division to
-    # double-off-exact-integers to fix a decimal(38,0) overflow at
-    # N >~ 1e8 orders — identical on both engines, but quantized terms
-    # one ULP from a half-up boundary can land differently than the
-    # exact division did), followed automatically by every newly
-    # registered round-7 query (auto-unverified names sort after this
-    # manual list, in registration order).
-    # Budget: len(this list) + new round-7 registrations <= 50 keeps
+    # Round-8 window. CORRECTNESS_r07 came back 50/50 green (round-7's
+    # Cramér's V re-verification included — its r7 entries are pruned
+    # per the authoring rule), so the backlog is ZERO. This round's
+    # manual head: the two triangle-closure queries whose PLANS changed
+    # (the enumeration moved into the shared warehouse
+    # ``graph.triangle_table`` and the broadcast hints became
+    # cardinality-gated — VERDICT r7 items 3-4). Output values are
+    # byte-identical by construction (verified vs oracle at sf0.01/
+    # sf0.1 locally), but VERDICT r7 item 3 routes the plan change
+    # through the evidence gate anyway. Newly registered round-8
+    # queries follow automatically (auto-unverified names sort after
+    # this manual list, in registration order).
+    # Budget: len(this list) + new round-8 registrations <= 50 keeps
     # everything inside the driver's evaluation window
     # (tests/test_entry.py asserts it).
-    "stats_cramers_v_priority_status",
+    "graph_triangle_count",
+    "graph_local_clustering_topk",
 ]
 
 # Evidence invalidation (ADVICE r5 medium): when a verified query's
@@ -77,9 +80,12 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
 # entries at the start of the next round (round-6's eight entries all
 # collected CORRECTNESS_r06 evidence and were pruned in round 7).
 _EVIDENCE_MIN_ROUND: dict[str, int] = {
-    # round 7 rebuilt the Cramér's V per-cell chi-square term in double
-    # off the exact integer margins (overflow fix, ADVICE r6 medium).
-    "stats_cramers_v_priority_status": 7,
+    # round 8 moved the triangle enumeration into the shared warehouse
+    # triangle_table and cardinality-gated the edge/degree broadcast
+    # hints (VERDICT r7 items 3-4). Pure plan change — values verified
+    # identical locally — but routed through the gate per VERDICT r7.
+    "graph_triangle_count": 8,
+    "graph_local_clustering_topk": 8,
 }
 
 

@@ -84,12 +84,19 @@ def gc_stale_tables(spark: SparkSession, now: float | None = None) -> list[str]:
     another's directories, so they accumulate unboundedly). A directory
     is reclaimed when (a) its name matches the managed pattern, (b) this
     session did not create it, and (c) it has not been modified for
-    ``_GC_TTL_S`` — a concurrently live session's tables are younger
-    than the TTL for as long as that session can still be reading them.
-    Deletion failures surface loudly (a half-deleted location must not
-    be silently readable). Returns the removed names; called once per
-    session from ensure_table, and directly testable with ``now``."""
+    ``_GC_TTL_S``. Reads alone would not refresh a directory's mtime
+    (ADVICE r7: a live session running past the TTL would see its own
+    tables reclaimed by a newly started session), so ``ensure_table`` —
+    the only read path for managed tables — touches the directory on
+    every call, keeping any table a live session can still reach
+    younger than the TTL. Per-entry deletion failures (e.g. EACCES on
+    a foreign leftover) warn and continue — garbage this session does
+    not need must not fail this session's query (ADVICE r7; this
+    session's OWN orphan locations still fail loudly in
+    ``drop_orphan_location``). Returns the removed names; called once
+    per session from ensure_table, and directly testable with ``now``."""
     import shutil
+    import warnings
 
     root = _warehouse_root(spark)
     removed: list[str] = []
@@ -104,7 +111,13 @@ def gc_stale_tables(spark: SparkSession, now: float | None = None) -> list[str]:
             and os.path.isdir(path)
             and t - os.path.getmtime(path) > _GC_TTL_S
         ):
-            shutil.rmtree(path)
+            try:
+                shutil.rmtree(path)
+            except OSError as exc:
+                warnings.warn(
+                    f"warehouse GC: could not remove stale table dir {path}: {exc}"
+                )
+                continue
             removed.append(entry)
     return removed
 
@@ -132,4 +145,12 @@ def ensure_table(
             if sort_by:
                 writer = writer.sortBy(*sort_by)
         writer.saveAsTable(name)
+    # Liveness heartbeat (ADVICE r7): reads do not refresh dir mtime,
+    # so touch the directory on every access — every consumer reaches
+    # a managed table through this function, keeping a live session's
+    # tables younger than the GC TTL for as long as it can read them.
+    try:
+        os.utime(os.path.join(_warehouse_root(spark), name), None)
+    except OSError:
+        pass
     return spark.table(name)

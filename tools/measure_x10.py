@@ -1,0 +1,108 @@
+"""×10 scale-up measurement for a named set of registered queries.
+
+The pre-registration evidence loop (SCALE.md §5d recipe): every query
+runs min-of-2 warm at the base fixture (sf0.1) and at the ×10 replica
+(tools/make_scale_fixture.py), on the same session/host, with the
+noop sink forcing full materialization. Super-unit ratios (>2× the 10×
+data growth would explain sub-linearly) get flagged for a written
+explanation in SCALE.md.
+
+Usage:
+  python tools/measure_x10.py out.json name1 name2 ...
+  python tools/measure_x10.py out.json @round6      # the 37 r6 ops
+Env: SPARK_GRAFT_BASE_SF (default /root/testdata/sf0.1),
+     SPARK_GRAFT_X10_SF (default /tmp/sf1.0).
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mysql_public_data_ingestor_spark.registry import all_queries
+from mysql_public_data_ingestor_spark.session import get_spark
+
+ROUND6 = [
+    "stats_ks_two_sample", "stats_wilson_ci_by_nation",
+    "privacy_t_closeness_audit", "events_acf_daily_lags",
+    "graph_kcore_membership", "stats_theil_sen_trend",
+    "stats_spearman_corr", "ml_ndcg_by_lang", "privacy_dp_laplace_counts",
+    "text_zipf_fit", "stats_changepoint_binseg", "ml_pr_auc_by_lang",
+    "ml_naive_bayes_langid", "ml_decision_stump", "stats_kendall_tau_b",
+    "graph_degree_assortativity", "events_holt_linear_fit",
+    "events_poisson_rate_test", "stats_hhi_supplier_concentration",
+    "stats_cramers_v_priority_status", "stats_overdispersion_vmr",
+    "dq_completeness_profile", "text_ttr_hapax_by_lang",
+    "events_interarrival_burstiness", "ml_brier_score_by_lang",
+    "ml_mcc_threshold", "ml_cohens_kappa_gates", "ml_lift_deciles_by_lang",
+    "ml_score_ks_separation", "stats_js_divergence_priority",
+    "stats_odds_ratio_woolf", "stats_km_log_survival",
+    "ml_split_quality_metrics", "graph_modularity_lpa",
+    "graph_local_clustering_topk", "corpus_incremental_decontamination",
+    "similarity_ivfpq_topk",
+]
+
+PRESETS = {"round6": ROUND6}
+
+
+def main() -> int:
+    out_path = sys.argv[1]
+    names: list[str] = []
+    for a in sys.argv[2:]:
+        names.extend(PRESETS[a[1:]] if a.startswith("@") else [a])
+    base = os.environ.get("SPARK_GRAFT_BASE_SF", "/root/testdata/sf0.1")
+    x10 = os.environ.get("SPARK_GRAFT_X10_SF", "/tmp/sf1.0")
+    spark = get_spark("measure_x10")
+    specs = all_queries()
+    missing = [n for n in names if n not in specs]
+    if missing:
+        print(f"unknown queries: {missing}", file=sys.stderr)
+        return 2
+
+    results: dict[str, dict] = {}
+    for sf_dir, key in ((base, "base"), (x10, "x10")):
+        # JVM/footer warmup per fixture
+        spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        for name in names:
+            runs = []
+            for _ in range(2):
+                gc.collect()
+                t0 = time.time()
+                specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.time() - t0)
+            rec = results.setdefault(name, {})
+            rec[key] = round(min(runs), 3)
+            rec[key + "_cold"] = round(runs[0], 3)
+            print(
+                f"[x10] {key} {name}: cold {runs[0]:.2f}s min {min(runs):.2f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+    for name, rec in results.items():
+        rec["ratio"] = round(rec["x10"] / rec["base"], 2) if rec["base"] else None
+    with open(out_path, "w") as f:
+        json.dump(
+            {"base": base, "x10": x10, "timing": "min_of_2_warm", "queries": results},
+            f,
+            indent=1,
+        )
+    flagged = sorted(
+        (n for n, r in results.items() if r["ratio"] and r["ratio"] > 2),
+        key=lambda n: -results[n]["ratio"],
+    )
+    print(f"[x10] wrote {out_path}; >2x ratios needing explanation: {flagged}",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
