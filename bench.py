@@ -187,6 +187,19 @@ HEADLINE = [
     "graph_local_clustering_topk",
     "corpus_incremental_decontamination",
     "similarity_ivfpq_topk",
+    # round-8 additions (graph family order matters: the shared
+    # edge/triangle warehouse tables materialize on first touch)
+    "graph_triangle_count",
+    "graph_edge_triangle_support",
+    "graph_bfs_frontier_hops",
+    "similarity_ivfpq_recall_audit",
+    "ml_logistic_fit_quality",
+    "sketch_fixedbin_quantile_merge",
+    "stats_cohens_d_priority",
+    "stats_trimmed_winsorized_price",
+    "stats_mcnemar_quality_rules",
+    "corpus_ngram_novelty_deciles",
+    "events_runs_test_daily",
 ]
 
 

@@ -42,6 +42,29 @@ _SQL_EDGES = """
 """
 
 
+# edges -> degrees -> degree-ordered orientation -> triangle list
+# (a = unique low-degree apex, b < c): the DuckDB twin of
+# ``_triangles``/``triangle_table``, shared by every triangle-derived
+# oracle (global count, local clustering, edge support).
+_SQL_TRI_CTES = _SQL_EDGES + """
+    , deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY node
+    ), orient AS (
+      SELECT CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.v ELSE e.u END AS t
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ), tris AS (
+      SELECT e1.s AS a, least(e1.t, e2.t) AS b, greatest(e1.t, e2.t) AS c
+      FROM orient e1 JOIN orient e2 ON e1.s = e2.s AND e1.t < e2.t
+      JOIN edges e ON least(e1.t, e2.t) = e.u AND greatest(e1.t, e2.t) = e.v
+    )
+"""
+
+
 def _edges(t: Tables) -> DataFrame:
     """Distinct undirected edges (u < v) of the co-purchase graph.
 

@@ -622,22 +622,56 @@ def stats_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan, not K). Output: the weight trajectory, one row per step.
     """
     t = Tables(spark, sf_dir)
+    out = [
+        w_df.select(
+            F.lit(k).cast("long").alias("step"),
+            F.col("w0q").alias("w0_micro"),
+            F.col("w1q").alias("w1_micro"),
+        )
+        for k, w_df in enumerate(logit_weight_steps(t), start=1)
+    ]
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def logit_base(t: Tables) -> DataFrame:
+    """The (x, y) training frame of the GD logistic model — x the
+    1e7-scaled exact-cents order value, y the urgent-priority label.
+    Shared by the training loop and the round-8 fit diagnostics so the
+    scoring expression is identical to the one trained on."""
     cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
-    base = t.orders.select(
+    return t.orders.select(
         (cents.cast("double") / F.lit(1e7)).alias("x"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1.0).otherwise(0.0).alias("y"),
     )
+
+
+def logit_sigmoid(x: F.Column, w0q: F.Column, w1q: F.Column) -> F.Column:
+    """p = sigmoid(w0 + w1*x) off micro-unit weights — the exact
+    scoring expression of the training loop (identical doubles on both
+    engines; the oracle twin is the ``p`` string in `_logit_parts`)."""
+    z = w0q / F.lit(1e6) + w1q / F.lit(1e6) * x
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def logit_weight_steps(t: Tables) -> list[DataFrame]:
+    """Per-step trained micro-weights as 1-row (w0q, w1q) DataFrames,
+    localCheckpointed so step K costs one scan. Shared by the
+    trajectory query above and `ml_logistic_fit_quality` (round 8),
+    which scores with ``steps[-1]``."""
+    base = logit_base(t)
     w_df = None  # step-1 weights are the (0, 0) literals
-    out = []
-    for k in range(1, LOGIT_STEPS + 1):
+    steps: list[DataFrame] = []
+    for _ in range(LOGIT_STEPS):
         if w_df is None:
             joined = base.withColumn("w0q", F.lit(0).cast("long")).withColumn(
                 "w1q", F.lit(0).cast("long")
             )
         else:
             joined = base.crossJoin(F.broadcast(w_df))
-        z = F.col("w0q") / F.lit(1e6) + F.col("w1q") / F.lit(1e6) * F.col("x")
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        p = logit_sigmoid(F.col("x"), F.col("w0q"), F.col("w1q"))
         g0 = F.floor((p - F.col("y")) * F.lit(1e6) + F.lit(0.5)).cast("long")
         g1 = F.floor((p - F.col("y")) * F.col("x") * F.lit(1e6) + F.lit(0.5)).cast("long")
         agg = joined.agg(
@@ -661,17 +695,8 @@ def stats_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("w1q"),
         ).localCheckpoint()
-        out.append(
-            w_df.select(
-                F.lit(k).cast("long").alias("step"),
-                F.col("w0q").alias("w0_micro"),
-                F.col("w1q").alias("w1_micro"),
-            )
-        )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res
+        steps.append(w_df)
+    return steps
 
 
 # ---------------------------------------------------------------------------

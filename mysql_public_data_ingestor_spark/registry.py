@@ -178,6 +178,7 @@ def _ensure_loaded() -> None:
         pipeline,
         privacy,
         relational,
+        roundeight,
         roundsix,
         roundsix2,
         similarity,

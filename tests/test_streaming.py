@@ -467,3 +467,107 @@ def test_streaming_bitmap_mv_equals_batch_distinct(spark, sf_dir, tmp_path):
     }
     assert got_daily == want_daily
     assert got_total == [events.select("user_id").distinct().count()]
+
+
+def _daily_series(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.select(
+            "event_type",
+            F.to_date(F.col("ts")).cast("string").alias("day"),
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("v_u"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v_u").alias("x_micro"))
+    )
+
+
+def _two_batch_stream(spark, tmp_path, daily):
+    """Write the daily series as two day-ordered files and stream them
+    as two micro-batches (file source orders by mtime; pin it)."""
+    import glob
+    import os
+    import time
+
+    days = sorted(r.day for r in daily.select("day").distinct().collect())
+    cut = days[len(days) // 2]
+    src = str(tmp_path / "daily_src")
+    daily.filter(F.col("day") < cut).coalesce(1).write.parquet(src + "/chunk=0")
+    daily.filter(F.col("day") >= cut).coalesce(1).write.parquet(src + "/chunk=1")
+    now = time.time()
+    for i, chunk in enumerate(("chunk=0", "chunk=1")):
+        for p in glob.glob(os.path.join(src, chunk, "*.parquet")):
+            os.utime(p, (now - 60 + 30 * i,) * 2)
+    return (
+        spark.readStream.schema(daily.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+
+
+def test_streaming_cusum_monitor_equals_batch_recursion(spark, sf_dir, tmp_path):
+    """Stateful streaming CUSUM across two ordered micro-batches ==
+    the single-pass integer recursion over the same day-ordered series
+    (exact, not approximate — all state arithmetic is int64)."""
+    daily = _daily_series(spark, sf_dir)
+    rows = daily.collect()
+    baselines, series = {}, {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append((r.day, r.x_micro))
+    for et, sr in series.items():
+        baselines[et] = sum(x for _, x in sr) // len(sr)
+    h = 10_000_000_000
+    stream = _two_batch_stream(spark, tmp_path, daily)
+    run_to_memory(
+        sw.cusum_monitor_per_type(stream, baselines, h), "cusum_out", "update"
+    )
+    got = {
+        r.event_type: (r.n_days, r.s_pos, r.s_neg, r.n_alarms)
+        for r in spark.sql(
+            "SELECT event_type, max_by(n_days, n_days) AS n_days,"
+            " max_by(s_pos, n_days) AS s_pos, max_by(s_neg, n_days) AS s_neg,"
+            " max_by(n_alarms, n_days) AS n_alarms FROM cusum_out GROUP BY 1"
+        ).collect()
+    }
+    for et, sr in series.items():
+        s_pos = s_neg = n_alarms = 0
+        for _, x in sorted(sr):
+            d = int(x) - baselines[et]
+            s_pos = max(0, s_pos + d)
+            s_neg = max(0, s_neg - d)
+            if s_pos >= h or s_neg >= h:
+                n_alarms += 1
+        assert got[et] == (len(sr), s_pos, s_neg, n_alarms), et
+
+
+def test_streaming_holt_tracker_equals_batch_recursion(spark, sf_dir, tmp_path):
+    """Stateful streaming Holt smoother across two ordered
+    micro-batches == the single-pass integer-halving recursion."""
+    daily = _daily_series(spark, sf_dir)
+    series: dict = {}
+    for r in daily.collect():
+        series.setdefault(r.event_type, []).append((r.day, r.x_micro))
+    stream = _two_batch_stream(spark, tmp_path, daily)
+    run_to_memory(sw.holt_tracker_per_type(stream), "holt_out", "update")
+    got = {
+        r.event_type: (r.n_days, r.level_micro, r.trend_micro)
+        for r in spark.sql(
+            "SELECT event_type, max_by(n_days, n_days) AS n_days,"
+            " max_by(level_micro, n_days) AS level_micro,"
+            " max_by(trend_micro, n_days) AS trend_micro FROM holt_out GROUP BY 1"
+        ).collect()
+    }
+    for et, sr in series.items():
+        n = level = trend = 0
+        for _, x in sorted(sr):
+            x = int(x)
+            if n == 0:
+                level, trend = x, 0
+            else:
+                new_level = (x + level + trend) // 2
+                trend = (trend + (new_level - level)) // 2
+                level = new_level
+            n += 1
+        assert got[et] == (n, level, trend), et
