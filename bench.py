@@ -200,6 +200,13 @@ HEADLINE = [
     "stats_mcnemar_quality_rules",
     "corpus_ngram_novelty_deciles",
     "events_runs_test_daily",
+    # round-8 batch 2
+    "events_hourly_entropy_profile",
+    "stats_levene_priority",
+    "stats_cochran_q_gates",
+    "ml_calibration_slope_intercept",
+    "dq_iqr_outlier_fences",
+    "graph_khop_reach_per_seed",
 ]
 
 

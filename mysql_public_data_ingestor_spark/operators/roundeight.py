@@ -1058,3 +1058,579 @@ def events_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long") / F.lit(1e6),
         ).alias("z"),
     )
+
+# ---------------------------------------------------------------------------
+# 11. Hour-of-day entropy profile per event type (det-ln)
+# ---------------------------------------------------------------------------
+
+# ln(24) at dp=9 via the deterministic fixed-point ln — the identical
+# constant both engines would compute; embedded as a literal.
+_LN24_NANO = 3_178_053_830
+
+
+def _hourly_entropy_oracle() -> str:
+    from ..functions.detmath import sql_det_ln_steps
+    from ..functions.exact import sql_round_big_int_ratio
+
+    return f"""
+    WITH hist AS (
+      SELECT event_type, extract(hour FROM ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n_h
+      FROM events GROUP BY 1, 2
+    ), {sql_det_ln_steps('hist', 'n_h', 'ln_nh', 9)},
+    tot AS (
+      SELECT event_type, CAST(sum(n_h) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_active_hours,
+             sum(n_h::HUGEINT * ln_nh) AS s_nln
+      FROM ln_nh_rel GROUP BY event_type
+    ), {sql_det_ln_steps('tot', 'n_events', 'ln_n', 9)}
+    SELECT event_type, n_events, n_active_hours,
+           {sql_round_big_int_ratio(
+               'n_events::HUGEINT * ln_n - s_nln',
+               'n_events::HUGEINT * 1000000000', 6)} AS entropy_nats,
+           {sql_round_big_int_ratio(
+               'n_events::HUGEINT * ln_n - s_nln',
+               f'n_events::HUGEINT * {_LN24_NANO}', 6)} AS entropy_ratio
+    FROM ln_n_rel
+    """
+
+
+@register("events_hourly_entropy_profile", oracle=_hourly_entropy_oracle())
+def events_hourly_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each event type's hour-of-day distribution
+    (nats, plus the ratio to the ln(24) uniform maximum) — the
+    "is this feed diurnal or flat" profile a stream monitor keys
+    alerting thresholds on; near-0 ratio = single-hour spike traffic,
+    near-1 = uniform.
+
+    H = ln(N) - (1/N) sum_h n_h ln(n_h), evaluated with the
+    deterministic fixed-point ln (detmath, dp=9) on the BOUNDED
+    |types| x 24 histogram — never per event row (the §5e det-ln
+    domain discipline); ln(24) is a compile-time constant from the
+    same construction. All sums exact decimal; both outputs exact
+    half-up ratios.
+    """
+    from ..functions.detmath import det_ln_q
+    from ..functions.exact import round_big_int_ratio
+
+    t = Tables(spark, sf_dir)
+    hist = (
+        t.events.select("event_type", F.hour("ts").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n_h"))
+    )
+    ln_nh = hist.withColumn("ln_nh", det_ln_q(F.col("n_h"), 9))
+    tot = ln_nh.groupBy("event_type").agg(
+        F.sum("n_h").alias("n_events"),
+        F.count(F.lit(1)).alias("n_active_hours"),
+        F.sum(_dec(F.col("n_h")) * F.col("ln_nh")).alias("s_nln"),
+    )
+    out = tot.withColumn("ln_n", det_ln_q(F.col("n_events"), 9))
+    num = _dec(F.col("n_events")) * F.col("ln_n") - F.col("s_nln")
+    return out.select(
+        "event_type",
+        "n_events",
+        "n_active_hours",
+        round_big_int_ratio(num, _dec(F.col("n_events")) * F.lit(1_000_000_000), 6).alias(
+            "entropy_nats"
+        ),
+        round_big_int_ratio(num, _dec(F.col("n_events")) * F.lit(_LN24_NANO), 6).alias(
+            "entropy_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 12. Levene's test (variance homogeneity across order priorities)
+# ---------------------------------------------------------------------------
+
+
+def _levene_oracle() -> str:
+    return f"""
+    WITH c AS (
+      SELECT o_orderpriority AS g,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), gs AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(cents::HUGEINT) AS HUGEINT) AS s_g
+      FROM c GROUP BY g
+    ), z AS (
+      SELECT c.g,
+             CAST(floor(abs(CAST(c.cents AS DOUBLE)
+                            - CAST(gs.s_g AS DOUBLE) / gs.n_g)
+                        * 100.0 + 0.5) AS BIGINT) AS z_q
+      FROM c JOIN gs USING (g)
+    ), zg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(z_q::HUGEINT) AS HUGEINT) AS sz_g,
+             CAST(sum(z_q::HUGEINT * z_q) AS HUGEINT) AS szz_g
+      FROM z GROUP BY g
+    ), a AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n_total,
+             CAST(sum(sz_g) AS HUGEINT) AS sz,
+             CAST(sum((sz_g * sz_g) // n_g) AS HUGEINT) AS bet_sum,
+             CAST(sum(szz_g) AS HUGEINT) AS szz
+      FROM zg)
+    SELECT k, n_total,
+           CASE WHEN k >= 2 AND n_total > k
+                     AND CAST(szz - bet_sum AS DOUBLE) > 0 THEN
+             CAST(floor(((CAST(n_total - k AS DOUBLE) / (k - 1))
+                         * (CAST(bet_sum - (sz * sz) // n_total AS DOUBLE)
+                            / CAST(szz - bet_sum AS DOUBLE)))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+           END AS levene_w
+    FROM a
+    """
+
+
+@register("stats_levene_priority", oracle=_levene_oracle())
+def stats_levene_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene\'s test statistic W for homogeneity of order-value
+    variance across the five order priorities — the assumption check
+    gating every pooled-variance test in the family (Welch ANOVA
+    exists for unequal variances; Levene tells you when you need it).
+
+    Exactness: mean-centered absolute deviations z_ij = |x - mean_g|
+    quantize per row at 1e-2 cents BEFORE any sum (the mean is the
+    identical s_g/n_g double on both engines), so every sum is an
+    exact integer; the two quadratic forms then stay EXACT via
+    truncated integer division (sz_g^2 // n_g in decimal/HUGEINT —
+    never a cross-group float sum, whose partial-aggregation order
+    would differ between engines), and W assembles as one identical
+    IEEE expression off those integers. Headroom: sz_g^2 fits
+    decimal(38,0) up to ~1e7 rows/group at this quantization; larger
+    corpora drop the z scale (documented trade, same class as the
+    Cram\xe9r\'s V overflow rework).
+
+    Scale: two scans (group moments, then deviations), a broadcast
+    |groups|-row join, 5-row final domain. Degenerate inputs (k < 2,
+    zero within-group variance) yield NULL on both engines.
+    """
+    t = Tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    c = t.orders.where(F.col("o_totalprice").isNotNull()).select(
+        F.col("o_orderpriority").alias("g"), cents.alias("cents")
+    )
+    gs = c.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum(_dec(F.col("cents"))).alias("s_g")
+    )
+    z_q = F.floor(
+        F.abs(
+            F.col("cents").cast("double")
+            - F.col("s_g").cast("double") / F.col("n_g")
+        )
+        * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("long")
+    z = c.join(F.broadcast(gs), "g").select("g", z_q.alias("z_q"))
+    zg = z.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(_dec(F.col("z_q"))).alias("sz_g"),
+        F.sum(_dec(F.col("z_q")) * F.col("z_q")).alias("szz_g"),
+    )
+
+    def _tdiv(num, den):
+        # exact truncated integer division in decimal: (a - a % b) / b
+        return (num - num % den) / den
+
+    a = zg.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.sum(F.col("sz_g")).alias("sz"),
+        F.sum(_tdiv(F.col("sz_g") * F.col("sz_g"), _dec(F.col("n_g")))).alias(
+            "bet_sum"
+        ),
+        F.sum(F.col("szz_g")).alias("szz"),
+    )
+    kd = F.col("k").cast("double")
+    within = (F.col("szz") - F.col("bet_sum")).cast("double")
+    between = (
+        F.col("bet_sum") - _tdiv(F.col("sz") * F.col("sz"), _dec(F.col("n_total")))
+    ).cast("double")
+    w_stat = ((F.col("n_total").cast("double") - kd) / (kd - F.lit(1.0))) * (
+        between / within
+    )
+    return a.select(
+        "k",
+        "n_total",
+        F.when(
+            (F.col("k") >= 2) & (F.col("n_total") > F.col("k")) & (within > 0),
+            F.floor(w_stat * F.lit(1e6) + F.lit(0.5)).cast("long") / F.lit(1e6),
+        ).alias("levene_w"),
+    )
+
+# ---------------------------------------------------------------------------
+# 13. Cochran's Q across three document-quality gates
+# ---------------------------------------------------------------------------
+
+COCHRAN_MIN_SENTENCES = 2
+
+
+def _cochran_oracle() -> str:
+    from ..functions.exact import sql_round_big_int_ratio
+    from .corpus import _SQL_TOKENS
+
+    return f"""
+    WITH flags AS (
+      SELECT CASE WHEN n_chars >= {MCNEMAR_MIN_CHARS} THEN 1 ELSE 0 END AS a,
+             CASE WHEN len({_SQL_TOKENS}) >= {MCNEMAR_MIN_TOKENS} THEN 1 ELSE 0 END AS b,
+             CASE WHEN len(string_split(text, '.')) - 1 >= {COCHRAN_MIN_SENTENCES}
+                  THEN 1 ELSE 0 END AS c
+      FROM documents
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(a) AS BIGINT) AS g_a,
+             CAST(sum(b) AS BIGINT) AS g_b,
+             CAST(sum(c) AS BIGINT) AS g_c,
+             CAST(sum(a + b + c) AS BIGINT) AS sl,
+             CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS sll
+      FROM flags)
+    SELECT n_docs, g_a, g_b, g_c,
+           CASE WHEN 3 * sl - sll > 0 THEN
+             {sql_round_big_int_ratio(
+                 '2 * (3 * (g_a::HUGEINT * g_a + g_b::HUGEINT * g_b '
+                 '+ g_c::HUGEINT * g_c) - sl::HUGEINT * sl)',
+                 '3 * sl - sll')}
+           END AS cochran_q
+    FROM agg
+    """
+
+
+@register("stats_cochran_q_gates", oracle=_cochran_oracle())
+def stats_cochran_q_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q for THREE paired binary quality gates (char-length,
+    token-count, sentence-count) on the same documents — the k-gate
+    generalization of the McNemar pair: do the gates admit
+    significantly different fractions of the corpus?
+
+    Q = (k-1) (k Sum G_j^2 - (Sum G_j)^2) / (k Sum L_i - Sum L_i^2)
+    with G the per-gate totals and L the per-document pass counts —
+    every term an exact integer off ONE scan (L in {{0..3}}, so the
+    row-level squares are trivial), the statistic one exact half-up
+    decimal ratio, NULL when every document passes all or no gates.
+    """
+    from ..functions.exact import round_big_int_ratio
+    from ..functions.textnorm import whitespace_tokens
+
+    t = Tables(spark, sf_dir)
+    a = F.when(F.col("n_chars") >= MCNEMAR_MIN_CHARS, 1).otherwise(0)
+    b = F.when(
+        F.size(whitespace_tokens(F.col("text"))) >= MCNEMAR_MIN_TOKENS, 1
+    ).otherwise(0)
+    cgate = F.when(
+        F.size(F.split(F.col("text"), "\\.", -1)) - 1 >= COCHRAN_MIN_SENTENCES, 1
+    ).otherwise(0)
+    li = a + b + cgate
+    agg = t.documents.select(
+        a.alias("a"), b.alias("b"), cgate.alias("c"), li.alias("l")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("a").cast("long").alias("g_a"),
+        F.sum("b").cast("long").alias("g_b"),
+        F.sum("c").cast("long").alias("g_c"),
+        F.sum("l").cast("long").alias("sl"),
+        F.sum(F.col("l") * F.col("l")).cast("long").alias("sll"),
+    )
+    num = F.lit(2).cast("decimal(38,0)") * (
+        F.lit(3).cast("decimal(38,0)")
+        * (
+            _dec(F.col("g_a")) * F.col("g_a")
+            + _dec(F.col("g_b")) * F.col("g_b")
+            + _dec(F.col("g_c")) * F.col("g_c")
+        )
+        - _dec(F.col("sl")) * F.col("sl")
+    )
+    den = F.lit(3) * F.col("sl") - F.col("sll")
+    return agg.select(
+        "n_docs",
+        "g_a",
+        "g_b",
+        "g_c",
+        F.when(den > 0, round_big_int_ratio(num, _dec(den))).alias("cochran_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 14. Logistic calibration slope / intercept (linear recalibration)
+# ---------------------------------------------------------------------------
+
+
+def _calibration_oracle() -> str:
+    from .roundfive import logit_cte_chain
+
+    ctes, w0, w1 = logit_cte_chain()
+    p = f"1.0 / (1.0 + exp(-(({w0}) / 1000000.0 + ({w1}) / 1000000.0 * x)))"
+    slope = (
+        "(CAST(n AS DOUBLE) * spy - CAST(sp AS DOUBLE) * sy)"
+        " / (CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)"
+    )
+    # intercept is rescaling-invariant: a = mean(y) - b_micro * mean(p_u)
+    intercept = f"(CAST(sy AS DOUBLE) - ({slope}) * sp) / n"
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f"""
+    , sc AS (SELECT CAST(floor({p} * 1000000.0 + 0.5) AS BIGINT) AS p_u,
+                    CAST(y AS BIGINT) AS yi FROM base)
+    , a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p_u) AS HUGEINT) AS sp,
+             CAST(sum(p_u::HUGEINT * p_u) AS HUGEINT) AS spp,
+             CAST(sum(yi) AS BIGINT) AS sy,
+             CAST(sum(p_u * yi) AS HUGEINT) AS spy
+      FROM sc)
+    SELECT n, sy AS n_pos,
+           CASE WHEN CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp > 0 THEN
+             CAST(floor(({slope}) * 1000000.0 * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0
+           END AS calib_slope_micro,
+           CASE WHEN CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp > 0 THEN
+             CAST(floor(({intercept}) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+           END AS calib_intercept
+    FROM a
+    """
+    )
+
+
+@register("ml_calibration_slope_intercept", oracle=_calibration_oracle())
+def ml_calibration_slope_intercept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear recalibration line of the GD logistic model: OLS of the
+    binary label on the predicted probability (slope 1, intercept 0 =
+    perfectly calibrated; slope < 1 = overconfident). The
+    slope/intercept pair is the standard recalibration audit next to
+    ``ml_logistic_fit_quality``'s calibration-in-the-large.
+
+    Predictions quantize to micro-units per row; all five sufficient
+    statistics are exact integer sums in ONE scan, and slope/intercept
+    assemble as identical IEEE expressions off them (slope reported in
+    micro-probability units to keep the quantized-domain arithmetic
+    transparent). Degenerate zero-variance predictions yield NULL.
+    """
+    from .roundfive import logit_base, logit_sigmoid, logit_weight_steps
+
+    t = Tables(spark, sf_dir)
+    w = logit_weight_steps(t)[-1]
+    p = logit_sigmoid(F.col("x"), F.col("w0q"), F.col("w1q"))
+    sc = logit_base(t).crossJoin(F.broadcast(w)).select(
+        F.floor(p * F.lit(1e6) + F.lit(0.5)).cast("long").alias("p_u"),
+        F.col("y").cast("long").alias("yi"),
+    )
+    a = sc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("p_u"))).alias("sp"),
+        F.sum(_dec(F.col("p_u")) * F.col("p_u")).alias("spp"),
+        F.sum("yi").cast("long").alias("sy"),
+        F.sum(_dec(F.col("p_u") * F.col("yi"))).alias("spy"),
+    )
+    nd = F.col("n").cast("double")
+    spd = F.col("sp").cast("double")
+    var = nd * F.col("spp").cast("double") - spd * spd
+    slope = (nd * F.col("spy").cast("double") - spd * F.col("sy").cast("double")) / var
+    intercept = (F.col("sy").cast("double") - slope * spd) / F.col("n")
+    return a.select(
+        "n",
+        F.col("sy").alias("n_pos"),
+        F.when(
+            var > 0,
+            F.floor(slope * F.lit(1e6) * F.lit(1e6) + F.lit(0.5)).cast("long")
+            / F.lit(1e6),
+        ).alias("calib_slope_micro"),
+        F.when(
+            var > 0,
+            F.floor(intercept * F.lit(1e6) + F.lit(0.5)).cast("long") / F.lit(1e6),
+        ).alias("calib_intercept"),
+    )
+
+# ---------------------------------------------------------------------------
+# 15. IQR fence outlier audit per nation
+# ---------------------------------------------------------------------------
+
+
+def _iqr_oracle() -> str:
+    return """
+    WITH c AS (
+      SELECT n.n_name,
+             CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             o.o_orderkey
+      FROM orders o
+      JOIN customer cu ON cu.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = cu.c_nationkey
+      WHERE o.o_totalprice IS NOT NULL
+    ), r AS (
+      SELECT n_name, cents,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY cents, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY n_name) AS cnt
+      FROM c
+    ), q AS (
+      SELECT n_name,
+             CAST(max(cnt) AS BIGINT) AS n,
+             max(CASE WHEN rn = (cnt + 3) // 4 THEN cents END) AS q1,
+             max(CASE WHEN rn = (3 * cnt + 3) // 4 THEN cents END) AS q3
+      FROM r GROUP BY n_name
+    )
+    SELECT q.n_name, q.n,
+           CAST(q.q1 AS DOUBLE) / 100.0 AS q1_price,
+           CAST(q.q3 AS DOUBLE) / 100.0 AS q3_price,
+           CAST(sum(CASE WHEN 2 * r.cents < 5 * q.q1 - 3 * q.q3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_outliers,
+           CAST(sum(CASE WHEN 2 * r.cents > 5 * q.q3 - 3 * q.q1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high_outliers
+    FROM r JOIN q USING (n_name)
+    GROUP BY q.n_name, q.n, q.q1, q.q3
+    """
+
+
+@register("dq_iqr_outlier_fences", oracle=_iqr_oracle())
+def dq_iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR fence outlier audit per nation: order values beyond
+    [q1 - 1.5 IQR, q3 + 1.5 IQR] — the robust per-segment outlier
+    count a DQ dashboard tracks alongside the MAD z-scores.
+
+    Quartiles are EXACT nearest-rank order statistics (ceil(n/4),
+    ceil(3n/4)) from one partitioned rank window; the 1.5x fences
+    compare in doubled-cents integer space (2x < 5 q1 - 3 q3), so no
+    float ever enters the decision — fuzz-stable by construction.
+    Scale: per-nation windows, broadcast dimension joins, 25-row
+    output.
+    """
+    t = Tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    c = (
+        t.orders.where(F.col("o_totalprice").isNotNull())
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", cents.alias("cents"), "o_orderkey")
+    )
+    wp = Window.partitionBy("n_name")
+    r = c.select(
+        "n_name",
+        "cents",
+        F.row_number().over(wp.orderBy("cents", "o_orderkey")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    )
+
+    def _ceil_div(num, den):
+        a = num + den - 1
+        return ((a - a % den) / den).cast("long")
+
+    k1 = _ceil_div(F.col("cnt"), F.lit(4))
+    k3 = _ceil_div(F.lit(3) * F.col("cnt"), F.lit(4))
+    q = r.groupBy("n_name").agg(
+        F.max("cnt").cast("long").alias("n"),
+        F.max(F.when(F.col("rn") == k1, F.col("cents"))).alias("q1"),
+        F.max(F.when(F.col("rn") == k3, F.col("cents"))).alias("q3"),
+    )
+    j = r.select("n_name", "cents").join(F.broadcast(q), "n_name")
+    return (
+        j.groupBy("n_name", "n", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when(
+                    F.lit(2) * F.col("cents") < F.lit(5) * F.col("q1") - F.lit(3) * F.col("q3"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(
+                F.when(
+                    F.lit(2) * F.col("cents") > F.lit(5) * F.col("q3") - F.lit(3) * F.col("q1"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+        .select(
+            "n_name",
+            "n",
+            (F.col("q1").cast("double") / F.lit(100.0)).alias("q1_price"),
+            (F.col("q3").cast("double") / F.lit(100.0)).alias("q3_price"),
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 16. Per-seed k-hop reach over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+KHOP_SEED_MAX = 10
+
+
+def _khop_oracle() -> str:
+    from .graph import _SQL_EDGES
+
+    return _SQL_EDGES + f"""
+    , adj AS MATERIALIZED (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ), seeds AS (
+      SELECT DISTINCT u AS seed FROM adj WHERE u < {KHOP_SEED_MAX}
+    ), h1 AS MATERIALIZED (
+      SELECT DISTINCT s.seed, a.v AS node
+      FROM seeds s JOIN adj a ON a.u = s.seed
+    ), h2 AS (
+      SELECT DISTINCT h.seed, a.v AS node
+      FROM h1 h JOIN adj a ON a.u = h.node
+      WHERE a.v <> h.seed
+    )
+    SELECT s.seed,
+           (SELECT CAST(count(*) AS BIGINT) FROM h1 WHERE h1.seed = s.seed)
+             AS n_1hop,
+           (SELECT CAST(count(*) AS BIGINT) FROM
+              (SELECT node FROM h2 WHERE h2.seed = s.seed
+               UNION SELECT node FROM h1 WHERE h1.seed = s.seed))
+             AS n_within_2hops
+    FROM seeds s
+    """
+
+
+@register("graph_khop_reach_per_seed", oracle=_khop_oracle())
+def graph_khop_reach_per_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-seed neighborhood growth: distinct nodes within 1 and
+    within 2 hops of each seed part — the per-entity blast-radius
+    profile (the aggregate BFS above reports the union; this ranks
+    individual seeds by reach, the "how connected is THIS product"
+    question).
+
+    Two adjacency self-equi-joins keyed by (seed, node) with distinct
+    — the state is |seeds| x |reach| rows, bounded by the seed set at
+    any corpus scale, never all-pairs; counts reduce per seed. Reads
+    the session-cached edge table.
+    """
+    from .graph import edge_table
+
+    t = Tables(spark, sf_dir)
+    edges = edge_table(spark, t, sf_dir)
+    adj = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    seeds = (
+        adj.select(F.col("u").alias("seed"))
+        .where(F.col("seed") < KHOP_SEED_MAX)
+        .distinct()
+    )
+    h1 = (
+        seeds.join(adj, seeds.seed == adj.u)
+        .select("seed", F.col("v").alias("node"))
+        .distinct()
+    )
+    h2 = (
+        h1.select("seed", F.col("node").alias("u"))
+        .join(adj, "u")
+        .where(F.col("v") != F.col("seed"))
+        .select("seed", F.col("v").alias("node"))
+        .distinct()
+    )
+    reach2 = h1.unionAll(h2).distinct()
+    n1 = h1.groupBy("seed").agg(F.count(F.lit(1)).alias("n_1hop"))
+    n2 = reach2.groupBy("seed").agg(F.count(F.lit(1)).alias("n_within_2hops"))
+    return n1.join(n2, "seed")
