@@ -398,6 +398,12 @@ SINGLE_PARTITION_ALLOWLIST = {
     "window_ntile_percent_rank",
     "percentiles_exact",
     "diag_key_skew_profile",
+    # cumulative window over the POST-AGGREGATION fixed bin domain
+    # (~600 $1000-bins regardless of row count) — same bounded-domain
+    # shape as diag_key_skew_profile's count-of-counts cumulative; the
+    # row-bounded work all happens in the partial/merged histogram
+    # aggregates upstream of the exchange.
+    "sketch_fixedbin_quantile_merge",
 }
 
 
