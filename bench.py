@@ -207,6 +207,18 @@ HEADLINE = [
     "ml_calibration_slope_intercept",
     "dq_iqr_outlier_fences",
     "graph_khop_reach_per_seed",
+    # round-8 batch 3
+    "stats_kruskal_wallis_quantity",
+    "stats_mood_median_discount",
+    "stats_mutual_info_priority_segment",
+    "graph_adamic_adar_linkpred",
+    "dedup_minhash_recall_audit",
+    "stats_weibull_latency_fit",
+    "events_seasonal_strength",
+    "stats_grubbs_acctbal_nation",
+    "stats_negbin_hourly_fit",
+    "text_vocab_coverage_curve",
+    "stats_friedman_nation_priority",
 ]
 
 

@@ -179,6 +179,7 @@ def _ensure_loaded() -> None:
         privacy,
         relational,
         roundeight,
+        roundeight2,
         roundsix,
         roundsix2,
         similarity,
