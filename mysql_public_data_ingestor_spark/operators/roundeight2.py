@@ -1969,3 +1969,361 @@ def stats_ols_influence_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 18. Bowley quartile skewness per order priority
+# ---------------------------------------------------------------------------
+
+
+def _bowley_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    return f"""
+    WITH c AS (
+      SELECT o_orderpriority AS g,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), dv AS (
+      SELECT g, cents, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2
+    ), r AS (
+      SELECT g, cents,
+             sum(cnt) OVER (PARTITION BY g ORDER BY cents) AS cum,
+             sum(cnt) OVER (PARTITION BY g) AS n
+      FROM dv
+    ), q AS (
+      SELECT g,
+             CAST(max(n) AS BIGINT) AS n,
+             min(CASE WHEN cum >= (n + 3) // 4 THEN cents END) AS q1,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN cents END) AS q2,
+             min(CASE WHEN cum >= (3 * n + 3) // 4 THEN cents END) AS q3
+      FROM r GROUP BY g
+    )
+    SELECT g AS priority, n,
+           CAST(q2 AS DOUBLE) / 100.0 AS median_price,
+           {sql_round_int_ratio('q1 + q3 - 2 * q2', 'q3 - q1')} AS bowley_skew
+    FROM q WHERE q3 > q1
+    """
+
+
+@register("stats_bowley_skew_priority", oracle=_bowley_oracle())
+def stats_bowley_skew_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowley (quartile) skewness of order values per priority:
+    (Q1 + Q3 - 2*Q2)/(Q3 - Q1) on exact nearest-rank quartiles — the
+    outlier-immune skewness to pair with the moment version
+    (``stats_moments_skew_kurtosis``): a disagreement between the two
+    is itself a tail-anomaly signal.
+
+    Quartiles resolve on the per-priority DISTINCT cents domain
+    (range-bounded at any corpus size) via an inclusive cumulative,
+    so no row-scaled rank window exists; the statistic is an exact
+    half-up integer ratio of integer cents — no floating point at all
+    except the display median.
+    """
+    from ..functions.exact import round_int_ratio
+
+    t = Tables(spark, sf_dir)
+    c = t.orders.filter(F.col("o_totalprice").isNotNull()).select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    dv = c.groupBy("g", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wg = Window.partitionBy("g")
+    r = dv.select(
+        "g",
+        "cents",
+        F.sum("cnt").over(wg.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(wg).alias("n"),
+    )
+    qrank1 = (F.col("n") + 3) - (F.col("n") + 3) % 4
+    q = r.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cum") >= (qrank1 / 4).cast("long"), F.col("cents"))).alias("q1"),
+        F.min(
+            F.when(
+                F.col("cum") >= (((F.col("n") + 1) - (F.col("n") + 1) % 2) / 2).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("q2"),
+        F.min(
+            F.when(
+                F.col("cum")
+                >= (((3 * F.col("n") + 3) - (3 * F.col("n") + 3) % 4) / 4).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("q3"),
+    )
+    return q.filter(F.col("q3") > F.col("q1")).select(
+        F.col("g").alias("priority"),
+        "n",
+        (F.col("q2").cast("double") / F.lit(100.0)).alias("median_price"),
+        round_int_ratio(
+            F.col("q1") + F.col("q3") - 2 * F.col("q2"), F.col("q3") - F.col("q1")
+        ).alias("bowley_skew"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 19. Moment skewness / excess kurtosis per order priority
+# ---------------------------------------------------------------------------
+
+
+def _moments_oracle() -> str:
+    return """
+    WITH c AS (
+      SELECT o_orderpriority AS g,
+             CAST(floor(o_totalprice) AS BIGINT) AS x
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), s AS (
+      SELECT g,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x::HUGEINT) AS HUGEINT) AS s1,
+             CAST(sum(x::HUGEINT * x) AS HUGEINT) AS s2,
+             CAST(sum(x::HUGEINT * x * x) AS HUGEINT) AS s3,
+             CAST(sum(x::HUGEINT * x * x * x) AS HUGEINT) AS s4
+      FROM c GROUP BY g
+    ), m AS (
+      SELECT g, n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n AS m2r,
+             CAST(s3 AS DOUBLE) / n AS m3r,
+             CAST(s4 AS DOUBLE) / n AS m4r
+      FROM s WHERE n >= 4
+    ), cm AS (
+      SELECT g, n, mu,
+             m2r - mu * mu AS v,
+             m3r - 3.0 * mu * m2r + 2.0 * (mu * mu) * mu AS m3,
+             m4r - 4.0 * mu * m3r + 6.0 * (mu * mu) * m2r
+                 - 3.0 * ((mu * mu) * (mu * mu)) AS m4
+      FROM m
+    )
+    SELECT g AS priority, n,
+           CAST(floor(m3 / (sqrt(v) * v) * 1000000.0 + 0.5) AS BIGINT)
+             / 1000000.0 AS skewness,
+           CAST(floor((m4 / (v * v) - 3.0) * 1000000.0 + 0.5) AS BIGINT)
+             / 1000000.0 AS ex_kurtosis
+    FROM cm WHERE v > 0.0
+    """
+
+
+@register("stats_moments_skew_kurtosis", oracle=_moments_oracle())
+def stats_moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment skewness g1 = m3/sd^3 and excess kurtosis g2 = m4/v^2-3
+    of order values per priority — the classical shape moments that
+    complete the distribution-profile family (mean/var exist, robust
+    quartile shape exists; these are the tail-sensitive versions whose
+    disagreement with ``stats_bowley_skew_priority`` flags heavy
+    tails).
+
+    Raw power sums S1..S4 are exact decimal integers over
+    dollar-quantized values (4th power of a 6-digit value times 1e12
+    rows stays far inside decimal(38)); central moments evaluate in
+    double via the standard raw-to-central identities through an
+    oracle-mirrored chain (no per-row float, one partial-aggregated
+    scan), quantized half-up 6dp.
+    """
+    t = Tables(spark, sf_dir)
+    c = t.orders.filter(F.col("o_totalprice").isNotNull()).select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("x"),
+    )
+    xd = _dec(F.col("x"))
+    s = c.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("s1"),
+        F.sum(xd * F.col("x")).alias("s2"),
+        F.sum(xd * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(xd * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    ).filter(F.col("n") >= 4)
+    mu = F.col("s1").cast("double") / F.col("n")
+    m2r = F.col("s2").cast("double") / F.col("n")
+    m3r = F.col("s3").cast("double") / F.col("n")
+    m4r = F.col("s4").cast("double") / F.col("n")
+    m = s.select("g", "n", mu.alias("mu"), m2r.alias("m2r"), m3r.alias("m3r"), m4r.alias("m4r"))
+    v = F.col("m2r") - F.col("mu") * F.col("mu")
+    m3 = (
+        F.col("m3r")
+        - F.lit(3.0) * F.col("mu") * F.col("m2r")
+        + F.lit(2.0) * (F.col("mu") * F.col("mu")) * F.col("mu")
+    )
+    m4 = (
+        F.col("m4r")
+        - F.lit(4.0) * F.col("mu") * F.col("m3r")
+        + F.lit(6.0) * (F.col("mu") * F.col("mu")) * F.col("m2r")
+        - F.lit(3.0) * ((F.col("mu") * F.col("mu")) * (F.col("mu") * F.col("mu")))
+    )
+    cm = m.select("g", "n", v.alias("v"), m3.alias("m3"), m4.alias("m4"))
+    return cm.filter(F.col("v") > 0.0).select(
+        F.col("g").alias("priority"),
+        "n",
+        (
+            F.floor(F.col("m3") / (F.sqrt(F.col("v")) * F.col("v")) * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            / F.lit(1e6)
+        ).alias("skewness"),
+        (
+            F.floor((F.col("m4") / (F.col("v") * F.col("v")) - F.lit(3.0)) * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            / F.lit(1e6)
+        ).alias("ex_kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 20. KMV (k-minimum-values) distinct-count sketch with exact audit
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+KMV_DOMAIN = 1 << 60  # sha256 15-hex-char prefix domain
+
+
+def _kmv_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT (('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15)))::BIGINT AS hv,
+             user_id
+      FROM events
+    ), hd AS (
+      SELECT DISTINCT hv FROM h
+    ), topk AS (
+      SELECT hv FROM hd ORDER BY hv LIMIT {KMV_K}
+    ), kth AS (
+      SELECT CAST(max(hv) AS BIGINT) AS h_k,
+             CAST(count(*) AS BIGINT) AS k_eff
+      FROM topk
+    ), tru AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS d_true FROM h
+    )
+    SELECT k.k_eff, k.h_k,
+           CAST(CASE WHEN k.k_eff = {KMV_K}
+                THEN ({KMV_K - 1}::BIGINT * {KMV_DOMAIN}::HUGEINT) // k.h_k
+                ELSE k.k_eff END AS BIGINT) AS d_est,
+           t.d_true,
+           {sql_round_int_ratio(
+               f'''abs(CAST(CASE WHEN k.k_eff = {KMV_K}
+                    THEN ({KMV_K - 1}::BIGINT * {KMV_DOMAIN}::HUGEINT) // k.h_k
+                    ELSE k.k_eff END AS BIGINT) - t.d_true)''',
+               't.d_true')} AS rel_error
+    FROM kth k, tru t
+    """
+
+
+@register("sketch_kmv_distinct_users", oracle=_kmv_oracle())
+def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user estimator with its exact
+    audit: keep the k = 256 smallest 60-bit portable hashes of
+    user_id, estimate D = (k-1) * 2^60 / h_(k), and report the exact
+    distinct count + relative error alongside — the third member of
+    the mergeable-sketch family (bitmap = exact, HLL = register-based
+    approximate, KMV = order-statistics approximate with a tunable-k
+    error bound ~1/sqrt(k)), and like the others fully deterministic
+    (sha-derived hashes, integer estimate) so it hash-verifies
+    cross-engine rather than "approximately matches".
+
+    Scale: the hash + distinct is one shuffle on the hash key (partial
+    aggregation collapses duplicates map-side); the k smallest resolve
+    via TakeOrdered (no global sort materializes); the estimate is
+    one integer division. The exact-side audit shares the distinct
+    pass. At 100 TB the sketch state is k values — merging shards =
+    unioning their k-sets and re-taking the k minimum.
+    """
+    from ..functions.exact import round_int_ratio
+    from ..functions.textnorm import sha256_prefix_i64
+
+    t = Tables(spark, sf_dir)
+    h = t.events.select(
+        sha256_prefix_i64(F.col("user_id").cast("string")).alias("hv")
+    ).distinct()
+    topk = h.orderBy("hv").limit(KMV_K)
+    kth = topk.agg(F.max("hv").alias("h_k"), F.count(F.lit(1)).alias("k_eff"))
+    tru = t.events.agg(F.countDistinct("user_id").alias("d_true"))
+    est_num = _dec(F.lit(KMV_K - 1)) * F.lit(KMV_DOMAIN)
+    est = F.when(
+        F.col("k_eff") == KMV_K,
+        ((est_num - est_num % _dec(F.col("h_k"))) / _dec(F.col("h_k"))).cast("long"),
+    ).otherwise(F.col("k_eff"))
+    out = kth.join(F.broadcast(tru))
+    return out.select(
+        "k_eff",
+        "h_k",
+        est.alias("d_est"),
+        "d_true",
+        round_int_ratio(F.abs(est - F.col("d_true")), F.col("d_true")).alias("rel_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 21. Interval-overlap audit over per-customer order activity windows
+# ---------------------------------------------------------------------------
+
+OVERLAP_WINDOW_DAYS = 30
+
+
+def _overlap_oracle() -> str:
+    return f"""
+    WITH iv AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + INTERVAL {OVERLAP_WINDOW_DAYS} DAY AS e
+      FROM orders
+    ), pairs AS (
+      SELECT a.o_custkey,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM iv a JOIN iv b
+        ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+           AND a.s < b.e AND b.s < a.e
+      GROUP BY a.o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers_overlapping,
+           CAST(sum(n_pairs) AS BIGINT) AS n_overlap_pairs,
+           CAST(max(n_pairs) AS BIGINT) AS max_pairs_per_customer
+    FROM pairs
+    """
+
+
+@register("dq_interval_overlap_orders", oracle=_overlap_oracle())
+def dq_interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap audit: treating each order as a 30-day
+    activity window, count per-customer overlapping window pairs —
+    the validity-interval DQ primitive (SCD2 ranges, subscription
+    periods, session windows) where ANY overlap is a modeling bug;
+    here the TPC-H order cadence makes the expected overlap volume a
+    stable fixture-verified value.
+
+    The pair join is an equi-join ON THE KEY (customer) with the
+    overlap predicate as a residual filter — per-key interval counts
+    are bounded (orders per customer), so the join output is
+    sum-of-C(k,2)-per-key, never a cartesian; one shuffle on custkey,
+    then a two-level constant-size aggregate.
+    """
+    t = Tables(spark, sf_dir)
+    iv = t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), OVERLAP_WINDOW_DAYS).alias("e"),
+    )
+    b = iv.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ok_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    pairs = (
+        iv.join(
+            b,
+            (F.col("o_custkey") == F.col("ck"))
+            & (F.col("o_orderkey") < F.col("ok_b"))
+            & (F.col("s") < F.col("e_b"))
+            & (F.col("s_b") < F.col("e")),
+        )
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_customers_overlapping"),
+        F.sum("n_pairs").alias("n_overlap_pairs"),
+        F.max("n_pairs").alias("max_pairs_per_customer"),
+    )

@@ -246,8 +246,110 @@ def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
     assert (got["tokens_covered"].to_numpy() >= 0).all()
 
 
+def test_bowley_matches_python(spark, sf_dir):
+    got = _q("stats_bowley_skew_priority", spark, sf_dir).set_index("priority")
+    t = Tables(spark, sf_dir)
+    pdf = t.orders.select("o_orderpriority", "o_totalprice").toPandas().dropna()
+    cents = np.floor(pdf["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    for g, grp in pd.DataFrame({"g": pdf["o_orderpriority"], "c": cents}).groupby("g"):
+        v = np.sort(grp["c"].to_numpy())
+        n = len(v)
+        q1 = int(v[(n + 3) // 4 - 1])
+        q2 = int(v[(n + 1) // 2 - 1])
+        q3 = int(v[(3 * n + 3) // 4 - 1])
+        if q3 <= q1:
+            assert g not in got.index
+            continue
+        row = got.loc[g]
+        assert int(row["n"]) == n
+        assert row["median_price"] == q2 / 100.0
+        assert row["bowley_skew"] == _half_up(q1 + q3 - 2 * q2, q3 - q1)
+
+
+def test_moments_matches_python(spark, sf_dir):
+    got = _q("stats_moments_skew_kurtosis", spark, sf_dir).set_index("priority")
+    t = Tables(spark, sf_dir)
+    pdf = t.orders.select("o_orderpriority", "o_totalprice").toPandas().dropna()
+    xs = np.floor(pdf["o_totalprice"].to_numpy()).astype(np.int64)
+    for g, grp in pd.DataFrame({"g": pdf["o_orderpriority"], "x": xs}).groupby("g"):
+        v = [int(x) for x in grp["x"]]
+        n = len(v)
+        if n < 4:
+            assert g not in got.index
+            continue
+        s1 = sum(v)
+        s2 = sum(x * x for x in v)
+        s3 = sum(x * x * x for x in v)
+        s4 = sum(x * x * x * x for x in v)
+        mu = float(s1) / n
+        m2r = float(s2) / n
+        m3r = float(s3) / n
+        m4r = float(s4) / n
+        var = m2r - mu * mu
+        if var <= 0.0:
+            assert g not in got.index
+            continue
+        m3 = m3r - 3.0 * mu * m2r + 2.0 * (mu * mu) * mu
+        m4 = m4r - 4.0 * mu * m3r + 6.0 * (mu * mu) * m2r - 3.0 * ((mu * mu) * (mu * mu))
+        row = got.loc[g]
+        assert int(row["n"]) == n
+        assert row["skewness"] == math.floor(m3 / (math.sqrt(var) * var) * 1e6 + 0.5) / 1e6
+        assert row["ex_kurtosis"] == math.floor((m4 / (var * var) - 3.0) * 1e6 + 0.5) / 1e6
+
+
+def test_kmv_matches_python(spark, sf_dir):
+    import hashlib
+
+    from mysql_public_data_ingestor_spark.operators.roundeight2 import KMV_DOMAIN, KMV_K
+
+    # NB: read columns directly — a mixed int64/float64 single-row
+    # .iloc[0] upcasts to float64 and corrupts 60-bit hash values.
+    got = _q("sketch_kmv_distinct_users", spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    users = t.events.select("user_id").toPandas()["user_id"]
+    hv = sorted(
+        {
+            int(hashlib.sha256(str(int(u)).encode()).hexdigest()[:15], 16)
+            for u in users.dropna()
+        }
+    )
+    d_true = len({int(u) for u in users.dropna()})
+    topk = hv[:KMV_K]
+    k_eff, h_k = len(topk), max(topk)
+    d_est = ((KMV_K - 1) * KMV_DOMAIN) // h_k if k_eff == KMV_K else k_eff
+    assert int(got["k_eff"].iloc[0]) == k_eff
+    assert int(got["h_k"].iloc[0]) == h_k
+    assert int(got["d_est"].iloc[0]) == d_est
+    assert int(got["d_true"].iloc[0]) == d_true
+    assert got["rel_error"].iloc[0] == _half_up(abs(d_est - d_true), d_true)
+
+
+def test_interval_overlap_matches_python(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.operators.roundeight2 import OVERLAP_WINDOW_DAYS
+
+    got = _q("dq_interval_overlap_orders", spark, sf_dir).iloc[0]
+    t = Tables(spark, sf_dir)
+    pdf = t.orders.select("o_custkey", "o_orderkey", "o_orderdate").toPandas()
+    pdf["s"] = pd.to_datetime(pdf["o_orderdate"])
+    pdf["e"] = pdf["s"] + pd.Timedelta(days=OVERLAP_WINDOW_DAYS)
+    per_cust = {}
+    for ck, grp in pdf.groupby("o_custkey"):
+        rows = sorted(zip(grp["o_orderkey"], grp["s"], grp["e"]))
+        cnt = 0
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                if a[1] < b[2] and b[1] < a[2]:
+                    cnt += 1
+        if cnt:
+            per_cust[ck] = cnt
+    assert int(got["n_customers_overlapping"]) == len(per_cust)
+    assert int(got["n_overlap_pairs"]) == sum(per_cust.values())
+    assert int(got["max_pairs_per_customer"]) == max(per_cust.values())
+
+
 def test_window_budget_holds_round8():
-    """18 (priority + batches 1-2) + 17 (batches 3-4) = 35 <= 50."""
+    """18 (priority + batches 1-2) + 17 (batches 3-4) + 4 (batch 5) = 39 <= 50."""
     from mysql_public_data_ingestor_spark import registry
 
     names = list(registry.all_queries().keys())
