@@ -180,6 +180,7 @@ def _ensure_loaded() -> None:
         relational,
         roundeight,
         roundeight2,
+        roundeight3,
         roundsix,
         roundsix2,
         similarity,

@@ -404,6 +404,17 @@ SINGLE_PARTITION_ALLOWLIST = {
     # row-bounded work all happens in the partial/merged histogram
     # aggregates upstream of the exchange.
     "sketch_fixedbin_quantile_merge",
+    # ordered ranking over the POST-AGGREGATION distinct-|difference|
+    # domain (bounded by the daily count range, not by rows) — the
+    # fact scan partial-aggregates to calendar days before anything
+    # ordered runs.
+    "stats_wilcoxon_signed_rank_daily",
+    # lead/lag + cumulative passes over the POST-AGGREGATION calendar-
+    # day series (~2.4k rows regardless of corpus size) and the 7-row
+    # lag table — same bounded-domain class as events_acf_daily_lags'
+    # per-type series, which here is a single global series by
+    # definition of the statistic.
+    "stats_ljung_box_daily",
 }
 
 

@@ -349,7 +349,8 @@ def test_interval_overlap_matches_python(spark, sf_dir):
 
 
 def test_window_budget_holds_round8():
-    """18 (priority + batches 1-2) + 17 (batches 3-4) + 4 (batch 5) = 39 <= 50."""
+    """18 (priority + batches 1-2) + 17 (batches 3-4) + 4 (batch 5)
+    + 11 (batch 6) = 50 <= 50 — the round-8 window is exactly full."""
     from mysql_public_data_ingestor_spark import registry
 
     names = list(registry.all_queries().keys())
