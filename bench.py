@@ -219,6 +219,31 @@ HEADLINE = [
     "stats_negbin_hourly_fit",
     "text_vocab_coverage_curve",
     "stats_friedman_nation_priority",
+    # round-8 batch 4
+    "events_markov_stationary",
+    "dq_orderkey_gap_audit",
+    "stats_theil_index_nation",
+    "events_changepoint_pettitt",
+    "agg_mode_per_group",
+    "stats_ols_influence_daily",
+    # round-8 batch 5
+    "stats_bowley_skew_priority",
+    "stats_moments_skew_kurtosis",
+    "sketch_kmv_distinct_users",
+    "dq_interval_overlap_orders",
+    # round-8 batch 6 (jaccard after the other graph ops: it reuses
+    # the warehouse edge table they materialize)
+    "graph_jaccard_linkpred",
+    "stats_hodges_lehmann_quantity",
+    "stats_cliffs_delta_discount",
+    "stats_pythagorean_means_quantity",
+    "agg_weighted_median_price",
+    "dq_date_order_violations",
+    "dq_functional_dependency_audit",
+    "stats_wilcoxon_signed_rank_daily",
+    "stats_logrank_segments",
+    "stats_ljung_box_daily",
+    "text_simpson_diversity_by_lang",
 ]
 
 
