@@ -1,0 +1,920 @@
+"""Round-9 banked operator queue (NOT registered this round).
+
+Round 8 filled the driver's 50-slot evaluation window exactly
+(`tests/test_roundeight2.py::test_window_budget_holds_round8`), so
+these operators follow the proven round-4/5 pattern: built and fully
+gated now (oracle parity, plan sweeps, fuzz profiles via
+`tests/test_roundnine.py`), ACTIVATED next round once CORRECTNESS_r08
+drains the backlog — `registry._ensure_loaded` does NOT import this
+module; round 9 adds `roundnine.activate()` there.
+
+Batch theme: remaining standard-toolbox members each family still
+lacked — Cramér-von Mises (the quadratic ECDF two-sample test beside
+KS's supremum), per-term burstiness (the dispersion dual of tf-idf),
+interval-union coverage (the measure dual of the overlap audit), a
+generalization ladder (the k-anonymity REPAIR search, not just the
+audit), Katz centrality and harmonic closeness (bounded-hop walk
+centralities beside PageRank/LPA), and a jackknife CI on AUC.
+
+House discipline throughout: bounded-domain partial aggregation,
+exact integer/decimal arithmetic across the engine boundary, DuckDB
+oracle twin per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import Tables
+
+QUEUE: list[tuple] = []
+
+
+def _queued(name: str, oracle: str):
+    def deco(fn):
+        QUEUE.append((name, fn, oracle, fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+_ACTIVATED = False
+
+
+def activate() -> None:
+    """Register every queued query (round-9 switch; idempotent)."""
+    global _ACTIVATED
+    if _ACTIVATED:
+        return
+    from ..registry import register
+
+    for name, fn, oracle, doc in QUEUE:
+        register(name, oracle=oracle, doc=doc)(fn)
+    _ACTIVATED = True
+
+
+def _dec(c):
+    return c.cast("decimal(38,0)")
+
+
+# ---------------------------------------------------------------------------
+# 1. Cramér-von Mises two-sample test: quantity, returned vs non-returned
+# ---------------------------------------------------------------------------
+
+
+def _cvm_oracle() -> str:
+    from ..functions.exact import sql_round_big_int_ratio
+
+    return f"""
+    WITH c AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+      FROM lineitem WHERE l_returnflag IN ('R', 'N') AND l_quantity IS NOT NULL
+    ), dv AS (
+      SELECT v,
+             CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cx,
+             CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cy
+      FROM c GROUP BY v
+    ), cum AS (
+      SELECT v, cx, cy,
+             sum(cx) OVER (ORDER BY v) AS cumx,
+             sum(cy) OVER (ORDER BY v) AS cumy,
+             sum(cx) OVER () AS n, sum(cy) OVER () AS m
+      FROM dv
+    ), s AS (
+      SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(m) AS BIGINT) AS m,
+             CAST(sum((cx + cy)::HUGEINT
+                      * (cumx::HUGEINT * m - cumy::HUGEINT * n)
+                      * (cumx::HUGEINT * m - cumy::HUGEINT * n)) AS HUGEINT)
+               AS num
+      FROM cum
+    )
+    SELECT n, m,
+           {sql_round_big_int_ratio(
+               'num',
+               '(n + m)::HUGEINT * (n + m) * n * m', 9)} AS t_cvm
+    FROM s
+    """
+
+
+@_queued("stats_cvm_two_sample", oracle=_cvm_oracle())
+def stats_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér-von Mises two-sample statistic on line quantity between
+    returned ('R') and non-returned ('N') lines: the tie-adapted
+    quadratic ECDF distance T = (n·m/N^2) * sum_k p_k-weighted
+    (F_n(v_k) - G_m(v_k))^2, evaluated over the pooled distinct-value
+    domain — the integral companion of the KS supremum test
+    (``stats_ks_two_sample``): KS sees the single worst gap, CvM sees
+    the accumulated gap, so they disagree exactly when distributions
+    differ in the body vs at one quantile.
+
+    Exactness: both ECDFs are integer cumulatives over the <= 50
+    distinct quantity values; the squared difference is computed on
+    the nm-scaled integer diff = cumx*m - cumy*n, so the whole
+    statistic is ONE exact decimal ratio num / (N^2*n*m) quantized
+    half-up 1e-9. One scan, one bounded ordered pass — nothing
+    row-scaled after the partial aggregation.
+    """
+    from ..functions.exact import round_big_int_ratio
+
+    t = Tables(spark, sf_dir)
+    c = t.lineitem.filter(
+        F.col("l_returnflag").isin("R", "N") & F.col("l_quantity").isNotNull()
+    ).select(F.col("l_returnflag").alias("g"), F.col("l_quantity").cast("long").alias("v"))
+    dv = c.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == "R", 1).otherwise(0)).alias("cx"),
+        F.sum(F.when(F.col("g") == "N", 1).otherwise(0)).alias("cy"),
+    )
+    w_ord = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = dv.select(
+        "cx",
+        "cy",
+        F.sum("cx").over(w_ord).alias("cumx"),
+        F.sum("cy").over(w_ord).alias("cumy"),
+        F.sum("cx").over(w_all).alias("n"),
+        F.sum("cy").over(w_all).alias("m"),
+    )
+    diff = _dec(F.col("cumx")) * F.col("m") - _dec(F.col("cumy")) * F.col("n")
+    s = cum.select(
+        "n", "m", (_dec(F.col("cx") + F.col("cy")) * diff * diff).alias("term")
+    ).groupBy().agg(
+        F.max("n").alias("n"), F.max("m").alias("m"), F.sum("term").alias("num")
+    )
+    big_n = _dec(F.col("n") + F.col("m"))
+    return s.select(
+        "n",
+        "m",
+        round_big_int_ratio(
+            F.col("num"), big_n * big_n * F.col("n") * F.col("m"), 9
+        ).alias("t_cvm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Per-term burstiness (variance-to-mean of per-doc counts), top terms
+# ---------------------------------------------------------------------------
+
+BURST_TOPK = 20
+
+
+def _burstiness_oracle() -> str:
+    from .corpus import _SQL_TOKENS
+    from ..functions.exact import sql_round_big_int_ratio
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), tc AS (
+      SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY token, doc_id
+    ), per_term AS (
+      SELECT token,
+             CAST(sum(c) AS BIGINT) AS tf,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c * c) AS BIGINT) AS sum_c2
+      FROM tc GROUP BY token
+    ), d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    top AS (
+      SELECT p.*, d.n_docs FROM per_term p, d
+      ORDER BY tf DESC, token LIMIT {BURST_TOPK}
+    )
+    SELECT token, tf, df,
+           {sql_round_big_int_ratio(
+               'n_docs::HUGEINT * sum_c2 - tf::HUGEINT * tf',
+               'n_docs::HUGEINT * tf')} AS burstiness_vmr
+    FROM top
+    """
+
+
+@_queued("text_term_burstiness_topk", oracle=_burstiness_oracle())
+def text_term_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (variance-to-mean ratio of per-document counts,
+    zero-inclusive) for the top-20 terms by total frequency: VMR = 1
+    for a Poisson-scattered term, >1 for a "bursty" content word that
+    clumps into few documents — the dispersion dual of tf-idf (df
+    measures WHERE a term appears, burstiness measures HOW unevenly),
+    the standard content-word/function-word separator.
+
+    VMR over all D docs (including zero-count docs) reduces to
+    (D*sum_c2 - tf^2)/(D*tf) — exact integers from the same
+    (token, doc) partial aggregation the tf-idf family uses; the
+    D-scaling keeps the zero docs implicit so no dense term x doc
+    grid is ever materialized. Vocabulary-sized shuffle; top-k via
+    (tf DESC, token) total order.
+    """
+    from ..functions.exact import round_big_int_ratio
+    from ..functions.textnorm import whitespace_tokens
+
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("token")
+    )
+    tc = toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    per_term = tc.groupBy("token").agg(
+        F.sum("c").alias("tf"),
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+    )
+    n_docs = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    top = (
+        per_term.crossJoin(F.broadcast(n_docs))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(BURST_TOPK)
+    )
+    return top.select(
+        "token",
+        "tf",
+        "df",
+        round_big_int_ratio(
+            _dec(F.col("n_docs")) * F.col("sum_c2") - _dec(F.col("tf")) * F.col("tf"),
+            _dec(F.col("n_docs")) * F.col("tf"),
+        ).alias("burstiness_vmr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Interval-union coverage: per-customer activity-window union length
+# ---------------------------------------------------------------------------
+
+COVERAGE_WINDOW_DAYS = 30
+
+
+def _coverage_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    return f"""
+    WITH iv AS (
+      SELECT o_custkey,
+             CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+               AS BIGINT) AS s
+      FROM orders
+    ), iv2 AS (
+      SELECT o_custkey, s, s + {COVERAGE_WINDOW_DAYS} AS e FROM iv
+    ), runs AS (
+      SELECT o_custkey, s, e,
+             max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+      FROM iv2
+    ), contrib AS (
+      SELECT o_custkey,
+             CASE WHEN prev_max_e IS NULL THEN e - s
+                  WHEN prev_max_e >= e THEN 0
+                  WHEN prev_max_e >= s THEN e - prev_max_e
+                  ELSE e - s END AS add_days,
+             s, e
+      FROM runs
+    ), per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(add_days) AS BIGINT) AS covered_days,
+             CAST(max(e) - min(s) AS BIGINT) AS span_days,
+             CAST(count(*) AS BIGINT) AS n_windows
+      FROM contrib GROUP BY o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(covered_days) AS BIGINT) AS total_covered_days,
+           CAST(max(covered_days) AS BIGINT) AS max_covered_days,
+           {sql_round_int_ratio('sum(covered_days)', 'sum(span_days)')}
+             AS mean_coverage_ratio,
+           CAST(sum(CASE WHEN covered_days < span_days THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_customers_with_gaps
+    FROM per_cust
+    """
+
+
+@_queued("dq_interval_union_coverage", oracle=_coverage_oracle())
+def dq_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-UNION coverage per customer: treating each order as a
+    30-day activity window, compute the union length (overlaps merged)
+    of each customer's windows via the classic running-max sweep, then
+    report corpus-level coverage stats — the measure dual of the
+    overlap-pair audit (``dq_interval_overlap_orders``): overlap
+    counts say whether intervals collide, union coverage says how much
+    real time they span (SLA uptime, subscription coverage, session
+    wall-clock).
+
+    The sweep is one ordered window PER CUSTOMER (partitioned, never
+    global): each interval contributes max(0, e - max(s, running max
+    of previous ends)) days — exact integer day arithmetic on an
+    epoch-anchored day number, summed per customer then one
+    constant-size final aggregate with an exact coverage ratio.
+    """
+    from ..functions.exact import round_int_ratio
+
+    t = Tables(spark, sf_dir)
+    iv = t.orders.select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date"))
+        .cast("long")
+        .alias("s"),
+    ).withColumn("e", F.col("s") + COVERAGE_WINDOW_DAYS)
+    w_prev = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runs = iv.select(
+        "o_custkey", "s", "e", F.max("e").over(w_prev).alias("prev_max_e")
+    )
+    add_days = (
+        F.when(F.col("prev_max_e").isNull(), F.col("e") - F.col("s"))
+        .when(F.col("prev_max_e") >= F.col("e"), F.lit(0))
+        .when(F.col("prev_max_e") >= F.col("s"), F.col("e") - F.col("prev_max_e"))
+        .otherwise(F.col("e") - F.col("s"))
+    )
+    per_cust = runs.select("o_custkey", "s", "e", add_days.alias("add_days")).groupBy(
+        "o_custkey"
+    ).agg(
+        F.sum("add_days").alias("covered_days"),
+        (F.max("e") - F.min("s")).alias("span_days"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+    return per_cust.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("covered_days").alias("total_covered_days"),
+        F.max("covered_days").alias("max_covered_days"),
+        round_int_ratio(F.sum("covered_days"), F.sum("span_days")).alias(
+            "mean_coverage_ratio"
+        ),
+        F.sum(F.when(F.col("covered_days") < F.col("span_days"), 1).otherwise(0)).alias(
+            "n_customers_with_gaps"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. k-anonymity generalization ladder (the repair search, not the audit)
+# ---------------------------------------------------------------------------
+
+KANON_K = 5
+
+
+def _ladder_oracle() -> str:
+    return f"""
+    WITH base AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_kb
+      FROM customer
+    ), classes AS (
+      SELECT CASE WHEN grouping(bal_kb) = 0 THEN 0
+                  WHEN grouping(seg) = 0 THEN 1
+                  ELSE 2 END AS level,
+             CAST(count(*) AS BIGINT) AS class_size
+      FROM base
+      GROUP BY GROUPING SETS ((nat, seg, bal_kb), (nat, seg), (nat))
+    )
+    SELECT level,
+           CASE level WHEN 0 THEN 'nation+segment+balance_kb'
+                      WHEN 1 THEN 'nation+segment'
+                      ELSE 'nation' END AS quasi_identifier,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(class_size) AS BIGINT) AS min_class_size,
+           CAST(sum(CASE WHEN class_size < {KANON_K} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_classes_below_k,
+           CAST(sum(CASE WHEN class_size < {KANON_K} THEN class_size ELSE 0 END)
+             AS BIGINT) AS n_rows_below_k,
+           min(class_size) >= {KANON_K} AS achieves_k
+    FROM classes GROUP BY level ORDER BY level
+    """
+
+
+@_queued("privacy_generalization_ladder", oracle=_ladder_oracle())
+def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization ladder: evaluate the SAME k=5
+    anonymity criterion at three successive generalizations of the
+    quasi-identifier — (nation, segment, $1000-balance-bucket) ->
+    (nation, segment) -> (nation) — reporting per level the class
+    count, minimum class size, below-k class/row counts, and whether
+    the level achieves k. Where ``privacy_k_anonymity_audit`` answers
+    "is this release safe?", the ladder answers the repair question
+    "how much must I generalize before it becomes safe?" — the core
+    loop of Samarati-style full-domain generalization.
+
+    Spark-first: ALL levels come from ONE scan via GROUPING SETS
+    (grouping(..) flags recover the level), so the ladder costs one
+    shuffle regardless of its depth; the per-level summary is a
+    second, |levels|-bounded aggregate.
+    """
+    t = Tables(spark, sf_dir)
+    base = t.customer.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bal_kb"),
+    )
+    classes = (
+        base.groupingSets(
+            [["nat", "seg", "bal_kb"], ["nat", "seg"], ["nat"]],
+            "nat",
+            "seg",
+            "bal_kb",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.grouping("seg").alias("g_seg"),
+            F.grouping("bal_kb").alias("g_bal"),
+        )
+        .select(
+            F.when(F.col("g_bal") == 0, F.lit(0))
+            .when(F.col("g_seg") == 0, F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("level"),
+            "class_size",
+        )
+    )
+    return (
+        classes.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.min("class_size").alias("min_class_size"),
+            F.sum(F.when(F.col("class_size") < KANON_K, 1).otherwise(0)).alias(
+                "n_classes_below_k"
+            ),
+            F.sum(
+                F.when(F.col("class_size") < KANON_K, F.col("class_size")).otherwise(0)
+            ).alias("n_rows_below_k"),
+            (F.min("class_size") >= KANON_K).alias("achieves_k"),
+        )
+        .select(
+            "level",
+            F.when(F.col("level") == 0, "nation+segment+balance_kb")
+            .when(F.col("level") == 1, "nation+segment")
+            .otherwise("nation")
+            .alias("quasi_identifier"),
+            "n_classes",
+            "min_class_size",
+            "n_classes_below_k",
+            "n_rows_below_k",
+            "achieves_k",
+        )
+        .orderBy("level")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Katz centrality of seed parts (3-term walk series, no walk tables)
+# ---------------------------------------------------------------------------
+
+KATZ_SEED_MAX = 40
+# beta = 0.005: beta^k * 1e9 = {5e6, 25e3, 125} — exact integer weights
+KATZ_W1, KATZ_W2, KATZ_W3 = 5_000_000, 25_000, 125
+
+
+def _katz_oracle() -> str:
+    from .graph import _SQL_EDGES
+
+    return (
+        _SQL_EDGES
+        + f"""
+    , adj AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ), deg AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY u
+    ), need AS (
+      -- s2 is only consumed at the seeds (w2) and their neighbors
+      -- (w3 terms): restricting the walk-sum aggregate to this
+      -- seed-bounded node set is what keeps the op off the full graph
+      SELECT DISTINCT u AS node FROM adj WHERE u < {KATZ_SEED_MAX}
+      UNION
+      SELECT DISTINCT v AS node FROM adj WHERE u < {KATZ_SEED_MAX}
+    ), s2 AS (
+      SELECT a.u AS node, CAST(sum(d.degree) AS BIGINT) AS walk2
+      FROM adj a
+      JOIN need n ON n.node = a.u
+      JOIN deg d ON d.node = a.v
+      GROUP BY a.u
+    ), seeds AS (
+      SELECT d.node AS seed, d.degree AS w1,
+             s.walk2 AS w2,
+             (SELECT CAST(sum(s2b.walk2) AS BIGINT)
+              FROM adj a JOIN s2 s2b ON s2b.node = a.v
+              WHERE a.u = d.node) AS w3
+      FROM deg d JOIN s2 s ON s.node = d.node
+      WHERE d.node < {KATZ_SEED_MAX}
+    )
+    SELECT seed AS seed_part, w1 AS walks_1, w2 AS walks_2, w3 AS walks_3,
+           CAST(w1 * {KATZ_W1} + w2 * {KATZ_W2} + w3 * {KATZ_W3} AS BIGINT)
+             / 1000000000.0 AS katz
+    FROM seeds ORDER BY seed_part
+    """
+    )
+
+
+@_queued("graph_katz_centrality_seeds", oracle=_katz_oracle())
+def graph_katz_centrality_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (3-term walk series, beta = 0.005) of the seed
+    parts: K(u) = sum_k beta^k * walks_k(u) — the walk-counting
+    centrality between degree (k=1 only) and PageRank (infinite
+    random walk), completing the centrality family.
+
+    The crucial plan property: NO walk table is ever materialized.
+    walks_2(u) = sum of neighbor degrees and walks_3(u) = sum of
+    neighbor walks_2 are each one adjacency-join-aggregate (dynamic
+    programming on the walk recursion), and the s2 aggregate is
+    RESTRICTED to the seed-bounded node set that actually consumes it
+    (seeds + their neighbors) — the first draft ran it over the full
+    graph and measured 12.8x at the x10 fixture (denser replica graph
+    inflates Sum(deg) everywhere); the restriction is the same lesson
+    the Adamic-Adar det-ln fix recorded (SCALE.md 5g.4). The naive
+    3-hop walk enumeration would be Sum(deg^3) rows. beta^k * 1e9 are
+    exact integer weights {{5e6, 25e3, 125}}, so Katz is an exact
+    int64 dot product in 1e-9 units.
+    """
+    from .graph import _degrees, edge_table
+
+    t = Tables(spark, sf_dir)
+    edges = edge_table(spark, t, sf_dir)
+    adj = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = _degrees(edges)
+    seed_adj = adj.filter(F.col("u") < KATZ_SEED_MAX)
+    need = (
+        seed_adj.select(F.col("u").alias("node"))
+        .unionAll(seed_adj.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    s2 = (
+        adj.join(F.broadcast(need), adj.u == need.node)
+        .join(deg.withColumnRenamed("node", "v"), "v")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.sum("degree").alias("walk2"))
+    )
+    s3 = (
+        adj.join(s2.withColumnRenamed("node", "v"), "v")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.sum("walk2").alias("walk3"))
+    )
+    seeds = (
+        deg.filter(F.col("node") < KATZ_SEED_MAX)
+        .join(s2, "node")
+        .join(s3, "node")
+    )
+    katz_u = (
+        F.col("degree") * KATZ_W1 + F.col("walk2") * KATZ_W2 + F.col("walk3") * KATZ_W3
+    )
+    return seeds.select(
+        F.col("node").alias("seed_part"),
+        F.col("degree").alias("walks_1"),
+        F.col("walk2").alias("walks_2"),
+        F.col("walk3").alias("walks_3"),
+        (katz_u.cast("long") / F.lit(1e9)).alias("katz"),
+    ).orderBy("seed_part")
+
+
+# ---------------------------------------------------------------------------
+# 6. Truncated harmonic closeness of seed parts (exact 3-hop distances)
+# ---------------------------------------------------------------------------
+
+HARM_SEED_MAX = 10
+# half-up(1e12 / d) for d = 1, 2, 3 — exact reciprocal micro-units
+HARM_R1, HARM_R2, HARM_R3 = 10**12, 5 * 10**11, 333_333_333_333
+
+
+def _harmonic_oracle() -> str:
+    from .graph import _SQL_EDGES
+
+    return (
+        _SQL_EDGES
+        + f"""
+    , adj AS MATERIALIZED (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ), seeds AS (
+      SELECT DISTINCT u AS seed FROM adj WHERE u < {HARM_SEED_MAX}
+    ), d1 AS MATERIALIZED (
+      SELECT DISTINCT s.seed, a.v AS node
+      FROM seeds s JOIN adj a ON a.u = s.seed
+    ), d2 AS MATERIALIZED (
+      SELECT seed, node FROM (
+        SELECT DISTINCT h.seed, a.v AS node
+        FROM d1 h JOIN adj a ON a.u = h.node
+        WHERE a.v <> h.seed
+      ) x WHERE NOT EXISTS (
+        SELECT 1 FROM d1 WHERE d1.seed = x.seed AND d1.node = x.node)
+    ), d3 AS (
+      SELECT seed, node FROM (
+        SELECT DISTINCT h.seed, a.v AS node
+        FROM d2 h JOIN adj a ON a.u = h.node
+        WHERE a.v <> h.seed
+      ) x WHERE NOT EXISTS (
+        SELECT 1 FROM d1 WHERE d1.seed = x.seed AND d1.node = x.node)
+      AND NOT EXISTS (
+        SELECT 1 FROM d2 WHERE d2.seed = x.seed AND d2.node = x.node)
+    ), counts AS (
+      SELECT s.seed,
+             (SELECT CAST(count(*) AS BIGINT) FROM d1 WHERE d1.seed = s.seed) AS n1,
+             (SELECT CAST(count(*) AS BIGINT) FROM d2 WHERE d2.seed = s.seed) AS n2,
+             (SELECT CAST(count(*) AS BIGINT) FROM d3 WHERE d3.seed = s.seed) AS n3
+      FROM seeds s
+    )
+    SELECT seed AS seed_part, n1 AS n_dist1, n2 AS n_dist2, n3 AS n_dist3,
+           CAST(n1 * {HARM_R1} + n2 * {HARM_R2} + n3 * {HARM_R3} AS BIGINT)
+             / 1000000000000.0 AS harmonic_closeness
+    FROM counts ORDER BY seed_part
+    """
+    )
+
+
+@_queued("graph_harmonic_closeness_seeds", oracle=_harmonic_oracle())
+def graph_harmonic_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic closeness of the seed parts: H(u) =
+    sum over nodes v within 3 hops of 1/d(u,v) — the
+    disconnected-graph-safe closeness (unreachable nodes contribute 0
+    instead of breaking the mean), truncated at 3 hops the way
+    production centrality jobs bound BFS depth. Complements Katz:
+    Katz counts WALKS (hubs amplified), harmonic counts DISTINCT
+    nodes by exact distance.
+
+    Exact layered BFS: distance-d frontier = d-hop expansion
+    anti-joined against all closer layers, each layer keyed
+    (seed, node) and seed-bounded; 1/d for d = 1..3 are exact half-up
+    1e-12 reciprocals so H is an exact int64 dot product. Reads the
+    session-cached edge table; every join is a node-keyed equi-join.
+    """
+    from .graph import edge_table
+
+    t = Tables(spark, sf_dir)
+    edges = edge_table(spark, t, sf_dir)
+    adj = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    seeds = (
+        adj.select(F.col("u").alias("seed"))
+        .where(F.col("seed") < HARM_SEED_MAX)
+        .distinct()
+    )
+    d1 = (
+        seeds.join(adj, seeds.seed == adj.u)
+        .select("seed", F.col("v").alias("node"))
+        .distinct()
+    )
+    exp2 = (
+        d1.select("seed", F.col("node").alias("u"))
+        .join(adj, "u")
+        .where(F.col("v") != F.col("seed"))
+        .select("seed", F.col("v").alias("node"))
+        .distinct()
+    )
+    d2 = exp2.join(d1, ["seed", "node"], "left_anti")
+    exp3 = (
+        d2.select("seed", F.col("node").alias("u"))
+        .join(adj, "u")
+        .where(F.col("v") != F.col("seed"))
+        .select("seed", F.col("v").alias("node"))
+        .distinct()
+    )
+    d3 = exp3.join(d1, ["seed", "node"], "left_anti").join(
+        d2, ["seed", "node"], "left_anti"
+    )
+    n1 = d1.groupBy("seed").agg(F.count(F.lit(1)).alias("n_dist1"))
+    n2 = d2.groupBy("seed").agg(F.count(F.lit(1)).alias("n_dist2"))
+    n3 = d3.groupBy("seed").agg(F.count(F.lit(1)).alias("n_dist3"))
+    out = (
+        n1.join(n2, "seed", "left")
+        .join(n3, "seed", "left")
+        .select(
+            F.col("seed").alias("seed_part"),
+            "n_dist1",
+            F.coalesce(F.col("n_dist2"), F.lit(0)).alias("n_dist2"),
+            F.coalesce(F.col("n_dist3"), F.lit(0)).alias("n_dist3"),
+        )
+    )
+    h_u = (
+        F.col("n_dist1") * HARM_R1
+        + F.col("n_dist2") * HARM_R2
+        + F.col("n_dist3") * HARM_R3
+    )
+    return out.select(
+        "seed_part",
+        "n_dist1",
+        "n_dist2",
+        "n_dist3",
+        (h_u.cast("long") / F.lit(1e12)).alias("harmonic_closeness"),
+    ).orderBy("seed_part")
+
+
+# ---------------------------------------------------------------------------
+# 7. Murphy decomposition of the Brier score (reliability / resolution /
+#    uncertainty) over the classifier deciles
+# ---------------------------------------------------------------------------
+
+BRIER_SCALE = 10_000  # score_q unit (1e-4 score quantization)
+
+
+def _brier_decomp_oracle() -> str:
+    from .ml import _scored_labeled_sql
+    from ..functions.exact import sql_round_big_int_ratio
+
+    s = BRIER_SCALE
+    return (
+        _scored_labeled_sql()
+        + f"""
+    , bins AS (
+      SELECT CAST(least(score_q // 1000, 9) AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_k,
+             CAST(sum(label) AS BIGINT) AS pos_k,
+             CAST(sum(score_q) AS BIGINT) AS sum_q_k,
+             CAST(sum((score_q - {s} * label)::HUGEINT
+                      * (score_q - {s} * label)) AS HUGEINT) AS sq_err_k
+      FROM scored GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_k) AS BIGINT) AS n,
+             CAST(sum(pos_k) AS BIGINT) AS pos,
+             CAST(sum(sq_err_k) AS HUGEINT) AS sq_err
+      FROM bins
+    ), terms AS (
+      SELECT b.*, t.n, t.pos, t.sq_err,
+             (2 * ((b.sum_q_k - {s} * b.pos_k)::HUGEINT
+                   * (b.sum_q_k - {s} * b.pos_k) * 1000000000) + b.n_k)
+               // (2::HUGEINT * b.n_k) AS rel_u,
+             (2 * ((b.pos_k::HUGEINT * t.n - t.pos::HUGEINT * b.n_k)
+                   * (b.pos_k::HUGEINT * t.n - t.pos::HUGEINT * b.n_k)
+                   * 1000000000) + b.n_k) // (2::HUGEINT * b.n_k) AS res_u
+      FROM bins b, tot t
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(max(pos) AS BIGINT) AS n_pos,
+           {sql_round_big_int_ratio(
+               'max(sq_err)', f'max(n)::HUGEINT * {s} * {s}', 9)} AS brier,
+           {sql_round_big_int_ratio(
+               'sum(rel_u)',
+               f'max(n)::HUGEINT * {s} * {s} * 1000000000', 9)} AS reliability,
+           {sql_round_big_int_ratio(
+               'sum(res_u)',
+               'max(n)::HUGEINT * max(n) * max(n) * 1000000000', 9)} AS resolution,
+           {sql_round_big_int_ratio(
+               'max(pos)::HUGEINT * (max(n) - max(pos))',
+               'max(n)::HUGEINT * max(n)', 9)} AS uncertainty
+    FROM terms
+    """
+    )
+
+
+@_queued("ml_brier_decomposition", oracle=_brier_decomp_oracle())
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the quality classifier's Brier score
+    over its 10 calibration deciles: BS alongside reliability
+    (calibration error — how far bin-mean forecasts sit from bin
+    event rates; lower is better), resolution (how much the bins
+    separate the base rate; higher is better) and uncertainty (the
+    irreducible o(1-o)) — the canonical diagnosis of WHY a Brier
+    score is what it is, on top of the raw score
+    (``ml_brier_score_by_lang``) and the reliability diagram
+    (``ml_calibration_curve``). BS ≈ REL - RES + UNC up to the
+    within-bin forecast-variance/covariance terms (non-constant
+    forecasts inside a decile); the replica test pins the exact
+    residual.
+
+    All four values are exact decimal ratios of integer sufficient
+    statistics from ONE document scan + a 10-key aggregate: squared
+    errors on the 1e-4 score grid, per-bin REL/RES numerators
+    quantized half-up 1e-9 per bin (deterministic in both engines),
+    one ratio each at the end. Shuffle volume: 10 rows.
+    """
+    from .ml import _scored_labeled
+    from ..functions.exact import round_big_int_ratio
+
+    s = BRIER_SCALE
+    t = Tables(spark, sf_dir)
+    sc = _scored_labeled(t)
+    err = F.col("score_q") - s * F.col("label")
+    bins = sc.groupBy(
+        F.least(F.floor(F.col("score_q") / F.lit(1000)), F.lit(9)).cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum("label").alias("pos_k"),
+        F.sum("score_q").alias("sum_q_k"),
+        F.sum(_dec(err) * err).alias("sq_err_k"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    withtot = bins.select(
+        "*",
+        F.sum("n_k").over(w_all).alias("n"),
+        F.sum("pos_k").over(w_all).alias("pos"),
+        F.sum("sq_err_k").over(w_all).alias("sq_err"),
+    )
+    rel_num = _dec(F.col("sum_q_k") - s * F.col("pos_k"))
+    rel_a = F.lit(2).cast("decimal(38,0)") * (rel_num * rel_num * F.lit(10**9)) + F.col("n_k")
+    rel_b = F.lit(2).cast("decimal(38,0)") * F.col("n_k")
+    res_num = _dec(F.col("pos_k")) * F.col("n") - _dec(F.col("pos")) * F.col("n_k")
+    res_a = F.lit(2).cast("decimal(38,0)") * (res_num * res_num * F.lit(10**9)) + F.col("n_k")
+    res_b = rel_b
+    terms = withtot.select(
+        "n",
+        "pos",
+        "sq_err",
+        ((rel_a - rel_a % rel_b) / rel_b).cast("decimal(38,0)").alias("rel_u"),
+        ((res_a - res_a % res_b) / res_b).cast("decimal(38,0)").alias("res_u"),
+    )
+    agg = terms.agg(
+        F.max("n").alias("n"),
+        F.max("pos").alias("pos"),
+        F.max("sq_err").alias("sq_err"),
+        F.sum("rel_u").alias("sum_rel_u"),
+        F.sum("res_u").alias("sum_res_u"),
+    )
+    return agg.select(
+        F.col("n"),
+        F.col("pos").alias("n_pos"),
+        round_big_int_ratio(F.col("sq_err"), _dec(F.col("n")) * F.lit(s * s), 9).alias(
+            "brier"
+        ),
+        round_big_int_ratio(
+            F.col("sum_rel_u"), _dec(F.col("n")) * F.lit(s * s) * F.lit(10**9), 9
+        ).alias("reliability"),
+        round_big_int_ratio(
+            F.col("sum_res_u"),
+            _dec(F.col("n")) * F.col("n") * F.col("n") * F.lit(10**9),
+            9,
+        ).alias("resolution"),
+        round_big_int_ratio(
+            _dec(F.col("pos")) * (F.col("n") - F.col("pos")),
+            _dec(F.col("n")) * F.col("n"),
+            9,
+        ).alias("uncertainty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. Page-Hinkley drift detector over the daily order-count series
+# ---------------------------------------------------------------------------
+
+PH_DELTA_MILLI = 500  # drift allowance delta = 0.5 counts/day, in 1e-3 units
+
+
+def _page_hinkley_oracle() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), stat AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM daily
+    ), m AS (
+      SELECT day, n,
+             sum(1000 * n * x - 1000 * s - {PH_DELTA_MILLI} * n)
+               OVER (ORDER BY day) AS m_t
+      FROM daily, stat
+    ), exc AS (
+      SELECT day, n, m_t,
+             m_t - min(m_t) OVER (ORDER BY day) AS ph_t
+      FROM m
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_days,
+           CAST(max(ph_t) AS BIGINT) AS ph_max_scaled,
+           CAST(max(ph_t) AS DOUBLE) / (1000.0 * max(n)) AS ph_max,
+           strftime(min(CASE WHEN ph_t = (SELECT max(ph_t) FROM exc)
+                         THEN day END), '%Y-%m-%d') AS argmax_day
+    FROM exc
+    """
+
+
+@_queued("stats_page_hinkley_orders", oracle=_page_hinkley_oracle())
+def stats_page_hinkley_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift detector over the daily order-count
+    series: m_t = sum_{i<=t}(x_i - mean - delta), PH_t = m_t - min m,
+    reporting the maximum excursion and its earliest date — the
+    sequential mean-shift monitor beside CUSUM
+    (``events_cusum_changepoint``, which tracks level shifts without
+    the drift allowance) and the retrospective tests (Pettitt,
+    binary segmentation). delta = 0.5/day tolerates slow drift; a
+    large PH max flags a sustained upward shift.
+
+    Exact integers end-to-end: mean-centering is n-scaled
+    (1000*n*x - 1000*S - delta_milli*n per day), so the prefix sums,
+    running minimum, and excursion are int64 in n*1e-3 count units;
+    the display value divides once. Both ordered passes run on the
+    calendar-day series (~2.4k rows), never raw orders.
+    """
+    t = Tables(spark, sf_dir)
+    daily = t.orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    stat = daily.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    w_ord = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    m = daily.crossJoin(F.broadcast(stat)).select(
+        "day",
+        "n",
+        F.sum(
+            F.lit(1000) * F.col("n") * F.col("x")
+            - F.lit(1000) * F.col("s")
+            - F.lit(PH_DELTA_MILLI) * F.col("n")
+        )
+        .over(w_ord)
+        .alias("m_t"),
+    )
+    exc = m.select(
+        "day", "n", (F.col("m_t") - F.min("m_t").over(w_ord)).alias("ph_t")
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = exc.select(
+        "day", "n", "ph_t", F.max("ph_t").over(w_all).alias("ph_max_scaled")
+    )
+    return ranked.filter(F.col("ph_t") == F.col("ph_max_scaled")).agg(
+        F.max("n").alias("n_days"),
+        F.max("ph_max_scaled").alias("ph_max_scaled"),
+        (
+            F.max("ph_max_scaled").cast("double") / (F.lit(1000.0) * F.max("n"))
+        ).alias("ph_max"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("argmax_day"),
+    )

@@ -1,0 +1,142 @@
+"""Round-9 banked-queue gate: every operator in
+``operators/roundnine.py`` must pass the SAME canon/compare the
+driver's correctness gate uses and meet the registry-wide plan bars
+NOW — activation in round 9 is then a pure registration flip, exactly
+the round-4/5 pattern (``operators/roundfive.py``).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_public_data_ingestor_spark.operators import roundnine
+from tools.check_correctness import canon, compare, duck_connection
+
+
+def test_queue_does_not_touch_live_registry():
+    """Round 8's driver window is exactly full (50/50) — importing the
+    banked queue must register NOTHING until round 9 activates it."""
+    from mysql_public_data_ingestor_spark import registry
+
+    registry._ensure_loaded()
+    queued = {name for name, *_ in roundnine.QUEUE}
+    assert queued, "queue unexpectedly empty"
+    leaked = queued & set(registry._REGISTRY)
+    assert not leaked, f"queued names leaked into the live registry: {leaked}"
+
+
+def test_queue_entries_well_formed():
+    seen = set()
+    for name, fn, oracle, doc in roundnine.QUEUE:
+        assert name not in seen, f"duplicate queue name {name}"
+        seen.add(name)
+        assert callable(fn)
+        assert isinstance(oracle, str) and oracle.strip()
+        assert doc.strip(), f"{name} missing docstring"
+
+
+@pytest.mark.parametrize(
+    "entry", roundnine.QUEUE, ids=[name for name, *_ in roundnine.QUEUE]
+)
+def test_queued_query_matches_oracle(spark, sf_dir, entry):
+    name, fn, oracle, _doc = entry
+    sdf = canon(fn(spark, sf_dir).toPandas())
+    con = duck_connection(sf_dir)
+    try:
+        odf = canon(con.execute(oracle).fetchdf())
+    finally:
+        con.close()
+    problems = compare(name, sdf, odf)
+    assert not problems, f"{name}: {problems}"
+
+
+# Queued ops must meet the same scale bar as the registry BEFORE
+# activation — replicate the registry-wide plan sweeps over the queue.
+#
+# stats_cvm_two_sample: the ordered ECDF pass runs over the POST-
+#   AGGREGATION <= 50-distinct-quantity domain, not rows.
+# stats_page_hinkley_orders: prefix sum + running min over the POST-
+#   AGGREGATION calendar-day series (~2.4k rows at any corpus size).
+# ml_brier_decomposition: the total-recovery window runs over the 10
+#   decile rows of the final aggregate.
+QUEUE_SP_ALLOWLIST = {
+    "stats_cvm_two_sample",
+    "stats_page_hinkley_orders",
+    "ml_brier_decomposition",
+}
+
+
+def _sp_consumers(plan: str) -> list[str]:
+    import re
+
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        if "REPARTITION_BY_NUM" in line:
+            continue
+        for j in range(i - 1, -1, -1):
+            m = re.match(r"\s*[:+\-\s]*([A-Za-z]+)", lines[j])
+            if m and m.group(1) != "Exchange":
+                out.append(m.group(1))
+                break
+    return out
+
+
+def test_queue_single_partition_only_feeds_final_aggregates(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.plans import physical_plan
+
+    offenders = {}
+    for name, fn, _oracle, _doc in roundnine.QUEUE:
+        if name in QUEUE_SP_ALLOWLIST:
+            continue
+        plan = physical_plan(fn(spark, sf_dir))
+        bad = [
+            c
+            for c in _sp_consumers(plan)
+            if c not in ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+def test_queue_no_cartesian_products(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.plans import assert_no_cartesian
+
+    offenders = []
+    for name, fn, _oracle, _doc in roundnine.QUEUE:
+        try:
+            assert_no_cartesian(fn(spark, sf_dir))
+        except AssertionError:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_activate_registers_cleanly_in_subprocess():
+    """Prove now — in a subprocess, so the live registry stays clean —
+    that round-9 activation will register every queued name without
+    collisions and the window machinery still orders them first."""
+    import subprocess
+    import sys
+
+    code = (
+        "from mysql_public_data_ingestor_spark import registry\n"
+        "registry._ensure_loaded()\n"
+        "from mysql_public_data_ingestor_spark.operators import roundnine\n"
+        "roundnine.activate()\n"
+        "roundnine.activate()\n"  # idempotent
+        "names = set(registry._REGISTRY)\n"
+        "queued = {n for n, *_ in roundnine.QUEUE}\n"
+        "missing = queued - names\n"
+        "assert not missing, f'not registered: {missing}'\n"
+        "no_oracle = {n for n in queued if registry._REGISTRY[n].oracle is None}\n"
+        "assert not no_oracle, f'registered without oracle: {no_oracle}'\n"
+        "print('OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd="/root/repo"
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout
