@@ -1,0 +1,276 @@
+"""Independent Python replicas for the round-9 banked queue — same
+pattern as tests/test_roundeight3.py: the oracle gate in
+tests/test_roundnine.py proves cross-engine agreement; these recompute
+each statistic from the raw parquet with straight-line Python and must
+match exactly at the operator's own quantization, so activation in
+round 9 ships with the full evidence set already in place.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mysql_public_data_ingestor_spark.operators import roundnine
+from mysql_public_data_ingestor_spark.tables import Tables
+
+
+def _q(name, spark, sf_dir):
+    fn = {n: f for n, f, *_ in roundnine.QUEUE}[name]
+    return fn(spark, sf_dir).toPandas()
+
+
+def _half_up(num: int, den: int, dp: int = 6) -> float:
+    s = 10**dp
+    mag = (2 * s * abs(num) + den) // (2 * den)
+    return (-mag if num < 0 else mag) / s
+
+
+def _half_up_int(num: int, den: int) -> int:
+    mag = (2 * abs(num) + den) // (2 * den)
+    return -mag if num < 0 else mag
+
+
+@pytest.fixture(scope="module")
+def lineitem_pdf(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.select(
+        "l_orderkey", "l_partkey", "l_returnflag", "l_quantity"
+    ).toPandas()
+
+
+@pytest.fixture(scope="module")
+def orders_pdf(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.orders.select("o_orderkey", "o_custkey", "o_orderdate").toPandas()
+
+
+@pytest.fixture(scope="module")
+def copurchase(lineitem_pdf):
+    li = lineitem_pdf[["l_orderkey", "l_partkey"]].drop_duplicates()
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(set(int(p) for p in grp["l_partkey"]))
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                edges.add((parts[i], parts[j]))
+    nbrs: dict[int, set[int]] = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    return edges, nbrs
+
+
+def test_cvm_matches_python(spark, sf_dir, lineitem_pdf):
+    got = _q("stats_cvm_two_sample", spark, sf_dir).iloc[0]
+    df = lineitem_pdf.dropna(subset=["l_quantity"])
+    x = df[df["l_returnflag"] == "R"]["l_quantity"].astype(np.int64)
+    y = df[df["l_returnflag"] == "N"]["l_quantity"].astype(np.int64)
+    n, m = len(x), len(y)
+    vals = sorted(set(x) | set(y))
+    cx = x.value_counts()
+    cy = y.value_counts()
+    cumx = cumy = 0
+    num = 0
+    for v in vals:
+        a, b = int(cx.get(v, 0)), int(cy.get(v, 0))
+        cumx += a
+        cumy += b
+        d = cumx * m - cumy * n
+        num += (a + b) * d * d
+    big_n = n + m
+    assert int(got["n"]) == n and int(got["m"]) == m
+    assert got["t_cvm"] == _half_up(num, big_n * big_n * n * m, 9)
+
+
+def test_burstiness_matches_python(spark, sf_dir):
+    got = _q("text_term_burstiness_topk", spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text").toPandas()
+    per: dict[str, dict[int, int]] = {}
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        norm = re.sub(r"\s+", " ", str(txt).lower()).strip()
+        for tok in norm.split(" "):
+            per.setdefault(tok, {}).setdefault(int(did), 0)
+            per[tok][int(did)] += 1
+    n_docs = len(docs)
+    rows = []
+    for tok, dd in per.items():
+        tf = sum(dd.values())
+        rows.append((tok, tf, len(dd), sum(c * c for c in dd.values())))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    top = rows[: roundnine.BURST_TOPK]
+    exp = {
+        tok: (tf, df, _half_up(n_docs * sc2 - tf * tf, n_docs * tf))
+        for tok, tf, df, sc2 in top
+    }
+    assert set(got["token"]) == set(exp)
+    for _, r in got.iterrows():
+        tf, df, vmr = exp[r["token"]]
+        assert int(r["tf"]) == tf and int(r["df"]) == df
+        assert r["burstiness_vmr"] == vmr
+
+
+def test_interval_union_coverage_matches_python(spark, sf_dir, orders_pdf):
+    got = _q("dq_interval_union_coverage", spark, sf_dir).iloc[0]
+    epoch = pd.Timestamp("1990-01-01")
+    s = (pd.to_datetime(orders_pdf["o_orderdate"]) - epoch).dt.days.astype(int)
+    df = pd.DataFrame({"ck": orders_pdf["o_custkey"], "s": s, "e": s + roundnine.COVERAGE_WINDOW_DAYS})
+    n_cust = 0
+    tot_cov = 0
+    max_cov = 0
+    tot_span = 0
+    n_gaps = 0
+    for ck, grp in df.groupby("ck"):
+        ivs = sorted(zip(grp["s"], grp["e"]))
+        covered = 0
+        run_max = None
+        for st, en in ivs:
+            if run_max is None:
+                covered += en - st
+            elif run_max >= en:
+                pass
+            elif run_max >= st:
+                covered += en - run_max
+            else:
+                covered += en - st
+            run_max = en if run_max is None else max(run_max, en)
+        span = max(e for _, e in ivs) - min(s0 for s0, _ in ivs)
+        n_cust += 1
+        tot_cov += covered
+        max_cov = max(max_cov, covered)
+        tot_span += span
+        if covered < span:
+            n_gaps += 1
+    assert int(got["n_customers"]) == n_cust
+    assert int(got["total_covered_days"]) == tot_cov
+    assert int(got["max_covered_days"]) == max_cov
+    assert got["mean_coverage_ratio"] == _half_up(tot_cov, tot_span)
+    assert int(got["n_customers_with_gaps"]) == n_gaps
+
+
+def test_generalization_ladder_matches_python(spark, sf_dir):
+    got = _q("privacy_generalization_ladder", spark, sf_dir).set_index("level")
+    t = Tables(spark, sf_dir)
+    c = t.customer.select("c_nationkey", "c_mktsegment", "c_acctbal").toPandas()
+    c["bal_kb"] = np.floor(c["c_acctbal"].to_numpy() / 1000.0).astype(np.int64)
+    ladders = {
+        0: ["c_nationkey", "c_mktsegment", "bal_kb"],
+        1: ["c_nationkey", "c_mktsegment"],
+        2: ["c_nationkey"],
+    }
+    k = roundnine.KANON_K
+    for lvl, cols in ladders.items():
+        sizes = c.groupby(cols).size()
+        row = got.loc[lvl]
+        assert int(row["n_classes"]) == len(sizes)
+        assert int(row["min_class_size"]) == int(sizes.min())
+        assert int(row["n_classes_below_k"]) == int((sizes < k).sum())
+        assert int(row["n_rows_below_k"]) == int(sizes[sizes < k].sum())
+        assert bool(row["achieves_k"]) == bool((sizes >= k).all())
+
+
+def test_katz_matches_python(spark, sf_dir, copurchase):
+    edges, nbrs = copurchase
+    got = _q("graph_katz_centrality_seeds", spark, sf_dir).set_index("seed_part")
+    deg = {n: len(v) for n, v in nbrs.items()}
+    s2 = {n: sum(deg[b] for b in nbrs[n]) for n in nbrs}
+    for seed in sorted(n for n in nbrs if n < roundnine.KATZ_SEED_MAX):
+        w1 = deg[seed]
+        w2 = s2[seed]
+        w3 = sum(s2[a] for a in nbrs[seed])
+        katz = (
+            w1 * roundnine.KATZ_W1 + w2 * roundnine.KATZ_W2 + w3 * roundnine.KATZ_W3
+        ) / 1e9
+        row = got.loc[seed]
+        assert int(row["walks_1"]) == w1
+        assert int(row["walks_2"]) == w2
+        assert int(row["walks_3"]) == w3
+        assert row["katz"] == katz
+
+
+def test_harmonic_matches_python(spark, sf_dir, copurchase):
+    edges, nbrs = copurchase
+    got = _q("graph_harmonic_closeness_seeds", spark, sf_dir).set_index("seed_part")
+    for seed in sorted(n for n in nbrs if n < roundnine.HARM_SEED_MAX):
+        d1 = set(nbrs[seed])
+        d2 = set()
+        for a in d1:
+            d2 |= nbrs[a]
+        d2 -= d1 | {seed}
+        d3 = set()
+        for a in d2:
+            d3 |= nbrs[a]
+        d3 -= d1 | d2 | {seed}
+        h = (
+            len(d1) * roundnine.HARM_R1
+            + len(d2) * roundnine.HARM_R2
+            + len(d3) * roundnine.HARM_R3
+        ) / 1e12
+        row = got.loc[seed]
+        assert int(row["n_dist1"]) == len(d1)
+        assert int(row["n_dist2"]) == len(d2)
+        assert int(row["n_dist3"]) == len(d3)
+        assert row["harmonic_closeness"] == h
+
+
+def test_brier_decomposition_matches_python(spark, sf_dir):
+    got = _q("ml_brier_decomposition", spark, sf_dir).iloc[0]
+    from mysql_public_data_ingestor_spark.operators.ml import _scored_labeled
+
+    t = Tables(spark, sf_dir)
+    sc = _scored_labeled(t).select("score_q", "label").toPandas()
+    s = roundnine.BRIER_SCALE
+    q = sc["score_q"].astype(int).to_numpy()
+    lab = sc["label"].astype(int).to_numpy()
+    dec = np.minimum(q // 1000, 9)
+    n = len(q)
+    pos = int(lab.sum())
+    sq_err = int(sum((int(a) - s * int(b)) ** 2 for a, b in zip(q, lab)))
+    sum_rel_u = 0
+    sum_res_u = 0
+    for k in range(10):
+        mask = dec == k
+        n_k = int(mask.sum())
+        if n_k == 0:
+            continue
+        pos_k = int(lab[mask].sum())
+        sum_q_k = int(q[mask].sum())
+        rel_num = (sum_q_k - s * pos_k) ** 2 * 10**9
+        sum_rel_u += (2 * rel_num + n_k) // (2 * n_k)
+        res_num = (pos_k * n - pos * n_k) ** 2 * 10**9
+        sum_res_u += (2 * res_num + n_k) // (2 * n_k)
+    assert int(got["n"]) == n and int(got["n_pos"]) == pos
+    assert got["brier"] == _half_up(sq_err, n * s * s, 9)
+    assert got["reliability"] == _half_up(sum_rel_u, n * s * s * 10**9, 9)
+    assert got["resolution"] == _half_up(sum_res_u, n * n * n * 10**9, 9)
+    assert got["uncertainty"] == _half_up(pos * (n - pos), n * n, 9)
+    # sanity: BS ~ REL - RES + UNC up to within-bin terms
+    approx = got["reliability"] - got["resolution"] + got["uncertainty"]
+    assert abs(got["brier"] - approx) < 0.05
+
+
+def test_page_hinkley_matches_python(spark, sf_dir, orders_pdf):
+    got = _q("stats_page_hinkley_orders", spark, sf_dir).iloc[0]
+    daily = orders_pdf.groupby("o_orderdate").size().sort_index()
+    x = [int(v) for v in daily]
+    n = len(x)
+    s = sum(x)
+    m = 0
+    run_min = 0
+    ph = []
+    cur_min = None
+    for v in x:
+        m += 1000 * n * v - 1000 * s - roundnine.PH_DELTA_MILLI * n
+        cur_min = m if cur_min is None else min(cur_min, m)
+        ph.append(m - cur_min)
+    ph_max = max(ph)
+    arg = str(sorted(daily.index)[ph.index(ph_max)])[:10]
+    assert int(got["n_days"]) == n
+    assert int(got["ph_max_scaled"]) == ph_max
+    assert got["ph_max"] == ph_max / (1000.0 * n)
+    assert str(got["argmax_day"]) == arg
