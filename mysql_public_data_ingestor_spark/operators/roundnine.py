@@ -918,3 +918,588 @@ def stats_page_hinkley_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ph_max"),
         F.date_format(F.min("day"), "yyyy-MM-dd").alias("argmax_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. Jackknife CI on the classifier AUC (leave-one-bucket-out)
+# ---------------------------------------------------------------------------
+
+AUC_JK_BUCKETS = 10
+
+
+def _auc_jackknife_oracle() -> str:
+    from .ml import _scored_labeled_sql
+    from ..functions.exact import sql_round_big_int_ratio
+
+    b = AUC_JK_BUCKETS
+    return (
+        _scored_labeled_sql()
+        + f"""
+    , bv AS (
+      SELECT score_q,
+             CAST((('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)))::BIGINT
+               % {b} AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(label) AS BIGINT) AS cpos
+      FROM scored GROUP BY 1, 2
+    ), buckets AS (SELECT unnest(range(0, {b})) AS bucket),
+    tot AS (
+      SELECT score_q, CAST(sum(cnt) AS BIGINT) AS cnt_t,
+             CAST(sum(cpos) AS BIGINT) AS cpos_t
+      FROM bv GROUP BY score_q
+    ), excl AS (
+      SELECT bk.bucket, t.score_q,
+             t.cnt_t - coalesce(v.cnt, 0) AS cnt,
+             t.cpos_t - coalesce(v.cpos, 0) AS cpos
+      FROM buckets bk CROSS JOIN tot t
+      LEFT JOIN bv v ON v.bucket = bk.bucket AND v.score_q = t.score_q
+    ), ranked AS (
+      SELECT bucket, cnt, cpos,
+             coalesce(sum(cnt) OVER (PARTITION BY bucket ORDER BY score_q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM excl
+    ), per_b AS (
+      SELECT bucket,
+             CAST(sum(cpos) AS BIGINT) AS n_pos,
+             CAST(sum(cnt - cpos) AS BIGINT) AS n_neg,
+             CAST(sum(cpos * (2 * cum + cnt + 1)) AS HUGEINT) AS r2
+      FROM ranked GROUP BY bucket
+    ), theta AS (
+      SELECT bucket,
+             CAST((2 * ((r2 - n_pos::HUGEINT * (n_pos + 1)) * 1000000000)
+                   + 2::HUGEINT * n_pos * n_neg)
+               // (2::HUGEINT * 2 * n_pos * n_neg) AS BIGINT) AS theta_u
+      FROM per_b
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(theta_u) AS BIGINT) AS s1,
+             CAST(sum(theta_u::HUGEINT * theta_u) AS HUGEINT) AS s2
+      FROM theta
+    )
+    SELECT nb AS n_buckets,
+           {sql_round_big_int_ratio('s1', 'nb::HUGEINT * 1000000000', 9)}
+             AS auc_jackknife_mean,
+           CAST(floor(sqrt(
+             CAST((nb - 1) * (nb * s2 - s1::HUGEINT * s1) AS DOUBLE)
+             / (CAST(nb AS DOUBLE) * nb)) / 1000000000.0 * 1000000.0 + 0.5)
+             AS BIGINT) / 1000000.0 AS auc_se_jackknife
+    FROM s
+    """
+    )
+
+
+@_queued("ml_auc_jackknife_ci", oracle=_auc_jackknife_oracle())
+def ml_auc_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife standard error on the classifier
+    AUC: documents hash deterministically into 10 buckets, theta_b =
+    AUC computed WITHOUT bucket b (exact doubled rank-sums on the
+    leave-out score-domain counts), and the jackknife mean/SE follow
+    from the 10 thetas — the error bar the point estimates
+    (``ml_auc_by_lang``) lack, RNG-free like the block-jackknife mean
+    CI (``stats_jackknife_mean_ci``).
+
+    The leave-out trick never rescans documents: one scan builds the
+    (score, bucket) count grid; each theta_b is the full-population
+    cumulative MINUS the bucket's own counts, an O(|domain| x 10)
+    bounded computation. Each theta quantizes half-up 1e-9, so the
+    jackknife moments are exact integer sums with one double sqrt at
+    the end.
+    """
+    from .ml import _scored_labeled
+    from ..functions.exact import round_big_int_ratio
+    from ..functions.textnorm import sha256_prefix_i64
+
+    b = AUC_JK_BUCKETS
+    t = Tables(spark, sf_dir)
+    sc = _scored_labeled(t).select(
+        "score_q",
+        "label",
+        (sha256_prefix_i64(F.col("doc_id").cast("string")) % b).alias("bucket"),
+    )
+    from ..functions.partitioning import iter_checkpoint
+
+    # the (score, bucket) grid is consumed twice (totals + the
+    # leave-out join); without a lineage cut the expensive per-token
+    # scoring scan upstream runs once per consumer (measured 6.9x at
+    # the x10 fixture). The grid itself is domain-bounded
+    # (<= 10001 scores x 10 buckets), so the cut is cheap.
+    bv = iter_checkpoint(
+        sc.groupBy("score_q", "bucket").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("label").alias("cpos")
+        )
+    )
+    tot = bv.groupBy("score_q").agg(
+        F.sum("cnt").alias("cnt_t"), F.sum("cpos").alias("cpos_t")
+    )
+    buckets = spark.range(b).select(F.col("id").alias("bucket"))
+    excl = (
+        buckets.crossJoin(tot)
+        .join(bv, ["bucket", "score_q"], "left")
+        .select(
+            "bucket",
+            "score_q",
+            (F.col("cnt_t") - F.coalesce(F.col("cnt"), F.lit(0))).alias("cnt"),
+            (F.col("cpos_t") - F.coalesce(F.col("cpos"), F.lit(0))).alias("cpos"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("bucket")
+        .orderBy("score_q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = excl.select(
+        "bucket",
+        "cnt",
+        "cpos",
+        F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)).alias("cum"),
+    )
+    per_b = ranked.groupBy("bucket").agg(
+        F.sum("cpos").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("cpos")).alias("n_neg"),
+        F.sum(_dec(F.col("cpos")) * (2 * F.col("cum") + F.col("cnt") + 1)).alias("r2"),
+    )
+    th_num = (F.col("r2") - _dec(F.col("n_pos")) * (F.col("n_pos") + 1)) * F.lit(10**9)
+    th_den = F.lit(2).cast("decimal(38,0)") * F.col("n_pos") * F.col("n_neg")
+    th_a = F.lit(2).cast("decimal(38,0)") * th_num + th_den
+    th_b = F.lit(2).cast("decimal(38,0)") * th_den
+    theta = per_b.select(((th_a - th_a % th_b) / th_b).cast("long").alias("theta_u"))
+    s = theta.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("theta_u").alias("s1"),
+        F.sum(_dec(F.col("theta_u")) * F.col("theta_u")).alias("s2"),
+    )
+    nb = F.col("nb")
+    var_num = (
+        (_dec(nb) - 1) * (_dec(nb) * F.col("s2") - _dec(F.col("s1")) * F.col("s1"))
+    ).cast("double")
+    se = F.sqrt(var_num / (nb.cast("double") * nb)) / F.lit(1e9)
+    return s.select(
+        nb.alias("n_buckets"),
+        round_big_int_ratio(F.col("s1"), _dec(nb) * F.lit(10**9), 9).alias(
+            "auc_jackknife_mean"
+        ),
+        (F.floor(se * F.lit(1e6) + F.lit(0.5)).cast("long") / F.lit(1e6)).alias(
+            "auc_se_jackknife"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 10. Ansari-Bradley scale test: quantity dispersion, returned vs rest
+# ---------------------------------------------------------------------------
+
+
+def _ansari_oracle() -> str:
+    return """
+    WITH c AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+      FROM lineitem WHERE l_returnflag IN ('R', 'N') AND l_quantity IS NOT NULL
+    ), dv AS (
+      SELECT v,
+             CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cx,
+             CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cy
+      FROM c GROUP BY v
+    ), cum AS (
+      SELECT v, cx, cy,
+             2 * (sum(cx + cy) OVER (ORDER BY v) - (cx + cy)) + (cx + cy) + 1
+               AS r2,
+             sum(cx) OVER () AS n, sum(cy) OVER () AS m
+      FROM dv
+    ), scored AS (
+      SELECT cx, cy, n, m,
+             least(r2, 2 * (n + m + 1) - r2) AS s2
+      FROM cum
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(max(m) AS BIGINT) AS m,
+           CAST(sum(cx * s2) AS BIGINT) AS ab2,
+           CAST(CASE WHEN (max(n) + max(m)) % 2 = 0
+                THEN max(n) * (max(n) + max(m) + 2) / 2
+                ELSE max(n) * (max(n) + max(m) + 1) * (max(n) + max(m) + 1)
+                     / (2 * (max(n) + max(m))) END AS BIGINT) AS ab2_null_mean
+    FROM scored
+    """
+
+
+@_queued("stats_ansari_bradley_quantity", oracle=_ansari_oracle())
+def stats_ansari_bradley_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley rank SCALE test on quantity between returned
+    ('R') and non-returned ('N') lines: rank from both ends inward
+    (score = min(rank, N+1-rank), small scores at the extremes), sum
+    the scores of sample 1 — a low sum means sample 1 sits in the
+    tails, i.e. has larger dispersion. The scale companion of the
+    location tests (Mann-Whitney/Mood): same rank machinery, opposite
+    question; Levene tests scale via moments, AB via ranks.
+
+    Convention (documented because ties matter): mid-ranks on the
+    pooled distinct-value domain, kept exact by DOUBLED ranks
+    (2*cum_before + c + 1) and doubled scores s2 = min(r2, 2(N+1)-r2),
+    so AB2 = 2*AB is an exact integer; the no-tie null mean (doubled,
+    parity-dependent closed form) is reported alongside for the
+    direction read. Ranking happens on the <= 50-value domain —
+    nothing row-scaled after the partial aggregation.
+    """
+    t = Tables(spark, sf_dir)
+    c = t.lineitem.filter(
+        F.col("l_returnflag").isin("R", "N") & F.col("l_quantity").isNotNull()
+    ).select(F.col("l_returnflag").alias("g"), F.col("l_quantity").cast("long").alias("v"))
+    dv = c.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == "R", 1).otherwise(0)).alias("cx"),
+        F.sum(F.when(F.col("g") == "N", 1).otherwise(0)).alias("cy"),
+    )
+    w_ord = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ct = F.col("cx") + F.col("cy")
+    cum = dv.select(
+        "cx",
+        "cy",
+        (2 * (F.sum(ct).over(w_ord) - ct) + ct + 1).alias("r2"),
+        F.sum("cx").over(w_all).alias("n"),
+        F.sum("cy").over(w_all).alias("m"),
+    )
+    s2 = F.least(F.col("r2"), 2 * (F.col("n") + F.col("m") + 1) - F.col("r2"))
+    scored = cum.select("cx", "n", "m", s2.alias("s2"))
+    agg = scored.agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.sum(F.col("cx") * F.col("s2")).alias("ab2"),
+    )
+    n, m = F.col("n"), F.col("m")
+    big = n + m
+    even_mean = n * (big + 2)
+    odd_mean = n * (big + 1) * (big + 1)
+    mean2 = F.when(
+        big % 2 == 0,
+        ((even_mean - even_mean % 2) / 2).cast("long"),
+    ).otherwise(((odd_mean - odd_mean % (2 * big)) / (2 * big)).cast("long"))
+    return agg.select("n", "m", "ab2", mean2.alias("ab2_null_mean"))
+
+
+# ---------------------------------------------------------------------------
+# 11. Rich-club coefficient of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+RICH_CLUB_KS = [2, 4, 8, 16, 32]
+
+
+def _rich_club_oracle() -> str:
+    from .graph import _SQL_EDGES
+    from ..functions.exact import sql_round_big_int_ratio
+
+    per_k = " UNION ALL ".join(
+        f"""
+    SELECT {k} AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE degree > {k}) AS n_k,
+           (SELECT CAST(count(*) AS BIGINT) FROM ej
+            WHERE deg_u > {k} AND deg_v > {k}) AS e_k"""
+        for k in RICH_CLUB_KS
+    )
+    return (
+        _SQL_EDGES
+        + f"""
+    , adj AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ), deg AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY u
+    ), ej AS (
+      SELECT e.u, e.v, du.degree AS deg_u, dv.degree AS deg_v
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ), levels AS ({per_k})
+    SELECT k, n_k, e_k,
+           CASE WHEN n_k >= 2 THEN
+             {sql_round_big_int_ratio('2 * e_k', 'n_k::HUGEINT * (n_k - 1)')}
+           END AS rich_club_phi
+    FROM levels ORDER BY k
+    """
+    )
+
+
+@_queued("graph_rich_club_coefficient", oracle=_rich_club_oracle())
+def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) = 2*E_k / (n_k*(n_k-1)) of the
+    co-purchase graph at degree thresholds k in {2,4,8,16,32}: the
+    edge density among nodes of degree > k — a rising phi(k) means
+    hub products preferentially co-occur with other hubs (the
+    "rich club"), the global-topology diagnostic beside the local
+    ones (clustering, assortativity: assortativity asks if ENDPOINT
+    degrees correlate per edge, rich-club asks if the hub SUBGRAPH is
+    dense).
+
+    One degree aggregate + one edge-to-degree join evaluated ONCE,
+    then 5 conditional aggregates over the annotated edge table (the
+    thresholds are literals, not 5 scans); phi is an exact half-up
+    decimal ratio per level. Everything is node/edge-keyed equi-joins
+    on the session-cached edge table.
+    """
+    from .graph import _degrees, edge_table
+    from ..functions.exact import round_big_int_ratio
+
+    t = Tables(spark, sf_dir)
+    edges = edge_table(spark, t, sf_dir)
+    deg = _degrees(edges)
+    ej = edges.join(
+        deg.select(F.col("node").alias("u"), F.col("degree").alias("deg_u")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("degree").alias("deg_v")), "v")
+    e_aggs = ej.agg(
+        *[
+            F.sum(
+                F.when((F.col("deg_u") > k) & (F.col("deg_v") > k), 1).otherwise(0)
+            ).alias(f"e_{k}")
+            for k in RICH_CLUB_KS
+        ]
+    )
+    n_aggs = deg.agg(
+        *[
+            F.sum(F.when(F.col("degree") > k, 1).otherwise(0)).alias(f"n_{k}")
+            for k in RICH_CLUB_KS
+        ]
+    )
+    both = e_aggs.crossJoin(F.broadcast(n_aggs))
+    stacked = both.select(
+        F.expr(
+            "stack({}, {}) AS (k, e_k, n_k)".format(
+                len(RICH_CLUB_KS),
+                ", ".join(f"{k}, e_{k}, n_{k}" for k in RICH_CLUB_KS),
+            )
+        )
+    )
+    return stacked.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_k").cast("long").alias("n_k"),
+        F.col("e_k").cast("long").alias("e_k"),
+        F.when(
+            F.col("n_k") >= 2,
+            round_big_int_ratio(
+                2 * F.col("e_k"), _dec(F.col("n_k")) * (F.col("n_k") - 1)
+            ),
+        ).alias("rich_club_phi"),
+    ).orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# 12. DAU/MAU stickiness per month
+# ---------------------------------------------------------------------------
+
+
+def _stickiness_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    return f"""
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+             CAST(ts AS DATE) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1, 2
+    ), monthly AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM events GROUP BY 1
+    ), d AS (
+      SELECT month, CAST(sum(dau) AS BIGINT) AS sum_dau,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY month
+    )
+    SELECT d.month, d.n_days, d.sum_dau, m.mau,
+           {sql_round_int_ratio('d.sum_dau', 'd.n_days * m.mau')} AS stickiness
+    FROM d JOIN monthly m ON m.month = d.month
+    ORDER BY d.month
+    """
+
+
+@_queued("events_dau_mau_stickiness", oracle=_stickiness_oracle())
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar month: mean daily active users
+    over monthly active users — the standard product-engagement ratio
+    (1.0 = every monthly user active every day), computed as
+    sum(DAU)/(active_days * MAU) so it is ONE exact integer ratio.
+    Completes the engagement family (rolling actives, weekly
+    retention, cumulative distinct) with the canonical headline
+    metric.
+
+    Two distinct-aggregations (day grain, month grain) — both shuffle
+    on (period, user) with map-side partial dedup — joined on the
+    |months|-bounded key; the ratio is exact half-up 6dp.
+    """
+    from ..functions.exact import round_int_ratio
+
+    t = Tables(spark, sf_dir)
+    month = F.date_format(F.col("ts"), "yyyy-MM").alias("month")
+    daily = t.events.groupBy(month, F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    monthly = t.events.groupBy(month).agg(F.countDistinct("user_id").alias("mau"))
+    d = daily.groupBy("month").agg(
+        F.sum("dau").alias("sum_dau"), F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        d.join(monthly, "month")
+        .select(
+            "month",
+            "n_days",
+            "sum_dau",
+            "mau",
+            round_int_ratio(F.col("sum_dau"), F.col("n_days") * F.col("mau")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 13. Sentence-length profile per language
+# ---------------------------------------------------------------------------
+
+
+def _sentence_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    return f"""
+    WITH sents AS (
+      SELECT lang, trim(regexp_replace(lower(s), '\\s+', ' ', 'g')) AS sn
+      FROM (SELECT lang, unnest(string_split_regex(text, '[.!?]+')) AS s
+            FROM documents)
+    ), ns AS (
+      SELECT lang, len(string_split(sn, ' ')) AS n_tokens
+      FROM sents WHERE sn <> ''
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           {sql_round_int_ratio('sum(n_tokens)', 'count(*)')}
+             AS mean_sentence_len,
+           CAST(max(n_tokens) AS BIGINT) AS max_sentence_len
+    FROM ns GROUP BY lang ORDER BY lang
+    """
+
+
+@_queued("text_sentence_length_profile", oracle=_sentence_oracle())
+def text_sentence_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-length profile per language: split documents on
+    terminal punctuation runs ([.!?]+), normalize each sentence, and
+    report sentence count, token volume, exact mean tokens/sentence
+    and the maximum — the segment-grain member of the text-statistics
+    family (doc-grain length stats and token-grain entropy exist;
+    quality heuristics like "mean sentence length between 5 and 40"
+    are standard corpus gates, cf. Gopher rules).
+
+    One explode + one |langs|-bounded aggregation; the sentence split
+    and whitespace normalization are engine-twinned expressions
+    (regexp split / collapse), the mean is an exact half-up ratio.
+    """
+    from ..functions.exact import round_int_ratio
+
+    t = Tables(spark, sf_dir)
+    sents = t.documents.select(
+        "lang", F.explode(F.split(F.col("text"), r"[.!?]+")).alias("s")
+    ).select(
+        "lang",
+        F.trim(F.regexp_replace(F.lower(F.col("s")), r"\s+", " ")).alias("sn"),
+    )
+    ns = sents.filter(F.col("sn") != "").select(
+        "lang", F.size(F.split(F.col("sn"), " ")).cast("long").alias("n_tokens")
+    )
+    return (
+        ns.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum("n_tokens").alias("n_tokens"),
+            round_int_ratio(F.sum("n_tokens"), F.count(F.lit(1))).alias(
+                "mean_sentence_len"
+            ),
+            F.max("n_tokens").alias("max_sentence_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 14. LSH recall audit vs the exact brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+
+def _lsh_recall_oracle() -> str:
+    from .similarity import N_QUERIES, TOP_K, _ann_topk_oracle
+    from ..functions.exact import sql_round_int_ratio
+
+    # exact side: the same SQL knn_brute_cosine registers as its oracle
+    exact = f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+               AS cosine
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {TOP_K}
+    """
+    return f"""
+    WITH exact_topk AS MATERIALIZED ({exact}),
+    lsh_topk AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM ({_ann_topk_oracle()})
+    ), hits AS (
+      SELECT e.query_id, CAST(count(l.neighbor_id) AS BIGINT) AS n_hits
+      FROM exact_topk e
+      LEFT JOIN lsh_topk l
+        ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(sum(n_hits) AS BIGINT) AS n_hits_total,
+           CAST(min(n_hits) AS BIGINT) AS min_hits_per_query,
+           {sql_round_int_ratio('sum(n_hits)', f'count(*) * {TOP_K}')}
+             AS recall_at_k
+    FROM hits
+    """
+
+
+@_queued("similarity_lsh_recall_audit", oracle=_lsh_recall_oracle())
+def similarity_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the banded-LSH ANN index against the exact
+    brute-force cosine top-k, AS A REGISTERED QUERY — completing the
+    approximate-operator audit trio (IVF-PQ recall and MinHash recall
+    are registered; the plain LSH path was measured only by the
+    offline tool). The audit output is deterministic (both sides are
+    deterministic operators), so it hash-verifies rather than
+    "approximately matches".
+
+    Composes the two registered operators unchanged (exact side =
+    ``knn_brute_cosine``, approx side = ``ann_lsh_topk``) and
+    left-joins their (query, neighbor) sets — the recall is an exact
+    integer ratio over n_queries * k. Cost is the two operators' own
+    plans plus a probe-set-sized join.
+    """
+    from .similarity import TOP_K, ann_lsh_topk, knn_brute_cosine
+    from ..functions.exact import round_int_ratio
+
+    exact = knn_brute_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = ann_lsh_topk(spark, sf_dir).select(
+        F.col("query_id").alias("ql"), F.col("neighbor_id").alias("nl")
+    )
+    hits = (
+        exact.join(
+            lsh,
+            (F.col("query_id") == F.col("ql")) & (F.col("neighbor_id") == F.col("nl")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.col("nl")).alias("n_hits"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.lit(TOP_K).cast("long").alias("k"),
+        F.sum("n_hits").alias("n_hits_total"),
+        F.min("n_hits").alias("min_hits_per_query"),
+        round_int_ratio(F.sum("n_hits"), F.count(F.lit(1)) * TOP_K).alias(
+            "recall_at_k"
+        ),
+    )

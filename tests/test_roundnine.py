@@ -59,10 +59,13 @@ def test_queued_query_matches_oracle(spark, sf_dir, entry):
 #   AGGREGATION calendar-day series (~2.4k rows at any corpus size).
 # ml_brier_decomposition: the total-recovery window runs over the 10
 #   decile rows of the final aggregate.
+# stats_ansari_bradley_quantity: same bounded-domain shape as CvM —
+#   doubled mid-ranks over the <= 50 pooled distinct quantity values.
 QUEUE_SP_ALLOWLIST = {
     "stats_cvm_two_sample",
     "stats_page_hinkley_orders",
     "ml_brier_decomposition",
+    "stats_ansari_bradley_quantity",
 }
 
 

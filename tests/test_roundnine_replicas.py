@@ -274,3 +274,147 @@ def test_page_hinkley_matches_python(spark, sf_dir, orders_pdf):
     assert int(got["ph_max_scaled"]) == ph_max
     assert got["ph_max"] == ph_max / (1000.0 * n)
     assert str(got["argmax_day"]) == arg
+
+
+def test_auc_jackknife_matches_python(spark, sf_dir):
+    import hashlib
+
+    from mysql_public_data_ingestor_spark.operators.ml import _scored_labeled
+
+    got = _q("ml_auc_jackknife_ci", spark, sf_dir).iloc[0]
+    t = Tables(spark, sf_dir)
+    sc = _scored_labeled(t).select("doc_id", "score_q", "label").toPandas()
+    b = roundnine.AUC_JK_BUCKETS
+    sc["bucket"] = [
+        int(hashlib.sha256(str(int(d)).encode()).hexdigest()[:15], 16) % b
+        for d in sc["doc_id"]
+    ]
+    thetas = []
+    for lv in range(b):
+        sub = sc[sc["bucket"] != lv]
+        grp = sub.groupby("score_q").agg(cnt=("label", "size"), cpos=("label", "sum"))
+        grp = grp.sort_index()
+        cum = 0
+        r2 = 0
+        n_pos = int(grp["cpos"].sum())
+        n_neg = int((grp["cnt"] - grp["cpos"]).sum())
+        for _, row in grp.iterrows():
+            c, cp = int(row["cnt"]), int(row["cpos"])
+            r2 += cp * (2 * cum + c + 1)
+            cum += c
+        num = (r2 - n_pos * (n_pos + 1)) * 10**9
+        den = 2 * n_pos * n_neg
+        thetas.append(_half_up_int(num, den))
+    nb = len(thetas)
+    s1 = sum(thetas)
+    s2 = sum(v * v for v in thetas)
+    assert int(got["n_buckets"]) == nb
+    assert got["auc_jackknife_mean"] == _half_up(s1, nb * 10**9, 9)
+    se = math.sqrt((nb - 1) * (nb * s2 - s1 * s1) / (nb * nb)) / 1e9
+    assert got["auc_se_jackknife"] == math.floor(se * 1e6 + 0.5) / 1e6
+
+
+def test_ansari_bradley_matches_python(spark, sf_dir, lineitem_pdf):
+    got = _q("stats_ansari_bradley_quantity", spark, sf_dir).iloc[0]
+    df = lineitem_pdf.dropna(subset=["l_quantity"])
+    x = df[df["l_returnflag"] == "R"]["l_quantity"].astype(np.int64)
+    y = df[df["l_returnflag"] == "N"]["l_quantity"].astype(np.int64)
+    n, m = len(x), len(y)
+    big = n + m
+    cx = x.value_counts()
+    cy = y.value_counts()
+    vals = sorted(set(x) | set(y))
+    cum = 0
+    ab2 = 0
+    for v in vals:
+        a, b = int(cx.get(v, 0)), int(cy.get(v, 0))
+        r2 = 2 * cum + (a + b) + 1
+        s2 = min(r2, 2 * (big + 1) - r2)
+        ab2 += a * s2
+        cum += a + b
+    if big % 2 == 0:
+        mean2 = n * (big + 2) // 2
+    else:
+        mean2 = n * (big + 1) * (big + 1) // (2 * big)
+    assert int(got["n"]) == n and int(got["m"]) == m
+    assert int(got["ab2"]) == ab2
+    assert int(got["ab2_null_mean"]) == mean2
+
+
+def test_rich_club_matches_python(spark, sf_dir, copurchase):
+    edges, nbrs = copurchase
+    got = _q("graph_rich_club_coefficient", spark, sf_dir).set_index("k")
+    deg = {n: len(v) for n, v in nbrs.items()}
+    for k in roundnine.RICH_CLUB_KS:
+        rich = {n for n, d in deg.items() if d > k}
+        n_k = len(rich)
+        e_k = sum(1 for u, v in edges if u in rich and v in rich)
+        row = got.loc[k]
+        assert int(row["n_k"]) == n_k
+        assert int(row["e_k"]) == e_k
+        if n_k >= 2:
+            assert row["rich_club_phi"] == _half_up(2 * e_k, n_k * (n_k - 1))
+        else:
+            assert pd.isna(row["rich_club_phi"])
+
+
+def test_stickiness_matches_python(spark, sf_dir):
+    got = _q("events_dau_mau_stickiness", spark, sf_dir).set_index("month")
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("ts", "user_id").toPandas()
+    ts = pd.to_datetime(ev["ts"])
+    ev = ev.assign(month=ts.dt.strftime("%Y-%m"), day=ts.dt.date)
+    for month, grp in ev.groupby("month"):
+        mau = grp["user_id"].nunique()
+        dau = grp.groupby("day")["user_id"].nunique()
+        row = got.loc[month]
+        assert int(row["n_days"]) == len(dau)
+        assert int(row["sum_dau"]) == int(dau.sum())
+        assert int(row["mau"]) == mau
+        assert row["stickiness"] == _half_up(int(dau.sum()), len(dau) * mau)
+
+
+def test_sentence_profile_matches_python(spark, sf_dir):
+    got = _q("text_sentence_length_profile", spark, sf_dir).set_index("lang")
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("lang", "text").toPandas()
+    for lang, grp in docs.groupby("lang"):
+        lens = []
+        for txt in grp["text"]:
+            for s in re.split(r"[.!?]+", str(txt)):
+                sn = re.sub(r"\s+", " ", s.lower()).strip()
+                if sn:
+                    lens.append(len(sn.split(" ")))
+        row = got.loc[lang]
+        assert int(row["n_sentences"]) == len(lens)
+        assert int(row["n_tokens"]) == sum(lens)
+        assert row["mean_sentence_len"] == _half_up(sum(lens), len(lens))
+        assert int(row["max_sentence_len"]) == max(lens)
+
+
+def test_lsh_recall_audit_matches_op_outputs(spark, sf_dir):
+    """Independent check of the audit JOIN: recompute recall by
+    collecting the two source operators (each already oracle- and
+    replica-verified) and intersecting in Python."""
+    from mysql_public_data_ingestor_spark.operators.similarity import (
+        TOP_K,
+        ann_lsh_topk,
+        knn_brute_cosine,
+    )
+
+    got = _q("similarity_lsh_recall_audit", spark, sf_dir).iloc[0]
+    exact = knn_brute_cosine(spark, sf_dir).select("query_id", "neighbor_id").toPandas()
+    lsh = ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id").toPandas()
+    lset = set(zip(lsh["query_id"], lsh["neighbor_id"]))
+    hits_per_q = {}
+    for q, nb in zip(exact["query_id"], exact["neighbor_id"]):
+        hits_per_q.setdefault(q, 0)
+        if (q, nb) in lset:
+            hits_per_q[q] += 1
+    nq = len(hits_per_q)
+    tot = sum(hits_per_q.values())
+    assert int(got["n_queries"]) == nq
+    assert int(got["k"]) == TOP_K
+    assert int(got["n_hits_total"]) == tot
+    assert int(got["min_hits_per_query"]) == min(hits_per_q.values())
+    assert got["recall_at_k"] == _half_up(tot, nq * TOP_K)
