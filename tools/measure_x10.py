@@ -47,18 +47,63 @@ ROUND6 = [
     "similarity_ivfpq_topk",
 ]
 
-PRESETS = {"round6": ROUND6}
+ROUND8 = [
+    "graph_edge_triangle_support", "stats_mcnemar_quality_rules",
+    "corpus_ngram_novelty_deciles", "graph_bfs_frontier_hops",
+    "stats_trimmed_winsorized_price", "similarity_ivfpq_recall_audit",
+    "ml_logistic_fit_quality", "stats_cohens_d_priority",
+    "sketch_fixedbin_quantile_merge", "events_runs_test_daily",
+    "dedup_minhash_recall_audit", "graph_adamic_adar_linkpred",
+    "text_vocab_coverage_curve", "stats_kruskal_wallis_quantity",
+    "graph_khop_reach_per_seed", "stats_weibull_latency_fit",
+    "stats_grubbs_acctbal_nation", "stats_friedman_nation_priority",
+    "stats_negbin_hourly_fit", "events_markov_stationary",
+    "agg_mode_per_group", "events_seasonal_strength",
+    "dq_orderkey_gap_audit", "dq_iqr_outlier_fences",
+    "stats_ols_influence_daily", "stats_mood_median_discount",
+    "stats_cochran_q_gates", "events_changepoint_pettitt",
+    "stats_theil_index_nation", "ml_calibration_slope_intercept",
+    "stats_mutual_info_priority_segment", "stats_levene_priority",
+    "events_hourly_entropy_profile", "stats_bowley_skew_priority",
+    "stats_moments_skew_kurtosis", "sketch_kmv_distinct_users",
+    "dq_interval_overlap_orders", "graph_jaccard_linkpred",
+    "stats_hodges_lehmann_quantity", "stats_cliffs_delta_discount",
+    "stats_pythagorean_means_quantity", "agg_weighted_median_price",
+    "dq_date_order_violations", "dq_functional_dependency_audit",
+    "stats_wilcoxon_signed_rank_daily", "stats_logrank_segments",
+    "stats_ljung_box_daily", "text_simpson_diversity_by_lang",
+]
+
+PRESETS = {"round6": ROUND6, "round8": ROUND8, "round9queue": None}
 
 
 def main() -> int:
     out_path = sys.argv[1]
     names: list[str] = []
     for a in sys.argv[2:]:
-        names.extend(PRESETS[a[1:]] if a.startswith("@") else [a])
+        if a == "@round9queue":
+            from mysql_public_data_ingestor_spark.operators import roundnine
+
+            names.extend(n for n, *_ in roundnine.QUEUE)
+        elif a.startswith("@"):
+            names.extend(PRESETS[a[1:]])
+        else:
+            names.append(a)
     base = os.environ.get("SPARK_GRAFT_BASE_SF", "/root/testdata/sf0.1")
     x10 = os.environ.get("SPARK_GRAFT_X10_SF", "/tmp/sf1.0")
     spark = get_spark("measure_x10")
-    specs = all_queries()
+    specs = dict(all_queries())
+
+    class _QSpec:
+        def __init__(self, fn):
+            self.fn = fn
+
+    # banked-but-unregistered round-9 queue resolves by name too, so
+    # the pre-registration recipe is one command for queued ops
+    from mysql_public_data_ingestor_spark.operators import roundnine
+
+    for qname, qfn, _oracle, _doc in roundnine.QUEUE:
+        specs.setdefault(qname, _QSpec(qfn))
     missing = [n for n in names if n not in specs]
     if missing:
         print(f"unknown queries: {missing}", file=sys.stderr)
