@@ -1503,3 +1503,355 @@ def similarity_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# 15. Skyline (Pareto-optimal set): cheapest-largest parts
+# ---------------------------------------------------------------------------
+
+
+def _skyline_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS size
+      FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+    ), curve AS (
+      SELECT price_c, CAST(max(size) AS BIGINT) AS max_size
+      FROM p GROUP BY price_c
+    ), sky AS (
+      SELECT price_c, max_size,
+             max(max_size) OVER (ORDER BY price_c
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_lt
+      FROM curve
+    ), frontier AS (
+      SELECT price_c, max_size FROM sky
+      WHERE best_lt IS NULL OR max_size > best_lt
+    )
+    SELECT pt.p_partkey AS partkey,
+           CAST(f.price_c AS DOUBLE) / 100.0 AS price,
+           f.max_size AS size
+    FROM frontier f
+    JOIN p pt ON pt.price_c = f.price_c AND pt.size = f.max_size
+    ORDER BY price, partkey
+    """
+
+
+@_queued("relational_skyline_pareto", oracle=_skyline_oracle())
+def relational_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto-optimal set) of parts under (minimize
+    retail price, maximize size): a part is on the frontier iff no
+    other part is both no-more-expensive and no-smaller with at least
+    one strict improvement — the preference-query operator family
+    (skyline/top-k-dominating) the relational surface lacked.
+
+    The dominance test never runs pairwise: within a price only the
+    max-size rows can survive, so the scan collapses to the distinct
+    price-cents curve (value-domain-bounded) first; on that curve a
+    part survives iff its size strictly exceeds the running max over
+    all strictly cheaper prices — one RANGE-frame cumulative on the
+    collapsed domain, then a join back to emit every part attaining a
+    frontier point. Exact integer cents/size arithmetic throughout.
+    """
+    t = Tables(spark, sf_dir)
+    p = t.part.filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    ).select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    curve = p.groupBy("price_c").agg(F.max("size").alias("max_size"))
+    w_lt = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+    sky = curve.select(
+        "price_c", "max_size", F.max("max_size").over(w_lt).alias("best_lt")
+    )
+    frontier = sky.filter(
+        F.col("best_lt").isNull() | (F.col("max_size") > F.col("best_lt"))
+    ).select("price_c", "max_size")
+    return (
+        frontier.join(
+            p,
+            (p.price_c == frontier.price_c) & (p.size == frontier.max_size),
+        )
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            (frontier.price_c.cast("double") / F.lit(100.0)).alias("price"),
+            F.col("max_size").alias("size"),
+        )
+        .orderBy("price", "partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 16. Two-way ANOVA: price by return flag x order priority
+# ---------------------------------------------------------------------------
+
+
+def _anova2_oracle() -> str:
+    hup = "(2 * ({num}) * 1000000 + ({den})) // (2::HUGEINT * ({den}))"
+    t2n = lambda T, n: hup.format(num=f"({T})::HUGEINT * ({T})", den=n)  # noqa: E731
+    return f"""
+    WITH c AS (
+      SELECT l.l_returnflag AS fa, o.o_orderpriority AS fb,
+             CAST(floor(l.l_extendedprice) AS BIGINT) AS x
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_extendedprice IS NOT NULL
+    ), cells AS (
+      SELECT fa, fb, CAST(count(*) AS BIGINT) AS n_ab,
+             CAST(sum(x::HUGEINT) AS HUGEINT) AS t_ab,
+             CAST(sum(x::HUGEINT * x) AS HUGEINT) AS sx2_ab
+      FROM c GROUP BY fa, fb
+    ), qcell AS (
+      SELECT fa, fb, n_ab, t_ab, sx2_ab,
+             {t2n('t_ab', 'n_ab')} AS q_ab
+      FROM cells
+    ), a AS (
+      SELECT fa, CAST(sum(n_ab) AS BIGINT) AS n_a,
+             CAST(sum(t_ab) AS HUGEINT) AS t_a
+      FROM cells GROUP BY fa
+    ), qa AS (SELECT fa, {t2n('t_a', 'n_a')} AS q_a FROM a),
+    b AS (
+      SELECT fb, CAST(sum(n_ab) AS BIGINT) AS n_b,
+             CAST(sum(t_ab) AS HUGEINT) AS t_b
+      FROM cells GROUP BY fb
+    ), qb AS (SELECT fb, {t2n('t_b', 'n_b')} AS q_b FROM b),
+    tot AS (
+      SELECT CAST(sum(n_ab) AS BIGINT) AS n,
+             CAST(sum(t_ab) AS HUGEINT) AS t,
+             CAST(sum(sx2_ab) AS HUGEINT) AS sx2,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(count(DISTINCT fa) AS BIGINT) AS ka,
+             CAST(count(DISTINCT fb) AS BIGINT) AS kb
+      FROM cells
+    ), q AS (
+      SELECT tot.*, {t2n('t', 'n')} AS q_t,
+             (SELECT CAST(sum(q_ab) AS HUGEINT) FROM qcell) AS q_cells,
+             (SELECT CAST(sum(q_a) AS HUGEINT) FROM qa) AS q_as,
+             (SELECT CAST(sum(q_b) AS HUGEINT) FROM qb) AS q_bs
+      FROM tot
+    ), ss AS (
+      SELECT ka - 1 AS df_a, kb - 1 AS df_b,
+             (ka - 1) * (kb - 1) AS df_ab,
+             n - n_cells AS df_e, n - 1 AS df_t,
+             greatest(q_as - q_t, 0) AS ss_a_u,
+             greatest(q_bs - q_t, 0) AS ss_b_u,
+             greatest(q_cells - q_as - q_bs + q_t, 0) AS ss_ab_u,
+             greatest(sx2 * 1000000 - q_cells, 0) AS ss_e_u,
+             greatest(sx2 * 1000000 - q_t, 0) AS ss_t_u
+      FROM q
+    ), rows_ AS (
+      SELECT 'A:return_flag' AS source, df_a AS df, ss_a_u AS ss_u,
+             df_e, ss_e_u FROM ss
+      UNION ALL SELECT 'B:order_priority', df_b, ss_b_u, df_e, ss_e_u FROM ss
+      UNION ALL SELECT 'AxB', df_ab, ss_ab_u, df_e, ss_e_u FROM ss
+      UNION ALL SELECT 'error', df_e, ss_e_u, df_e, ss_e_u FROM ss
+      UNION ALL SELECT 'total', df_t, ss_t_u, df_e, ss_e_u FROM ss
+    )
+    SELECT source, CAST(df AS BIGINT) AS df,
+           CAST(ss_u AS VARCHAR) AS ss_micro_units,
+           CAST((2 * ss_u + df::HUGEINT * 1000) // (2::HUGEINT * df * 1000)
+             AS VARCHAR) AS ms_milli_units,
+           CASE WHEN source IN ('A:return_flag', 'B:order_priority', 'AxB')
+                THEN CAST((2 * (ss_u * df_e * 1000000)
+                           + ss_e_u::HUGEINT * df)
+                      // (2::HUGEINT * ss_e_u * df) AS BIGINT) / 1000000.0
+           END AS f_stat
+    FROM rows_ ORDER BY source
+    """
+
+
+@_queued("stats_two_way_anova_price", oracle=_anova2_oracle())
+def stats_two_way_anova_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA of line price by return flag (3 levels) x order
+    priority (5 levels): the full sums-of-squares table (A, B, AxB
+    interaction, error, total) with degrees of freedom, mean squares
+    and F statistics — extending the one-way family (Welch ANOVA,
+    Kruskal-Wallis) to factorial designs, the "does the discount
+    effect differ by priority" question.
+
+    Convention (unbalanced data): classical method-of-moments sums
+    SS_A = sum T_a^2/n_a - T^2/N etc., with each T^2/n term quantized
+    half-up to 1e-6 BEFORE differencing (deterministic cross-engine;
+    the raw T^2 products need int128/decimal). Everything reduces on
+    the 15-cell (flag x priority) grid from ONE fact-join scan; the
+    F ratios are one double division of quantized values, floor-
+    half-up displayed.
+    """
+    t = Tables(spark, sf_dir)
+    c = (
+        t.lineitem.filter(F.col("l_extendedprice").isNotNull())
+        .join(
+            t.orders.select("o_orderkey", "o_orderpriority"),
+            t.lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_returnflag").alias("fa"),
+            F.col("o_orderpriority").alias("fb"),
+            F.floor(F.col("l_extendedprice")).cast("long").alias("x"),
+        )
+    )
+    cells = c.groupBy("fa", "fb").agg(
+        F.count(F.lit(1)).alias("n_ab"),
+        F.sum(_dec(F.col("x"))).alias("t_ab"),
+        F.sum(_dec(F.col("x")) * F.col("x")).alias("sx2_ab"),
+    )
+
+    def q_term(tcol, ncol):
+        a = F.lit(2).cast("decimal(38,0)") * (tcol * tcol * F.lit(10**6)) + ncol
+        b = F.lit(2).cast("decimal(38,0)") * ncol
+        return ((a - a % b) / b).cast("decimal(38,0)")
+
+    qcell = cells.select(q_term(F.col("t_ab"), F.col("n_ab")).alias("q_ab"))
+    a = cells.groupBy("fa").agg(
+        F.sum("n_ab").alias("n_a"), F.sum("t_ab").alias("t_a")
+    )
+    qa = a.select(q_term(F.col("t_a"), F.col("n_a")).alias("q_a"))
+    b = cells.groupBy("fb").agg(
+        F.sum("n_ab").alias("n_b"), F.sum("t_ab").alias("t_b")
+    )
+    qb = b.select(q_term(F.col("t_b"), F.col("n_b")).alias("q_b"))
+    tot = cells.agg(
+        F.sum("n_ab").alias("n"),
+        F.sum("t_ab").alias("t"),
+        F.sum("sx2_ab").alias("sx2"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("fa").alias("ka"),
+        F.countDistinct("fb").alias("kb"),
+    )
+    q = (
+        tot.withColumn("q_t", q_term(F.col("t"), F.col("n")))
+        .crossJoin(F.broadcast(qcell.agg(F.sum("q_ab").alias("q_cells"))))
+        .crossJoin(F.broadcast(qa.agg(F.sum("q_a").alias("q_as"))))
+        .crossJoin(F.broadcast(qb.agg(F.sum("q_b").alias("q_bs"))))
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    ss = q.select(
+        (F.col("ka") - 1).alias("df_a"),
+        (F.col("kb") - 1).alias("df_b"),
+        ((F.col("ka") - 1) * (F.col("kb") - 1)).alias("df_ab"),
+        (F.col("n") - F.col("n_cells")).alias("df_e"),
+        (F.col("n") - 1).alias("df_t"),
+        F.greatest(F.col("q_as") - F.col("q_t"), zero).alias("ss_a_u"),
+        F.greatest(F.col("q_bs") - F.col("q_t"), zero).alias("ss_b_u"),
+        F.greatest(
+            F.col("q_cells") - F.col("q_as") - F.col("q_bs") + F.col("q_t"), zero
+        ).alias("ss_ab_u"),
+        F.greatest(F.col("sx2") * F.lit(10**6) - F.col("q_cells"), zero).alias(
+            "ss_e_u"
+        ),
+        F.greatest(F.col("sx2") * F.lit(10**6) - F.col("q_t"), zero).alias("ss_t_u"),
+    )
+    rows = ss.select(
+        F.expr(
+            "stack(5,"
+            " 'A:return_flag', df_a, ss_a_u,"
+            " 'B:order_priority', df_b, ss_b_u,"
+            " 'AxB', df_ab, ss_ab_u,"
+            " 'error', df_e, ss_e_u,"
+            " 'total', df_t, ss_t_u) AS (source, df, ss_u)"
+        ),
+        "df_e",
+        "ss_e_u",
+    )
+    # ss/ms stay EXACT integer-unit decimals rendered as strings — at
+    # fuzz magnitudes ss_u exceeds 2^53 and the decimal->double casts
+    # of the two engines disagree in the last ulp (caught by the fuzz
+    # gate); f is an exact half-up decimal ratio, always small.
+    two = F.lit(2).cast("decimal(38,0)")
+    ms_a = two * F.col("ss_u") + _dec(F.col("df")) * 1000
+    ms_b = two * _dec(F.col("df")) * 1000
+    f_num = F.col("ss_u") * F.col("df_e") * F.lit(10**6)
+    f_den = F.col("ss_e_u") * F.col("df")
+    f_a = two * f_num + f_den
+    f_b = two * f_den
+    return rows.select(
+        "source",
+        F.col("df").cast("long").alias("df"),
+        F.col("ss_u").cast("string").alias("ss_micro_units"),
+        ((ms_a - ms_a % ms_b) / ms_b)
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("ms_milli_units"),
+        F.when(
+            F.col("source").isin("A:return_flag", "B:order_priority", "AxB"),
+            ((f_a - f_a % f_b) / f_b).cast("long") / F.lit(1e6),
+        ).alias("f_stat"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# 17. Expected / maximum calibration error over the classifier deciles
+# ---------------------------------------------------------------------------
+
+
+def _ece_oracle() -> str:
+    from .ml import _scored_labeled_sql
+    from ..functions.exact import sql_round_big_int_ratio, sql_round_int_ratio
+
+    s = 10_000
+    return (
+        _scored_labeled_sql()
+        + f"""
+    , bins AS (
+      SELECT CAST(least(score_q // 1000, 9) AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_k,
+             CAST(sum(label) AS BIGINT) AS pos_k,
+             CAST(sum(score_q) AS BIGINT) AS sum_q_k
+      FROM scored GROUP BY 1
+    ), gaps AS (
+      SELECT decile, n_k,
+             abs(sum_q_k - {s} * pos_k) AS gap_u
+      FROM bins
+    )
+    SELECT CAST(sum(n_k) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           {sql_round_big_int_ratio('sum(gap_u)', f'{s}::HUGEINT * sum(n_k)', 9)}
+             AS ece,
+           max({sql_round_int_ratio('gap_u', f'{s} * n_k', 9)}) AS mce
+    FROM gaps
+    """
+    )
+
+
+@_queued("ml_expected_calibration_error", oracle=_ece_oracle())
+def ml_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected and maximum calibration error of the quality
+    classifier over its 10 score deciles: ECE = sum_k (n_k/N) *
+    |mean_score_k - frac_pos_k| (the headline number quoted for
+    forecast calibration) and MCE = the worst single bin — the scalar
+    summaries of the reliability diagram (``ml_calibration_curve``)
+    and the absolute-error sibling of the Brier reliability term.
+
+    The per-bin gap |sum_q_k - s*pos_k| is an exact integer on the
+    1e-4 score grid, so ECE reduces to ONE exact decimal ratio
+    sum(gap)/(s*N) with no per-bin division at all; MCE takes the max
+    of exact per-bin half-up ratios. One scan, 10-row aggregate.
+    """
+    from .ml import _scored_labeled
+    from ..functions.exact import round_big_int_ratio, round_int_ratio
+
+    s = 10_000
+    t = Tables(spark, sf_dir)
+    sc = _scored_labeled(t)
+    bins = sc.groupBy(
+        F.least(F.floor(F.col("score_q") / F.lit(1000)), F.lit(9)).cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum("label").alias("pos_k"),
+        F.sum("score_q").alias("sum_q_k"),
+    )
+    gaps = bins.select(
+        "n_k", F.abs(F.col("sum_q_k") - s * F.col("pos_k")).alias("gap_u")
+    )
+    return gaps.agg(
+        F.sum("n_k").alias("n"),
+        F.count(F.lit(1)).alias("n_bins"),
+        round_big_int_ratio(
+            F.sum("gap_u"), F.lit(s).cast("decimal(38,0)") * F.sum("n_k"), 9
+        ).alias("ece"),
+        F.max(round_int_ratio(F.col("gap_u"), F.lit(s) * F.col("n_k"), 9)).alias("mce"),
+    )

@@ -61,11 +61,15 @@ def test_queued_query_matches_oracle(spark, sf_dir, entry):
 #   decile rows of the final aggregate.
 # stats_ansari_bradley_quantity: same bounded-domain shape as CvM —
 #   doubled mid-ranks over the <= 50 pooled distinct quantity values.
+# relational_skyline_pareto: the frontier cumulative runs over the
+#   collapsed DISTINCT price-cents curve of the dimension table
+#   (value-domain-bounded), never over part rows.
 QUEUE_SP_ALLOWLIST = {
     "stats_cvm_two_sample",
     "stats_page_hinkley_orders",
     "ml_brier_decomposition",
     "stats_ansari_bradley_quantity",
+    "relational_skyline_pareto",
 }
 
 

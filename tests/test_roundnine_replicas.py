@@ -418,3 +418,104 @@ def test_lsh_recall_audit_matches_op_outputs(spark, sf_dir):
     assert int(got["n_hits_total"]) == tot
     assert int(got["min_hits_per_query"]) == min(hits_per_q.values())
     assert got["recall_at_k"] == _half_up(tot, nq * TOP_K)
+
+
+def test_skyline_matches_python(spark, sf_dir):
+    got = _q("relational_skyline_pareto", spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    p = t.part.select("p_partkey", "p_retailprice", "p_size").toPandas().dropna()
+    price_c = np.floor(p["p_retailprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    size = p["p_size"].astype(np.int64).to_numpy()
+    keys = p["p_partkey"].astype(np.int64).to_numpy()
+    rows = sorted(zip(price_c, size, keys))
+    # brute-force dominance check
+    frontier = []
+    for pc, sz, k in rows:
+        dominated = any(
+            (pc2 <= pc and sz2 >= sz and (pc2 < pc or sz2 > sz))
+            for pc2, sz2, _ in rows
+        )
+        if not dominated:
+            frontier.append((pc / 100.0, int(sz), int(k)))
+    exp = sorted(frontier)
+    gotr = sorted(zip(got["price"], got["size"].astype(int), got["partkey"].astype(int)))
+    assert gotr == exp
+
+
+def test_two_way_anova_matches_python(spark, sf_dir, lineitem_pdf, orders_pdf):
+    got = _q("stats_two_way_anova_price", spark, sf_dir).set_index("source")
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_returnflag", "l_extendedprice").toPandas()
+    j = li.dropna(subset=["l_extendedprice"]).merge(
+        t.orders.select("o_orderkey", "o_orderpriority").toPandas(),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    j["x"] = np.floor(j["l_extendedprice"].to_numpy()).astype(np.int64)
+
+    def q_term(T: int, n: int) -> int:
+        num = T * T * 10**6
+        return (2 * num + n) // (2 * n)
+
+    cells = j.groupby(["l_returnflag", "o_orderpriority"])["x"]
+    t_ab = cells.sum()
+    n_ab = cells.size()
+    sx2 = int(sum(int(x) * int(x) for x in j["x"]))
+    q_cells = sum(q_term(int(T), int(n)) for T, n in zip(t_ab, n_ab))
+    a_g = j.groupby("l_returnflag")["x"]
+    q_as = sum(q_term(int(T), int(n)) for T, n in zip(a_g.sum(), a_g.size()))
+    b_g = j.groupby("o_orderpriority")["x"]
+    q_bs = sum(q_term(int(T), int(n)) for T, n in zip(b_g.sum(), b_g.size()))
+    N = len(j)
+    T = int(j["x"].sum())
+    q_t = q_term(T, N)
+    ka = j["l_returnflag"].nunique()
+    kb = j["o_orderpriority"].nunique()
+    n_cells = len(t_ab)
+    ss = {
+        "A:return_flag": (ka - 1, q_as - q_t),
+        "B:order_priority": (kb - 1, q_bs - q_t),
+        "AxB": ((ka - 1) * (kb - 1), q_cells - q_as - q_bs + q_t),
+        "error": (N - n_cells, sx2 * 10**6 - q_cells),
+        "total": (N - 1, sx2 * 10**6 - q_t),
+    }
+    ss = {k: (df, max(v, 0)) for k, (df, v) in ss.items()}
+    df_e, ss_e_u = ss["error"]
+    for src, (df, ss_u) in ss.items():
+        row = got.loc[src]
+        assert int(row["df"]) == df
+        assert row["ss_micro_units"] == str(ss_u)
+        assert row["ms_milli_units"] == str((2 * ss_u + df * 1000) // (2 * df * 1000))
+        if src in ("A:return_flag", "B:order_priority", "AxB"):
+            assert row["f_stat"] == _half_up(ss_u * df_e, ss_e_u * df)
+        else:
+            assert pd.isna(row["f_stat"])
+
+
+def test_ece_matches_python(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.operators.ml import _scored_labeled
+
+    got = _q("ml_expected_calibration_error", spark, sf_dir).iloc[0]
+    t = Tables(spark, sf_dir)
+    sc = _scored_labeled(t).select("score_q", "label").toPandas()
+    s = 10_000
+    q = sc["score_q"].astype(int).to_numpy()
+    lab = sc["label"].astype(int).to_numpy()
+    dec = np.minimum(q // 1000, 9)
+    gap_sum = 0
+    mce = 0.0
+    n_bins = 0
+    for k in range(10):
+        mask = dec == k
+        n_k = int(mask.sum())
+        if n_k == 0:
+            continue
+        n_bins += 1
+        gap = abs(int(q[mask].sum()) - s * int(lab[mask].sum()))
+        gap_sum += gap
+        mce = max(mce, _half_up(gap, s * n_k, 9))
+    n = len(q)
+    assert int(got["n"]) == n
+    assert int(got["n_bins"]) == n_bins
+    assert got["ece"] == _half_up(gap_sum, s * n, 9)
+    assert got["mce"] == mce
