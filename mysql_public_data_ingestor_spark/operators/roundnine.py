@@ -1855,3 +1855,387 @@ def ml_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("ece"),
         F.max(round_int_ratio(F.col("gap_u"), F.lit(s) * F.col("n_k"), 9)).alias("mce"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 18. Youden-J optimal threshold over the full score domain
+# ---------------------------------------------------------------------------
+
+
+def _youden_oracle() -> str:
+    from .ml import _scored_labeled_sql
+
+    return (
+        _scored_labeled_sql()
+        + """
+    , dv AS (
+      SELECT score_q, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(label) AS BIGINT) AS cpos
+      FROM scored GROUP BY score_q
+    ), cum AS (
+      SELECT score_q,
+             coalesce(sum(cpos) OVER (ORDER BY score_q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos_lt,
+             coalesce(sum(cnt - cpos) OVER (ORDER BY score_q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_lt,
+             sum(cpos) OVER () AS n_pos,
+             sum(cnt - cpos) OVER () AS n_neg
+      FROM dv
+    ), j AS (
+      SELECT score_q AS threshold_q,
+             n_pos - pos_lt AS tp, n_neg - neg_lt AS fp,
+             pos_lt AS fn, neg_lt AS tn, n_pos, n_neg,
+             (2 * (n_pos - pos_lt) * 1000000000 + n_pos) // (2 * n_pos)
+               - (2 * (n_neg - neg_lt) * 1000000000 + n_neg) // (2 * n_neg)
+               AS j_u
+      FROM cum WHERE n_pos > 0 AND n_neg > 0
+    )
+    SELECT CAST(threshold_q AS BIGINT) AS threshold_q,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST((2 * tp * 1000000000 + n_pos) // (2 * n_pos) AS BIGINT)
+             / 1000000000.0 AS tpr,
+           CAST((2 * fp * 1000000000 + n_neg) // (2 * n_neg) AS BIGINT)
+             / 1000000000.0 AS fpr,
+           CAST(j_u AS BIGINT) / 1000000000.0 AS youden_j
+    FROM j
+    ORDER BY j_u DESC, threshold_q
+    LIMIT 1
+    """
+    )
+
+
+@_queued("ml_youden_optimal_threshold", oracle=_youden_oracle())
+def ml_youden_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Youden-J optimal operating point of the quality classifier:
+    sweep EVERY distinct score as the >=-threshold, J(t) = TPR - FPR,
+    return the maximizing threshold (ties -> smallest) with its full
+    confusion row — the operating-point selector the fixed-grid sweep
+    (``ml_confusion_threshold_sweep``) and the ranking metrics (AUC =
+    integral over all J) bracket but don't answer.
+
+    TPR/FPR per candidate threshold come from the same score-domain
+    cumulative the AUC uses (tp(t) = n_pos - pos_below), each
+    quantized half-up 1e-9 integers, so J and the argmax are
+    cross-engine exact; the argmax is a (J desc, threshold) top-1 on
+    the <= 10001-value domain, never a row-scaled sort.
+    """
+    from .ml import _scored_labeled
+
+    t = Tables(spark, sf_dir)
+    sc = _scored_labeled(t)
+    dv = sc.groupBy("score_q").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("label").alias("cpos")
+    )
+    w_prev = Window.orderBy("score_q").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("score_q").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = dv.select(
+        "score_q",
+        F.coalesce(F.sum("cpos").over(w_prev), F.lit(0)).alias("pos_lt"),
+        F.coalesce(F.sum(F.col("cnt") - F.col("cpos")).over(w_prev), F.lit(0)).alias(
+            "neg_lt"
+        ),
+        F.sum("cpos").over(w_all).alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("cpos")).over(w_all).alias("n_neg"),
+    )
+
+    def hup9(num, den):
+        return ((2 * num * F.lit(10**9) + den) - (2 * num * F.lit(10**9) + den) % (2 * den)) / (
+            2 * den
+        )
+
+    tp = F.col("n_pos") - F.col("pos_lt")
+    fp = F.col("n_neg") - F.col("neg_lt")
+    j = cum.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        F.col("score_q").alias("threshold_q"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        F.col("pos_lt").alias("fn"),
+        F.col("neg_lt").alias("tn"),
+        hup9(tp, F.col("n_pos")).cast("long").alias("tpr_u"),
+        hup9(fp, F.col("n_neg")).cast("long").alias("fpr_u"),
+    )
+    j = j.withColumn("j_u", F.col("tpr_u") - F.col("fpr_u"))
+    return (
+        j.orderBy(F.col("j_u").desc(), "threshold_q")
+        .limit(1)
+        .select(
+            "threshold_q",
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            (F.col("tpr_u") / F.lit(1e9)).alias("tpr"),
+            (F.col("fpr_u") / F.lit(1e9)).alias("fpr"),
+            (F.col("j_u") / F.lit(1e9)).alias("youden_j"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 19. Pooled retention-decay fit (exponential half-life)
+# ---------------------------------------------------------------------------
+
+LN2_U9 = 693_147_181  # round(ln 2 * 1e9), the half-life literal
+
+
+def _retention_decay_oracle() -> str:
+    from ..functions.detmath import sql_det_ln_steps
+    from ..functions.exact import sql_round_int_ratio
+
+    return f"""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), maxw AS (
+      SELECT max(date_trunc('week', ts)) AS max_week FROM events
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(datediff('day', f.cohort_week, date_trunc('week', e.ts)) / 7
+               AS BIGINT) AS w
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ), obs AS (
+      SELECT a.w,
+             CAST(count(*) AS BIGINT) AS act_w,
+             (SELECT CAST(count(*) AS BIGINT) FROM activity a0, maxw
+              WHERE a0.w = 0
+                AND datediff('day', a0.cohort_week, maxw.max_week) / 7 >= a.w)
+               AS base_w
+      FROM activity a, maxw
+      WHERE a.w >= 1 AND datediff('day', a.cohort_week, maxw.max_week) / 7 >= a.w
+      GROUP BY a.w
+    ), r AS (
+      SELECT w, act_w, base_w,
+             CAST(act_w AS DOUBLE) / CAST(base_w AS DOUBLE) AS ratio
+      FROM obs WHERE act_w > 0 AND base_w > 0
+    ), {sql_det_ln_steps('r', 'ratio', 'y_u', 9)},
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(w) AS BIGINT) AS sw,
+             CAST(sum(w * w) AS BIGINT) AS sww,
+             CAST(sum(y_u) AS BIGINT) AS sy,
+             CAST(sum(w * y_u) AS BIGINT) AS swy
+      FROM y_u_rel
+    ), fit AS (
+      SELECT n,
+             n * swy - sw * sy AS num,
+             n * sww - sw * sw AS den,
+             sy, sw
+      FROM s WHERE n >= 2 AND n * sww - sw * sw > 0
+    )
+    SELECT n AS n_weeks,
+           CAST(CASE WHEN num < 0
+                THEN -((2 * (-num) + den) // (2 * den))
+                ELSE (2 * num + den) // (2 * den) END AS BIGINT)
+             / 1000000000.0 AS slope_ln_per_week,
+           CAST(CASE WHEN sy * den - num * sw < 0
+                THEN -((2 * (-(sy::HUGEINT * den - num::HUGEINT * sw)) + n::HUGEINT * den)
+                       // (2::HUGEINT * n * den))
+                ELSE (2 * (sy::HUGEINT * den - num::HUGEINT * sw) + n::HUGEINT * den)
+                       // (2::HUGEINT * n * den) END AS BIGINT)
+             / 1000000000.0 AS intercept_ln,
+           CASE WHEN num < 0 THEN
+             {sql_round_int_ratio(f'{LN2_U9}::BIGINT * den', '(-num)')}
+           END AS half_life_weeks
+    FROM fit
+    """
+
+
+@_queued("events_retention_decay_fit", oracle=_retention_decay_oracle())
+def events_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential decay fit of the pooled weekly retention curve:
+    ln(r_w) regressed on week offset w (observable-triangle-corrected
+    — a cohort only contributes to offsets its age covers), reporting
+    slope, intercept and the implied half-life ln2/(-slope) — turning
+    the retention TABLE (``events_weekly_retention``) into the 2-
+    parameter summary growth teams actually quote.
+
+    r_w = active(w)/eligible-cohort-size is one correctly-rounded
+    double divide of exact counts, ln is det-ln quantized 1e-9, and
+    the OLS closed form runs in exact integer arithmetic over the
+    calendar-bounded week domain; slope/intercept/half-life are exact
+    half-up ratios (half-life only when the slope is negative).
+    """
+    from ..functions.detmath import det_ln_q
+    from ..functions.exact import round_int_ratio
+
+    t = Tables(spark, sf_dir)
+    firsts = t.events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    maxw = t.events.agg(F.date_trunc("week", F.max("ts")).alias("max_week"))
+    activity = (
+        t.events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        .distinct()
+    )
+    act = activity.crossJoin(F.broadcast(maxw)).withColumn(
+        "age_w",
+        (F.datediff(F.col("max_week"), F.col("cohort_week")) / 7).cast("long"),
+    )
+    obs = (
+        act.filter((F.col("w") >= 1) & (F.col("age_w") >= F.col("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("act_w"))
+    )
+    base = act.filter(F.col("w") == 0).select("cohort_week", "age_w")
+    # eligible cohort size per offset: cohorts old enough to observe w
+    base_per_w = obs.select("w", "act_w").join(
+        base.select(F.col("age_w").alias("base_age")), F.col("base_age") >= F.col("w")
+    ).groupBy("w", "act_w").agg(F.count(F.lit(1)).alias("base_w"))
+    r = base_per_w.filter((F.col("act_w") > 0) & (F.col("base_w") > 0)).select(
+        "w",
+        (F.col("act_w").cast("double") / F.col("base_w").cast("double")).alias("ratio"),
+    )
+    y = r.select("w", det_ln_q(F.col("ratio"), 9).alias("y_u"))
+    s = y.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+        F.sum("y_u").alias("sy"),
+        F.sum(F.col("w") * F.col("y_u")).alias("swy"),
+    )
+    num = F.col("n") * F.col("swy") - F.col("sw") * F.col("sy")
+    den = F.col("n") * F.col("sww") - F.col("sw") * F.col("sw")
+    fit = s.filter((F.col("n") >= 2) & (den > 0)).select(
+        F.col("n").alias("n_weeks"), num.alias("num"), den.alias("den"), "sy", "sw"
+    )
+
+    def hup_signed(numc, denc):
+        mag = ((2 * F.abs(numc) + denc) - (2 * F.abs(numc) + denc) % (2 * denc)) / (
+            2 * denc
+        )
+        return F.when(numc < 0, -mag.cast("long")).otherwise(mag.cast("long"))
+
+    i_num = _dec(F.col("sy")) * F.col("den") - _dec(F.col("num")) * F.col("sw")
+    i_den = _dec(F.col("n_weeks")) * F.col("den")
+    i_a = F.lit(2).cast("decimal(38,0)") * F.abs(i_num) + i_den
+    i_mag = ((i_a - i_a % (F.lit(2).cast("decimal(38,0)") * i_den)) / (
+        F.lit(2).cast("decimal(38,0)") * i_den
+    )).cast("long")
+    return fit.select(
+        "n_weeks",
+        (hup_signed(F.col("num"), F.col("den")) / F.lit(1e9)).alias(
+            "slope_ln_per_week"
+        ),
+        (F.when(i_num < 0, -i_mag).otherwise(i_mag) / F.lit(1e9)).alias("intercept_ln"),
+        F.when(
+            F.col("num") < 0,
+            round_int_ratio(F.lit(LN2_U9) * F.col("den"), -F.col("num")),
+        ).alias("half_life_weeks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 20. Revenue concentration: top-1% / top-10% order value share
+# ---------------------------------------------------------------------------
+
+
+def _topshare_oracle() -> str:
+    from ..functions.exact import sql_round_big_int_ratio
+
+    def share(pct: int) -> str:
+        k = f"((n + {100 // pct - 1}) // {100 // pct})"
+        return f"""
+      (SELECT {sql_round_big_int_ratio(
+          f'(SELECT cs - (cc - {k}) * cents FROM cum WHERE cc >= {k} ORDER BY cents DESC LIMIT 1)',
+          'total_cents')}
+       FROM tot)"""
+
+    return f"""
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), dv AS (
+      SELECT cents, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(count(*) AS HUGEINT) * cents AS val
+      FROM c GROUP BY cents
+    ), cum AS (
+      SELECT cents,
+             CAST(sum(cnt) OVER (ORDER BY cents DESC) AS BIGINT) AS cc,
+             CAST(sum(val) OVER (ORDER BY cents DESC) AS HUGEINT) AS cs
+      FROM dv
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(val) AS HUGEINT) AS total_cents
+      FROM dv
+    )
+    SELECT n AS n_orders,
+           {share(1)} AS share_top1pct,
+           {share(10)} AS share_top10pct
+    FROM tot
+    """
+
+
+@_queued("agg_top_value_share", oracle=_topshare_oracle())
+def agg_top_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration ("whale curve"): the exact share of total
+    order value held by the top 1% and top 10% of orders by value —
+    the business-side concentration diagnostic beside the statistical
+    ones (Gini, Pareto tail fit, HHI), and the canonical "how
+    whale-dependent is revenue" number.
+
+    Exact nearest-rank on the DESCENDING cumulative over the distinct
+    order-value cents domain: the top-k cut may split a tie group, so
+    the boundary group contributes (cc - k) * cents back — integer
+    arithmetic end-to-end, shares as exact half-up decimal ratios
+    (cents sums exceed int64 at warehouse scale).
+    """
+    from ..functions.exact import round_big_int_ratio
+
+    t = Tables(spark, sf_dir)
+    c = t.orders.filter(F.col("o_totalprice").isNotNull()).select(
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    dv = c.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w_desc = Window.orderBy(F.col("cents").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dv.select(
+        "cents",
+        F.sum("cnt").over(w_desc).alias("cc"),
+        F.sum(_dec(F.col("cnt")) * F.col("cents")).over(w_desc).alias("cs"),
+    )
+    tot = dv.agg(
+        F.sum("cnt").alias("n"), F.sum(_dec(F.col("cnt")) * F.col("cents")).alias("total_cents")
+    )
+
+    def share(pct: int):
+        k = (F.col("n") + (100 // pct - 1)) - (
+            F.col("n") + (100 // pct - 1)
+        ) % (100 // pct)
+        k = (k / (100 // pct)).cast("long")
+        boundary = (
+            cum.crossJoin(F.broadcast(tot))
+            .filter(F.col("cc") >= k)
+            .orderBy(F.col("cents").desc())
+            .limit(1)
+            .select(
+                (F.col("cs") - _dec(F.col("cc") - k) * F.col("cents")).alias("top_cents"),
+                "total_cents",
+            )
+        )
+        return boundary.select(
+            round_big_int_ratio(F.col("top_cents"), F.col("total_cents")).alias(
+                f"share_top{pct}pct"
+            )
+        )
+
+    return (
+        tot.select(F.col("n").alias("n_orders"))
+        .crossJoin(F.broadcast(share(1)))
+        .crossJoin(F.broadcast(share(10)))
+    )

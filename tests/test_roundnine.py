@@ -64,12 +64,18 @@ def test_queued_query_matches_oracle(spark, sf_dir, entry):
 # relational_skyline_pareto: the frontier cumulative runs over the
 #   collapsed DISTINCT price-cents curve of the dimension table
 #   (value-domain-bounded), never over part rows.
+# ml_youden_optimal_threshold: ROC cumulative over the POST-
+#   AGGREGATION <= 10001-value score grid; top-1 via TakeOrdered.
+# agg_top_value_share: descending cumulative over the distinct
+#   order-value cents domain (range-bounded), never raw orders.
 QUEUE_SP_ALLOWLIST = {
     "stats_cvm_two_sample",
     "stats_page_hinkley_orders",
     "ml_brier_decomposition",
     "stats_ansari_bradley_quantity",
     "relational_skyline_pareto",
+    "ml_youden_optimal_threshold",
+    "agg_top_value_share",
 }
 
 

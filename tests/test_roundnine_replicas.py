@@ -519,3 +519,93 @@ def test_ece_matches_python(spark, sf_dir):
     assert int(got["n_bins"]) == n_bins
     assert got["ece"] == _half_up(gap_sum, s * n, 9)
     assert got["mce"] == mce
+
+
+def test_youden_matches_python(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.operators.ml import _scored_labeled
+
+    got = _q("ml_youden_optimal_threshold", spark, sf_dir).iloc[0]
+    t = Tables(spark, sf_dir)
+    sc = _scored_labeled(t).select("score_q", "label").toPandas()
+    grp = sc.groupby("score_q")["label"].agg(["size", "sum"]).sort_index()
+    n_pos = int(grp["sum"].sum())
+    n_neg = int((grp["size"] - grp["sum"]).sum())
+    pos_lt = neg_lt = 0
+    best = None
+    for score_q, row in grp.iterrows():
+        tp, fp = n_pos - pos_lt, n_neg - neg_lt
+        tpr_u = (2 * tp * 10**9 + n_pos) // (2 * n_pos)
+        fpr_u = (2 * fp * 10**9 + n_neg) // (2 * n_neg)
+        cand = (-(tpr_u - fpr_u), int(score_q), tp, fp, pos_lt, neg_lt, tpr_u, fpr_u)
+        if best is None or cand < best:
+            best = cand
+        pos_lt += int(row["sum"])
+        neg_lt += int(row["size"] - row["sum"])
+    neg_j, thr, tp, fp, fn, tn, tpr_u, fpr_u = best
+    assert int(got["threshold_q"]) == thr
+    assert (int(got["tp"]), int(got["fp"]), int(got["fn"]), int(got["tn"])) == (
+        tp, fp, fn, tn,
+    )
+    assert got["tpr"] == tpr_u / 1e9
+    assert got["fpr"] == fpr_u / 1e9
+    assert got["youden_j"] == -neg_j / 1e9
+
+
+def test_retention_decay_matches_python(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.functions.detmath import ref_det_ln_q
+
+    got = _q("events_retention_decay_fit", spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "ts").toPandas()
+    ts = pd.to_datetime(ev["ts"])
+    week = ts.dt.to_period("W-SUN").dt.start_time  # Monday-start weeks
+    df = pd.DataFrame({"u": ev["user_id"], "wk": week})
+    first = df.groupby("u")["wk"].min().rename("cw")
+    df = df.merge(first, left_on="u", right_index=True)
+    df["w"] = ((df["wk"] - df["cw"]).dt.days // 7).astype(int)
+    max_week = df["wk"].max()
+    df["age"] = ((max_week - df["cw"]).dt.days // 7).astype(int)
+    act = df[["u", "w", "age"]].drop_duplicates(subset=["u", "w"])
+    pairs = []
+    base = df[["u", "cw", "age"]].drop_duplicates(subset=["u"])
+    for w, grp in act[(act["w"] >= 1) & (act["age"] >= act["w"])].groupby("w"):
+        act_w = len(grp)
+        base_w = int((base["age"] >= w).sum())
+        if act_w > 0 and base_w > 0:
+            y = ref_det_ln_q(act_w / base_w, 9)
+            pairs.append((int(w), y))
+    n = len(pairs)
+    sw = sum(w for w, _ in pairs)
+    sww = sum(w * w for w, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    swy = sum(w * y for w, y in pairs)
+    num = n * swy - sw * sy
+    den = n * sww - sw * sw
+    assert n >= 2 and den > 0
+    row = got.iloc[0]
+    assert int(row["n_weeks"]) == n
+    assert row["slope_ln_per_week"] == _half_up_int(num, den) / 1e9
+    assert row["intercept_ln"] == _half_up_int(sy * den - num * sw, n * den) / 1e9
+    if num < 0:
+        assert row["half_life_weeks"] == _half_up(
+            roundnine.LN2_U9 * den, -num
+        )
+    else:
+        assert pd.isna(row["half_life_weeks"])
+
+
+def test_top_value_share_matches_python(spark, sf_dir, orders_pdf):
+    got = _q("agg_top_value_share", spark, sf_dir).iloc[0]
+    t = Tables(spark, sf_dir)
+    o = t.orders.select("o_totalprice").toPandas().dropna()
+    cents = sorted(
+        np.floor(o["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64),
+        reverse=True,
+    )
+    n = len(cents)
+    total = int(sum(int(c) for c in cents))
+    for pct, col in [(1, "share_top1pct"), (10, "share_top10pct")]:
+        k = (n + (100 // pct) - 1) // (100 // pct)
+        top = int(sum(int(c) for c in cents[:k]))
+        assert got[col] == _half_up(top, total)
+    assert int(got["n_orders"]) == n
