@@ -2239,3 +2239,197 @@ def agg_top_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(share(1)))
         .crossJoin(F.broadcast(share(10)))
     )
+
+
+# ---------------------------------------------------------------------------
+# 21. KMV/theta intersection estimate: viewers x clickers
+# ---------------------------------------------------------------------------
+
+KMV_INT_K = 256
+KMV_INT_DOMAIN = 1 << 60
+KMV_SET_A = "view"
+KMV_SET_B = "click"
+
+
+def _kmv_intersection_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    k, dom = KMV_INT_K, KMV_INT_DOMAIN
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT event_type AS g,
+             (('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15)))::BIGINT
+               AS hv,
+             user_id
+      FROM events WHERE event_type IN ('{KMV_SET_A}', '{KMV_SET_B}')
+    ), ha AS (SELECT DISTINCT hv FROM h WHERE g = '{KMV_SET_A}'),
+    hb AS (SELECT DISTINCT hv FROM h WHERE g = '{KMV_SET_B}'),
+    hu AS (SELECT hv FROM ha UNION SELECT hv FROM hb),
+    theta AS (
+      SELECT CAST(max(hv) AS BIGINT) AS th,
+             CAST(count(*) AS BIGINT) AS k_eff
+      FROM (SELECT hv FROM hu ORDER BY hv LIMIT {k})
+    ), common AS (
+      SELECT CAST(count(*) AS BIGINT) AS c
+      FROM ha JOIN hb USING (hv), theta
+      WHERE hv <= theta.th
+    ), tru AS (
+      SELECT CAST(count(*) AS BIGINT) AS d_true
+      FROM (SELECT user_id FROM h WHERE g = '{KMV_SET_A}'
+            INTERSECT
+            SELECT user_id FROM h WHERE g = '{KMV_SET_B}')
+    )
+    SELECT t.k_eff, t.th AS theta, c.c AS n_common_under_theta,
+           CAST(CASE WHEN t.k_eff = {k}
+                THEN (c.c::HUGEINT * {k - 1} * {dom}) // ({k}::HUGEINT * t.th)
+                ELSE c.c END AS BIGINT) AS d_int_est,
+           u.d_true,
+           CASE WHEN u.d_true > 0 THEN {sql_round_int_ratio(
+               f'''abs(CAST(CASE WHEN t.k_eff = {k}
+                    THEN (c.c::HUGEINT * {k - 1} * {dom}) // ({k}::HUGEINT * t.th)
+                    ELSE c.c END AS BIGINT) - u.d_true)''',
+               'u.d_true')} END AS rel_error
+    FROM theta t, common c, tru u
+    """
+
+
+@_queued("sketch_kmv_intersection_users", oracle=_kmv_intersection_oracle())
+def sketch_kmv_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV INTERSECTION estimate: distinct users who both viewed
+    and clicked, estimated from the two sets' hash order statistics —
+    theta = the union sketch's k-th minimum, the intersection sample =
+    common hashes below theta, and D_int ≈ (c/k) * D_union — the
+    set-OPERATION member of the mergeable-sketch family (the single-
+    set KMV estimates one cardinality; real sketch workloads ask for
+    intersections/unions of many), reported beside the exact
+    intersection and its relative error like the other sketch audits.
+
+    Deterministic end-to-end (sha-derived 60-bit hashes, integer
+    floor estimate), so it hash-verifies cross-engine. The per-set
+    distinct-hash aggregations collapse map-side; theta is a
+    TakeOrdered k-min on the union; the common-hash probe is one
+    equi-join on the hash key. At 100 TB each set's sketch state is k
+    values and intersection = a k-sized join.
+    """
+    from ..functions.exact import round_int_ratio
+    from ..functions.textnorm import sha256_prefix_i64
+
+    k, dom = KMV_INT_K, KMV_INT_DOMAIN
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("event_type").isin(KMV_SET_A, KMV_SET_B)).select(
+        F.col("event_type").alias("g"),
+        sha256_prefix_i64(F.col("user_id").cast("string")).alias("hv"),
+        "user_id",
+    )
+    ha = ev.filter(F.col("g") == KMV_SET_A).select("hv").distinct()
+    hb = ev.filter(F.col("g") == KMV_SET_B).select("hv").distinct()
+    hu = ha.unionAll(hb).distinct()
+    theta = hu.orderBy("hv").limit(k).agg(
+        F.max("hv").alias("th"), F.count(F.lit(1)).alias("k_eff")
+    )
+    common = (
+        ha.join(hb, "hv")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("hv") <= F.col("th"))
+        .agg(F.count(F.lit(1)).alias("c"), F.first("th").alias("th"), F.first("k_eff").alias("k_eff"))
+    )
+    ua = ev.filter(F.col("g") == KMV_SET_A).select("user_id").distinct()
+    ub = ev.filter(F.col("g") == KMV_SET_B).select("user_id").distinct()
+    tru = ua.join(ub, "user_id").agg(F.count(F.lit(1)).alias("d_true"))
+    est_num = _dec(F.col("c")) * F.lit(k - 1) * F.lit(dom)
+    est_den = _dec(F.lit(k)) * F.col("th")
+    est = F.when(
+        F.col("k_eff") == k,
+        ((est_num - est_num % est_den) / est_den).cast("long"),
+    ).otherwise(F.col("c"))
+    out = common.crossJoin(F.broadcast(tru))
+    return out.select(
+        "k_eff",
+        F.col("th").alias("theta"),
+        F.col("c").alias("n_common_under_theta"),
+        est.alias("d_int_est"),
+        "d_true",
+        F.when(
+            F.col("d_true") > 0,
+            round_int_ratio(F.abs(est - F.col("d_true")), F.col("d_true")),
+        ).alias("rel_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 22. Serpentine (boustrophedon) shard balancing of document payloads
+# ---------------------------------------------------------------------------
+
+SERP_N_SHARDS = 8
+
+
+def _serpentine_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    n = SERP_N_SHARDS
+    return f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) - 1 AS idx
+      FROM documents
+    ), assigned AS (
+      SELECT source, n_chars,
+             CASE WHEN (idx // {n}) % 2 = 0 THEN idx % {n}
+                  ELSE {n - 1} - (idx % {n}) END AS shard
+      FROM ranked
+    ), per_shard AS (
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM assigned GROUP BY shard
+    ), tot AS (SELECT CAST(sum(total_chars) AS BIGINT) AS t FROM per_shard)
+    SELECT shard, n_docs, total_chars,
+           {sql_round_int_ratio('total_chars', 't')} AS char_share
+    FROM per_shard, tot ORDER BY shard
+    """
+
+
+@_queued("layout_serpentine_shard_balance", oracle=_serpentine_oracle())
+def layout_serpentine_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serpentine (boustrophedon) size-balanced shard assignment of
+    document payloads: within each source, order docs by size
+    descending and deal them across 8 shards alternating direction
+    each round (0..7, 7..0, ...), the classic deterministic
+    approximation of LPT bin packing that a training-data writer uses
+    to keep output shards byte-balanced — the assignment-PLANNING
+    member of the layout family (z-order = clustering, compaction =
+    file sizing, this = load balance). The replica test asserts the
+    achieved balance beats naive round-robin's worst case.
+
+    The ranking window is PARTITIONED by source (a layout plan runs
+    per ingest partition, never globally); the serpentine formula is
+    pure row-local arithmetic on the rank, and shard totals are one
+    bounded aggregate. Shares are exact half-up ratios.
+    """
+    from ..functions.exact import round_int_ratio
+
+    n = SERP_N_SHARDS
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = t.documents.select(
+        "source", "n_chars", (F.row_number().over(w) - 1).alias("idx")
+    )
+    rnd = (F.col("idx") - F.col("idx") % n) / n
+    shard = F.when(
+        rnd.cast("long") % 2 == 0, F.col("idx") % n
+    ).otherwise(F.lit(n - 1) - F.col("idx") % n)
+    per_shard = (
+        ranked.select(shard.cast("long").alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return per_shard.select(
+        "shard",
+        "n_docs",
+        "total_chars",
+        round_int_ratio(F.col("total_chars"), F.sum("total_chars").over(w_all)).alias(
+            "char_share"
+        ),
+    ).orderBy("shard")

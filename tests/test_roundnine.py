@@ -76,6 +76,9 @@ QUEUE_SP_ALLOWLIST = {
     "relational_skyline_pareto",
     "ml_youden_optimal_threshold",
     "agg_top_value_share",
+    # layout_serpentine_shard_balance: the share window runs over the
+    # 8-row per-shard aggregate output.
+    "layout_serpentine_shard_balance",
 }
 
 

@@ -609,3 +609,66 @@ def test_top_value_share_matches_python(spark, sf_dir, orders_pdf):
         top = int(sum(int(c) for c in cents[:k]))
         assert got[col] == _half_up(top, total)
     assert int(got["n_orders"]) == n
+
+
+def test_kmv_intersection_matches_python(spark, sf_dir):
+    import hashlib
+
+    # NB: columns read directly — a mixed int64/float64 single-row
+    # .iloc[0] upcasts to float64 and corrupts 60-bit hash values.
+    gdf = _q("sketch_kmv_intersection_users", spark, sf_dir)
+    got = {c: gdf[c].iloc[0] for c in gdf.columns}
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_type", "user_id").toPandas()
+    k, dom = roundnine.KMV_INT_K, roundnine.KMV_INT_DOMAIN
+
+    def hv_set(etype):
+        users = {
+            int(u)
+            for e, u in zip(ev["event_type"], ev["user_id"])
+            if e == etype and not pd.isna(u)
+        }
+        return users, {
+            int(hashlib.sha256(str(u).encode()).hexdigest()[:15], 16) for u in users
+        }
+
+    ua, ha = hv_set(roundnine.KMV_SET_A)
+    ub, hb = hv_set(roundnine.KMV_SET_B)
+    union = sorted(ha | hb)[:k]
+    theta, k_eff = max(union), len(union)
+    c = sum(1 for h in ha & hb if h <= theta)
+    d_true = len(ua & ub)
+    d_est = (c * (k - 1) * dom) // (k * theta) if k_eff == k else c
+    assert int(got["k_eff"]) == k_eff
+    assert int(got["theta"]) == theta
+    assert int(got["n_common_under_theta"]) == c
+    assert int(got["d_int_est"]) == d_est
+    assert int(got["d_true"]) == d_true
+    if d_true > 0:
+        assert got["rel_error"] == _half_up(abs(d_est - d_true), d_true)
+
+
+def test_serpentine_matches_python_and_balances(spark, sf_dir):
+    got = _q("layout_serpentine_shard_balance", spark, sf_dir).set_index("shard")
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("source", "doc_id", "n_chars").toPandas()
+    n = roundnine.SERP_N_SHARDS
+    totals = {s: 0 for s in range(n)}
+    counts = {s: 0 for s in range(n)}
+    for _, grp in docs.groupby("source"):
+        rows = sorted(zip(-grp["n_chars"], grp["doc_id"], grp["n_chars"]))
+        for idx, (_, _, ch) in enumerate(rows):
+            r, pos = divmod(idx, n)
+            shard = pos if r % 2 == 0 else n - 1 - pos
+            totals[shard] += int(ch)
+            counts[shard] += 1
+    gt = sum(totals.values())
+    for s in range(n):
+        row = got.loc[s]
+        assert int(row["n_docs"]) == counts[s]
+        assert int(row["total_chars"]) == totals[s]
+        assert row["char_share"] == _half_up(totals[s], gt)
+    # balance property: serpentine keeps shard totals within 10% of mean
+    mean = gt / n
+    assert max(totals.values()) <= 1.1 * mean
+    assert min(totals.values()) >= 0.9 * mean
