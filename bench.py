@@ -244,6 +244,29 @@ HEADLINE = [
     "stats_logrank_segments",
     "stats_ljung_box_daily",
     "text_simpson_diversity_by_lang",
+    # round-9 activation of the round-8-banked queue (VERDICT r8 item 1)
+    "stats_cvm_two_sample",
+    "text_term_burstiness_topk",
+    "dq_interval_union_coverage",
+    "privacy_generalization_ladder",
+    "graph_katz_centrality_seeds",
+    "graph_harmonic_closeness_seeds",
+    "ml_brier_decomposition",
+    "stats_page_hinkley_orders",
+    "ml_auc_jackknife_ci",
+    "stats_ansari_bradley_quantity",
+    "graph_rich_club_coefficient",
+    "events_dau_mau_stickiness",
+    "text_sentence_length_profile",
+    "similarity_lsh_recall_audit",
+    "relational_skyline_pareto",
+    "stats_two_way_anova_price",
+    "ml_expected_calibration_error",
+    "ml_youden_optimal_threshold",
+    "events_retention_decay_fit",
+    "agg_top_value_share",
+    "sketch_kmv_intersection_users",
+    "layout_serpentine_shard_balance",
 ]
 
 

@@ -28,6 +28,25 @@ WAVES_PER_CORE = 4
 # GBs and falls back to the planner's own sort-merge path.
 GATED_BROADCAST_DEFAULT_BYTES = 256 << 20
 
+# Parsed once per process: the budget gates PLAN-time decisions only,
+# and a malformed/empty env value must degrade to the default instead
+# of failing every graph query at hint time (ADVICE r8).
+_BROADCAST_BUDGET_CACHE: int | None = None
+
+
+def _broadcast_budget() -> int:
+    global _BROADCAST_BUDGET_CACHE
+    if _BROADCAST_BUDGET_CACHE is None:
+        try:
+            _BROADCAST_BUDGET_CACHE = int(
+                os.environ.get(
+                    "SPARK_GRAFT_BROADCAST_BUDGET", GATED_BROADCAST_DEFAULT_BYTES
+                )
+            )
+        except (TypeError, ValueError):
+            _BROADCAST_BUDGET_CACHE = GATED_BROADCAST_DEFAULT_BYTES
+    return _BROADCAST_BUDGET_CACHE
+
 
 def gated_broadcast(df: DataFrame, budget_bytes: int | None = None) -> DataFrame:
     """``F.broadcast(df)`` only while Catalyst's own size estimate for
@@ -47,11 +66,7 @@ def gated_broadcast(df: DataFrame, budget_bytes: int | None = None) -> DataFrame
     from pyspark.sql import functions as F
 
     if budget_bytes is None:
-        budget_bytes = int(
-            os.environ.get(
-                "SPARK_GRAFT_BROADCAST_BUDGET", GATED_BROADCAST_DEFAULT_BYTES
-            )
-        )
+        budget_bytes = _broadcast_budget()
     raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     size = raw if isinstance(raw, int) else int(raw.toString())
     return F.broadcast(df) if size <= budget_bytes else df

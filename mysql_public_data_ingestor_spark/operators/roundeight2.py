@@ -224,9 +224,9 @@ def _mood_oracle() -> str:
 
 @register("stats_mood_median_discount", oracle=_mood_oracle())
 def stats_mood_median_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mood's median test cells for lineitem discount across ship
-    modes: per-mode counts above / at-or-below the grand median, plus
-    each mode's chi-square contribution (the statistic is their sum) —
+    """Mood's median test cells for lineitem discount across return
+    flags: per-flag counts above / at-or-below the grand median, plus
+    each flag's chi-square contribution (the statistic is their sum) —
     the robust "do these groups share a center" screen that, unlike
     Kruskal-Wallis, is insensitive to tail shape.
 
@@ -531,6 +531,16 @@ def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Deterministic per-block cap on the recall audit's exact-truth side
+# (VERDICT r8 item 4): at most this many hash-selected docs per
+# (lang, len_bucket) block enter the exact-Jaccard pair enumeration,
+# so truth pair volume is <= n_blocks * C(cap, 2) BY MECHANISM — one
+# hot block at 100 TB can no longer make the audit quadratic. 64 docs
+# per block keeps every sf0.01/sf0.1 block intact in practice while
+# the x10 duplicate-amplified fixture caps out.
+RECALL_AUDIT_BLOCK_CAP = 64
+
+
 def _minhash_recall_oracle() -> str:
     from .dedup import (
         N_BANDS,
@@ -565,13 +575,21 @@ def _minhash_recall_oracle() -> str:
       FROM banded a JOIN banded b
         ON a.doc_id < b.doc_id AND ({bmatch})
     ), keyed AS (
-      SELECT s.doc_id, d.lang, d.n_chars // 100 AS len_bucket, s.bases AS hs
+      SELECT s.doc_id, d.lang, d.n_chars // 100 AS len_bucket, s.bases AS hs,
+             (('0x' || substr(sha256('ra|' || CAST(s.doc_id AS VARCHAR)),
+                              1, 15)))::BIGINT AS smp_h
       FROM sigs s JOIN documents d USING (doc_id)
+    ), capped AS (
+      SELECT doc_id, lang, len_bucket, hs
+      FROM (SELECT *, row_number() OVER (PARTITION BY lang, len_bucket
+                                         ORDER BY smp_h, doc_id) AS rk
+            FROM keyed)
+      WHERE rk <= {RECALL_AUDIT_BLOCK_CAP}
     ), truth AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              len(list_intersect(a.hs, b.hs)) AS inter,
              len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS uni
-      FROM keyed a JOIN keyed b
+      FROM capped a JOIN capped b
         ON a.lang = b.lang AND a.len_bucket = b.len_bucket
            AND a.doc_id < b.doc_id
       WHERE 2 * len(list_intersect(a.hs, b.hs))
@@ -606,6 +624,12 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures recall over blocked truth; LSH candidates are global so
     this only overstates recall if a near-dup pair crosses a length
     block, which verbatim and near-verbatim duplicates do not).
+    Within each block at most ``RECALL_AUDIT_BLOCK_CAP`` docs —
+    selected by a deterministic salted hash rank, identical in both
+    engines — enter the pair enumeration (VERDICT r8 item 4): block
+    density no longer drives pair volume, so one hot (lang, bucket)
+    block at 100 TB costs C(cap, 2) pairs instead of C(block, 2),
+    while the hash-random sample preserves the per-decile S-curve.
     Decile assignment is pure integer arithmetic ((10*inter)//union,
     capped at 9) — no float boundary can flip a bucket cross-engine.
     One shingle+hash pass is shared by both sides via localCheckpoint;
@@ -621,7 +645,7 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..functions.exact import round_int_ratio
     from ..functions.partitioning import cpu_repartition
-    from ..functions.textnorm import shingle_base_hash_udf
+    from ..functions.textnorm import sha256_prefix_i64, shingle_base_hash_udf
 
     t = Tables(spark, sf_dir)
     bases_udf = shingle_base_hash_udf(SHINGLE_K)
@@ -659,10 +683,22 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    a = norm.select(
+    w_blk = Window.partitionBy("lang", "len_bucket").orderBy("smp_h", "doc_id")
+    capped = (
+        norm.withColumn(
+            "smp_h",
+            sha256_prefix_i64(
+                F.concat(F.lit("ra|"), F.col("doc_id").cast("string"))
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w_blk))
+        .filter(F.col("rk") <= RECALL_AUDIT_BLOCK_CAP)
+        .drop("smp_h", "rk")
+    )
+    a = capped.select(
         F.col("doc_id").alias("doc_a"), "lang", "len_bucket", F.col("bases").alias("ha")
     )
-    b_ = norm.select(
+    b_ = capped.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("len_bucket").alias("len_bucket_b"),

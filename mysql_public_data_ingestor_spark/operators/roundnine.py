@@ -1,12 +1,12 @@
-"""Round-9 banked operator queue (NOT registered this round).
+"""Round-8-banked operator queue, ACTIVATED in round 9.
 
-Round 8 filled the driver's 50-slot evaluation window exactly
-(`tests/test_roundeight2.py::test_window_budget_holds_round8`), so
-these operators follow the proven round-4/5 pattern: built and fully
-gated now (oracle parity, plan sweeps, fuzz profiles via
-`tests/test_roundnine.py`), ACTIVATED next round once CORRECTNESS_r08
-drains the backlog — `registry._ensure_loaded` does NOT import this
-module; round 9 adds `roundnine.activate()` there.
+Round 8 filled the driver's 50-slot evaluation window exactly, so
+these operators followed the proven round-4/5 pattern: built and fully
+gated in round 8 (oracle parity, plan sweeps, fuzz profiles via
+`tests/test_roundnine.py`, sf0.1 + ×10 evidence in SCALE.md
+§§5g.8-5g.13), then registered via ``activate()`` in
+`registry._ensure_loaded` once CORRECTNESS_r08 came back 50/50 green
+(VERDICT r8 item 1).
 
 Batch theme: remaining standard-toolbox members each family still
 lacked — Cramér-von Mises (the quadratic ECDF two-sample test beside
@@ -969,7 +969,7 @@ def _auc_jackknife_oracle() -> str:
              CAST((2 * ((r2 - n_pos::HUGEINT * (n_pos + 1)) * 1000000000)
                    + 2::HUGEINT * n_pos * n_neg)
                // (2::HUGEINT * 2 * n_pos * n_neg) AS BIGINT) AS theta_u
-      FROM per_b
+      FROM per_b WHERE n_pos > 0 AND n_neg > 0
     ), s AS (
       SELECT CAST(count(*) AS BIGINT) AS nb,
              CAST(sum(theta_u) AS BIGINT) AS s1,
@@ -1062,7 +1062,15 @@ def ml_auc_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     th_den = F.lit(2).cast("decimal(38,0)") * F.col("n_pos") * F.col("n_neg")
     th_a = F.lit(2).cast("decimal(38,0)") * th_num + th_den
     th_b = F.lit(2).cast("decimal(38,0)") * th_den
-    theta = per_b.select(((th_a - th_a % th_b) / th_b).cast("long").alias("theta_u"))
+    # a leave-one-bucket-out sample with n_pos=0 or n_neg=0 (degenerate
+    # fuzz corpora) has no defined AUC: theta would be NULL on the
+    # Spark side (decimal div by zero) while nb still counted the row
+    # and the engines' div-by-zero semantics differ — drop degenerate
+    # buckets in BOTH engines instead (ADVICE r8).
+    theta = (
+        per_b.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(((th_a - th_a % th_b) / th_b).cast("long").alias("theta_u"))
+    )
     s = theta.agg(
         F.count(F.lit(1)).alias("nb"),
         F.sum("theta_u").alias("s1"),
@@ -1190,7 +1198,7 @@ def _rich_club_oracle() -> str:
 
     per_k = " UNION ALL ".join(
         f"""
-    SELECT {k} AS k,
+    SELECT CAST({k} AS BIGINT) AS k,
            (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE degree > {k}) AS n_k,
            (SELECT CAST(count(*) AS BIGINT) FROM ej
             WHERE deg_u > {k} AND deg_v > {k}) AS e_k"""
@@ -2327,12 +2335,20 @@ def sketch_kmv_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame
     theta = hu.orderBy("hv").limit(k).agg(
         F.max("hv").alias("th"), F.count(F.lit(1)).alias("k_eff")
     )
-    common = (
+    # c is aggregated on its own and joined back onto the 1-row theta
+    # frame: if the intersection under theta is EMPTY (tiny/disjoint
+    # sets, reachable under fuzz), first('th') over the empty frame
+    # would emit NULL theta/k_eff while the oracle's separate theta CTE
+    # still carries real values. count() over an empty frame is 0, so
+    # theta.crossJoin(common_cnt) always keeps the theta aggregate's
+    # values (ADVICE r8).
+    common_cnt = (
         ha.join(hb, "hv")
         .crossJoin(F.broadcast(theta))
         .filter(F.col("hv") <= F.col("th"))
-        .agg(F.count(F.lit(1)).alias("c"), F.first("th").alias("th"), F.first("k_eff").alias("k_eff"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+    common = theta.crossJoin(F.broadcast(common_cnt))
     ua = ev.filter(F.col("g") == KMV_SET_A).select("user_id").distinct()
     ub = ev.filter(F.col("g") == KMV_SET_B).select("user_id").distinct()
     tru = ua.join(ub, "user_id").agg(F.count(F.lit(1)).alias("d_true"))

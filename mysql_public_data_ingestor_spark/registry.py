@@ -52,23 +52,19 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # remaining queries keep registration order behind them and stay covered
 # by the identical local gate (tools/check_correctness.py).
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # Round-8 window. CORRECTNESS_r07 came back 50/50 green (round-7's
-    # Cramér's V re-verification included — its r7 entries are pruned
-    # per the authoring rule), so the backlog is ZERO. This round's
-    # manual head: the two triangle-closure queries whose PLANS changed
-    # (the enumeration moved into the shared warehouse
-    # ``graph.triangle_table`` and the broadcast hints became
-    # cardinality-gated — VERDICT r7 items 3-4). Output values are
-    # byte-identical by construction (verified vs oracle at sf0.01/
-    # sf0.1 locally), but VERDICT r7 item 3 routes the plan change
-    # through the evidence gate anyway. Newly registered round-8
-    # queries follow automatically (auto-unverified names sort after
-    # this manual list, in registration order).
-    # Budget: len(this list) + new round-8 registrations <= 50 keeps
-    # everything inside the driver's evaluation window
-    # (tests/test_entry.py asserts it).
-    "graph_triangle_count",
-    "graph_local_clustering_topk",
+    # Round-9 window. CORRECTNESS_r08 came back 50/50 green (the two
+    # triangle-closure re-verifications included — their r8 entries
+    # are pruned per the authoring rule), so the backlog is ZERO.
+    # This round's manual head: the minhash recall audit, whose
+    # exact-truth side changed semantics (deterministic block
+    # sampling bounds the pair volume — VERDICT r8 item 4). The 22
+    # activated roundnine queue names and any new round-9
+    # registrations follow automatically (auto-unverified names sort
+    # after this manual list, in registration order).
+    # Budget: len(this list) + queue activations + new round-9
+    # registrations <= 50 keeps everything inside the driver's
+    # evaluation window (tests/test_entry.py asserts it).
+    "dedup_minhash_recall_audit",
 ]
 
 # Evidence invalidation (ADVICE r5 medium): when a verified query's
@@ -80,12 +76,13 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
 # entries at the start of the next round (round-6's eight entries all
 # collected CORRECTNESS_r06 evidence and were pruned in round 7).
 _EVIDENCE_MIN_ROUND: dict[str, int] = {
-    # round 8 moved the triangle enumeration into the shared warehouse
-    # triangle_table and cardinality-gated the edge/degree broadcast
-    # hints (VERDICT r7 items 3-4). Pure plan change — values verified
-    # identical locally — but routed through the gate per VERDICT r7.
-    "graph_triangle_count": 8,
-    "graph_local_clustering_topk": 8,
+    # round-8 triangle entries pruned: both collected fresh
+    # CORRECTNESS_r08 green evidence (authoring rule).
+    # round 9 bounds the minhash recall audit's exact ground-truth
+    # side to a deterministic hash-sample of blocks (VERDICT r8 item
+    # 4) — the audited pair population, and hence the per-decile
+    # counts, changed semantics; only r9+ evidence counts.
+    "dedup_minhash_recall_audit": 9,
 }
 
 
@@ -198,5 +195,10 @@ def _ensure_loaded() -> None:
     from .operators import roundfive
 
     roundfive.activate()
+
+    # round-9 activation of the round-8-banked queue (VERDICT r8 item 1)
+    from .operators import roundnine
+
+    roundnine.activate()
 
     _LOADED = True

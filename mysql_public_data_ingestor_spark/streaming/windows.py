@@ -191,8 +191,17 @@ def running_totals_per_user_tws(events: DataFrame) -> DataFrame:
 
 # --- stateful Holt / CUSUM monitors (round 8, VERDICT r7 item 5) ----------
 
-_CUSUM_SCHEMA = "event_type string, n_days long, s_pos long, s_neg long, n_alarms long"
-_CUSUM_STATE = "n long, s_pos long, s_neg long, n_alarms long"
+_CUSUM_SCHEMA = (
+    "event_type string, n_days long, s_pos long, s_neg long, n_alarms long,"
+    " n_late long"
+)
+_CUSUM_STATE = "n long, s_pos long, s_neg long, n_alarms long, last_day long"
+
+
+def _day_key(day) -> int:
+    """Monotonic int encoding of a 'yyyy-MM-dd' day for state storage
+    (string days sort the same as their yyyymmdd integers)."""
+    return int(str(day).replace("-", ""))
 
 
 def cusum_monitor_per_type(
@@ -211,24 +220,38 @@ def cusum_monitor_per_type(
     ``daily`` rows are (event_type, day, x_micro) — the upstream daily
     aggregate (a watermarked tumbling window in production). Rows are
     processed in day order within each micro-batch; state carries the
-    recursion across batches. Scale: state is 4 longs per event type —
-    the smallest possible keyed state — and the emitted row per
-    (type, batch) is Update-mode compatible.
+    recursion across batches PLUS the last-processed day, so a
+    micro-batch arriving out of event-time order is DETECTED instead
+    of silently folded into the integer recursion (ADVICE r8): rows at
+    or before the state's day are dropped and counted in the emitted
+    ``n_late`` (in production that counter feeds the same alerting
+    channel as the alarms; a watermarked upstream window makes it 0).
+    Scale: state is 5 longs per event type — the smallest possible
+    keyed state — and the emitted row per (type, batch) is Update-mode
+    compatible.
     """
 
     def fn(key, pdfs, state: GroupState):
         (event_type,) = key
-        n, s_pos, s_neg, n_alarms = state.get if state.exists else (0, 0, 0, 0)
+        n, s_pos, s_neg, n_alarms, last_day = (
+            state.get if state.exists else (0, 0, 0, 0, -1)
+        )
         mu = int(baselines.get(event_type, 0))
         rows = pd.concat(list(pdfs)).sort_values("day")
-        for x in rows["x_micro"]:
+        n_late = 0
+        for day, x in zip(rows["day"], rows["x_micro"]):
+            dk = _day_key(day)
+            if dk <= last_day:
+                n_late += 1
+                continue
+            last_day = dk
             d = int(x) - mu
             s_pos = max(0, s_pos + d)
             s_neg = max(0, s_neg - d)
             if s_pos >= h_micro or s_neg >= h_micro:
                 n_alarms += 1
             n += 1
-        state.update((n, s_pos, s_neg, n_alarms))
+        state.update((n, s_pos, s_neg, n_alarms, last_day))
         yield pd.DataFrame(
             {
                 "event_type": [event_type],
@@ -236,6 +259,7 @@ def cusum_monitor_per_type(
                 "s_pos": [s_pos],
                 "s_neg": [s_neg],
                 "n_alarms": [n_alarms],
+                "n_late": [n_late],
             }
         )
 
@@ -248,8 +272,11 @@ def cusum_monitor_per_type(
     )
 
 
-_HOLT_SCHEMA = "event_type string, n_days long, level_micro long, trend_micro long"
-_HOLT_STATE = "n long, level long, trend long"
+_HOLT_SCHEMA = (
+    "event_type string, n_days long, level_micro long, trend_micro long,"
+    " n_late long"
+)
+_HOLT_STATE = "n long, level long, trend long, last_day long"
 
 
 def holt_tracker_per_type(daily: DataFrame) -> DataFrame:
@@ -265,14 +292,24 @@ def holt_tracker_per_type(daily: DataFrame) -> DataFrame:
     The sequential-looking recursion is exactly what a stateful
     streaming operator is FOR: per-key state advances in event-time
     order across micro-batches; the batch twin (a calendar-bounded
-    per-type fold) verifies equivalence in tests.
+    per-type fold) verifies equivalence in tests. Like the CUSUM
+    monitor, state carries the last-processed day: out-of-order
+    micro-batch rows (day at or before it) are dropped and surfaced
+    in ``n_late`` rather than silently corrupting the recursion
+    (ADVICE r8).
     """
 
     def fn(key, pdfs, state: GroupState):
         (event_type,) = key
-        n, level, trend = state.get if state.exists else (0, 0, 0)
+        n, level, trend, last_day = state.get if state.exists else (0, 0, 0, -1)
         rows = pd.concat(list(pdfs)).sort_values("day")
-        for x in rows["x_micro"]:
+        n_late = 0
+        for day, x in zip(rows["day"], rows["x_micro"]):
+            dk = _day_key(day)
+            if dk <= last_day:
+                n_late += 1
+                continue
+            last_day = dk
             x = int(x)
             if n == 0:
                 level, trend = x, 0
@@ -281,13 +318,14 @@ def holt_tracker_per_type(daily: DataFrame) -> DataFrame:
                 trend = (trend + (new_level - level)) // 2
                 level = new_level
             n += 1
-        state.update((n, level, trend))
+        state.update((n, level, trend, last_day))
         yield pd.DataFrame(
             {
                 "event_type": [event_type],
                 "n_days": [n],
                 "level_micro": [level],
                 "trend_micro": [trend],
+                "n_late": [n_late],
             }
         )
 

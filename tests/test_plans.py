@@ -415,6 +415,27 @@ SINGLE_PARTITION_ALLOWLIST = {
     # per-type series, which here is a single global series by
     # definition of the statistic.
     "stats_ljung_box_daily",
+    # round-9 queue activations (rationales carried over from the
+    # pre-activation sweep in tests/test_roundnine.py — every global
+    # ordered pass below runs over a POST-AGGREGATION bounded domain,
+    # never over raw fact rows):
+    # ordered ECDF over the <= 50-distinct-quantity domain.
+    "stats_cvm_two_sample",
+    # prefix sum + running min over the ~2.4k-calendar-day series.
+    "stats_page_hinkley_orders",
+    # total-recovery window over the 10 decile rows.
+    "ml_brier_decomposition",
+    # doubled mid-ranks over the <= 50 pooled distinct quantities.
+    "stats_ansari_bradley_quantity",
+    # frontier cumulative over the collapsed DISTINCT price-cents
+    # curve of the dimension table.
+    "relational_skyline_pareto",
+    # ROC cumulative over the <= 10001-value score grid.
+    "ml_youden_optimal_threshold",
+    # descending cumulative over the distinct order-value cents domain.
+    "agg_top_value_share",
+    # share window over the 8-row per-shard aggregate output.
+    "layout_serpentine_shard_balance",
 }
 
 

@@ -10,19 +10,52 @@ from __future__ import annotations
 import pytest
 
 from mysql_public_data_ingestor_spark.operators import roundnine
-from tools.check_correctness import canon, compare, duck_connection
+from tools.check_correctness import compare, duck_connection
 
 
-def test_queue_does_not_touch_live_registry():
-    """Round 8's driver window is exactly full (50/50) — importing the
-    banked queue must register NOTHING until round 9 activates it."""
+def test_queue_is_registered_with_oracles():
+    """Activation contract (VERDICT r8 item 1): all 22 queue names are
+    live registry entries, each carrying its oracle, and a repeat
+    activate() is a no-op rather than a duplicate-name error."""
     from mysql_public_data_ingestor_spark import registry
 
     registry._ensure_loaded()
     queued = {name for name, *_ in roundnine.QUEUE}
     assert queued, "queue unexpectedly empty"
-    leaked = queued & set(registry._REGISTRY)
-    assert not leaked, f"queued names leaked into the live registry: {leaked}"
+    missing = queued - set(registry._REGISTRY)
+    assert not missing, f"queued names not registered: {missing}"
+    no_oracle = {n for n in queued if registry._REGISTRY[n].oracle is None}
+    assert not no_oracle, f"registered without oracle: {no_oracle}"
+    roundnine.activate()  # idempotent — must not raise
+
+
+def test_window_budget_holds_round9():
+    """1 (recall-audit truth-side re-verify) + 22 (queue activation)
+    + new round-9 registrations <= 50 — everything unverified stays
+    inside the driver's evaluation window."""
+    from mysql_public_data_ingestor_spark import registry
+
+    names = list(registry.all_queries().keys())
+    hv, rv = registry._verified_names()
+    unverified = [n for n in names if n not in hv and n not in rv]
+    assert len(unverified) <= 50, len(unverified)
+    head = set(names[:50])
+    assert set(unverified) <= head
+
+
+def test_queue_heads_driver_window():
+    """The never-driver-verified batch must occupy the head of the
+    evaluation order so the round-9 window covers it (evidence-relative:
+    once CORRECTNESS_r09 lands with green rows, these names retire from
+    the head and this asserts nothing about their position)."""
+    from mysql_public_data_ingestor_spark import registry
+
+    hash_verified, _rows = registry._verified_names()
+    queued = [name for name, *_ in roundnine.QUEUE]
+    unverified = [n for n in queued if n not in hash_verified]
+    window = list(registry.all_queries())[:50]
+    stranded = set(unverified) - set(window)
+    assert not stranded, f"unverified batch names outside the 50-slot window: {stranded}"
 
 
 def test_queue_entries_well_formed():
@@ -39,11 +72,15 @@ def test_queue_entries_well_formed():
     "entry", roundnine.QUEUE, ids=[name for name, *_ in roundnine.QUEUE]
 )
 def test_queued_query_matches_oracle(spark, sf_dir, entry):
+    # RAW frames into compare() (it canons internally): pre-canoning
+    # here once masked an int32-vs-int64 oracle dtype gap that the
+    # registry-wide gate (which compares raw) then caught at
+    # activation time (graph_rich_club_coefficient, round 9).
     name, fn, oracle, _doc = entry
-    sdf = canon(fn(spark, sf_dir).toPandas())
+    sdf = fn(spark, sf_dir).toPandas()
     con = duck_connection(sf_dir)
     try:
-        odf = canon(con.execute(oracle).fetchdf())
+        odf = con.execute(oracle).fetchdf()
     finally:
         con.close()
     problems = compare(name, sdf, odf)

@@ -540,6 +540,8 @@ def test_streaming_cusum_monitor_equals_batch_recursion(spark, sf_dir, tmp_path)
             if s_pos >= h or s_neg >= h:
                 n_alarms += 1
         assert got[et] == (len(sr), s_pos, s_neg, n_alarms), et
+    # ordered micro-batches: the out-of-order guard must fire nowhere
+    assert spark.sql("SELECT sum(n_late) FROM cusum_out").collect()[0][0] == 0
 
 
 def test_streaming_holt_tracker_equals_batch_recursion(spark, sf_dir, tmp_path):
@@ -571,3 +573,101 @@ def test_streaming_holt_tracker_equals_batch_recursion(spark, sf_dir, tmp_path):
                 level = new_level
             n += 1
         assert got[et] == (n, level, trend), et
+    assert spark.sql("SELECT sum(n_late) FROM holt_out").collect()[0][0] == 0
+
+
+def _out_of_order_stream(spark, tmp_path, daily):
+    """Two micro-batches in REVERSED event-time order: the LATER half
+    of the days arrives first, the earlier half second."""
+    import glob
+    import os
+    import time
+
+    days = sorted(r.day for r in daily.select("day").distinct().collect())
+    cut = days[len(days) // 2]
+    src = str(tmp_path / "ooo_src")
+    daily.filter(F.col("day") >= cut).coalesce(1).write.parquet(src + "/chunk=0")
+    daily.filter(F.col("day") < cut).coalesce(1).write.parquet(src + "/chunk=1")
+    now = time.time()
+    for i, chunk in enumerate(("chunk=0", "chunk=1")):
+        for p in glob.glob(os.path.join(src, chunk, "*.parquet")):
+            os.utime(p, (now - 60 + 30 * i,) * 2)
+    return (
+        spark.readStream.schema(daily.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    ), cut
+
+
+def test_streaming_cusum_out_of_order_batch_flagged(spark, sf_dir, tmp_path):
+    """A micro-batch arriving out of event-time order (days at or
+    before the state's last-processed day) is DROPPED and counted in
+    n_late instead of silently corrupting the integer recursion: the
+    final state equals the recursion over the first (later-days) batch
+    only, and n_late totals the stale rows per type (ADVICE r8)."""
+    daily = _daily_series(spark, sf_dir)
+    series: dict = {}
+    for r in daily.collect():
+        series.setdefault(r.event_type, []).append((r.day, r.x_micro))
+    baselines = {et: sum(x for _, x in sr) // len(sr) for et, sr in series.items()}
+    h = 10_000_000_000
+    stream, cut = _out_of_order_stream(spark, tmp_path, daily)
+    run_to_memory(
+        sw.cusum_monitor_per_type(stream, baselines, h), "cusum_ooo_out", "update"
+    )
+    got = {
+        r.event_type: (r.n_days, r.s_pos, r.s_neg, r.n_alarms, r.n_late)
+        for r in spark.sql(
+            "SELECT event_type, max_by(n_days, n_days) AS n_days,"
+            " max_by(s_pos, n_days) AS s_pos, max_by(s_neg, n_days) AS s_neg,"
+            " max_by(n_alarms, n_days) AS n_alarms,"
+            " sum(n_late) AS n_late FROM cusum_ooo_out GROUP BY 1"
+        ).collect()
+    }
+    for et, sr in series.items():
+        s_pos = s_neg = n_alarms = 0
+        later = sorted((d, x) for d, x in sr if d >= cut)
+        for _, x in later:
+            d = int(x) - baselines[et]
+            s_pos = max(0, s_pos + d)
+            s_neg = max(0, s_neg - d)
+            if s_pos >= h or s_neg >= h:
+                n_alarms += 1
+        n_stale = len(sr) - len(later)
+        assert got[et] == (len(later), s_pos, s_neg, n_alarms, n_stale), et
+
+
+def test_streaming_holt_out_of_order_batch_flagged(spark, sf_dir, tmp_path):
+    """Holt tracker twin of the out-of-order guard test: stale rows
+    are flagged, the (level, trend) recursion reflects only the
+    in-order prefix."""
+    daily = _daily_series(spark, sf_dir)
+    series: dict = {}
+    for r in daily.collect():
+        series.setdefault(r.event_type, []).append((r.day, r.x_micro))
+    stream, cut = _out_of_order_stream(spark, tmp_path, daily)
+    run_to_memory(sw.holt_tracker_per_type(stream), "holt_ooo_out", "update")
+    got = {
+        r.event_type: (r.n_days, r.level_micro, r.trend_micro, r.n_late)
+        for r in spark.sql(
+            "SELECT event_type, max_by(n_days, n_days) AS n_days,"
+            " max_by(level_micro, n_days) AS level_micro,"
+            " max_by(trend_micro, n_days) AS trend_micro,"
+            " sum(n_late) AS n_late FROM holt_ooo_out GROUP BY 1"
+        ).collect()
+    }
+    for et, sr in series.items():
+        n = level = trend = 0
+        later = sorted((d, x) for d, x in sr if d >= cut)
+        for _, x in later:
+            x = int(x)
+            if n == 0:
+                level, trend = x, 0
+            else:
+                new_level = (x + level + trend) // 2
+                trend = (trend + (new_level - level)) // 2
+                level = new_level
+            n += 1
+        assert got[et] == (n, level, trend, len(sr) - len(later)), et
