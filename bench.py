@@ -267,6 +267,23 @@ HEADLINE = [
     "agg_top_value_share",
     "sketch_kmv_intersection_users",
     "layout_serpentine_shard_balance",
+    # round-9 new registrations (roundnine2.py)
+    "sketch_rank_sample_quantile_merge",
+    "graph_weighted_sssp_seeds",
+    "events_sequential_patterns_topk",
+    "stats_mann_kendall_daily",
+    "corpus_shard_skew_audit",
+    "ml_precision_at_k_by_lang",
+    "stats_jonckheere_terpstra_priority",
+    "stats_bartlett_variance_priority",
+    "stats_partial_correlation_price",
+    "stats_cronbach_alpha_gates",
+    "stats_gumbel_daily_max_fit",
+    "events_peak_over_threshold_clusters",
+    "text_heaps_law_fit",
+    "text_lang_vocab_jaccard",
+    "corpus_split_balance_kl",
+    "ml_uplift_by_engagement_tier",
 ]
 
 

@@ -178,6 +178,7 @@ def _ensure_loaded() -> None:
         roundeight,
         roundeight2,
         roundeight3,
+        roundnine2,
         roundsix,
         roundsix2,
         similarity,

@@ -436,6 +436,14 @@ SINGLE_PARTITION_ALLOWLIST = {
     "agg_top_value_share",
     # share window over the 8-row per-shard aggregate output.
     "layout_serpentine_shard_balance",
+    # round-9 direct registrations (roundnine2.py):
+    # merged-summary cumulative over <= 32 shards x 256 rank samples
+    # (the sketch's size is fixed by mechanism regardless of rows —
+    # stride grows with the data, the summary does not).
+    "sketch_rank_sample_quantile_merge",
+    # lag/flag/cumsum run detection over the POST-AGGREGATION
+    # calendar-day exceedance series (~2.4k rows at any corpus size).
+    "events_peak_over_threshold_clusters",
 }
 
 

@@ -671,3 +671,110 @@ def test_streaming_holt_out_of_order_batch_flagged(spark, sf_dir, tmp_path):
                 level = new_level
             n += 1
         assert got[et] == (n, level, trend, len(sr) - len(later)), et
+
+
+def test_streaming_page_hinkley_equals_batch_recursion(spark, sf_dir, tmp_path):
+    """Stateful streaming Page-Hinkley across two ordered micro-batches
+    == the single-pass integer recursion over the same day-ordered
+    per-type daily count series (exact int64 state)."""
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "event_type", F.to_date(F.col("ts")).cast("string").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    rows = daily.collect()
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append((r.day, int(r.x)))
+    baselines = {
+        et: (1000 * sum(x for _, x in sr)) // len(sr) for et, sr in series.items()
+    }
+    delta, h = 500, 10_000_000
+    stream = _two_batch_stream(spark, tmp_path, daily)
+    run_to_memory(
+        sw.page_hinkley_monitor_per_type(stream, baselines, delta, h),
+        "ph_out",
+        "update",
+    )
+    got = {
+        r.event_type: (r.n_days, r.ph_t, r.ph_max, r.n_alarms)
+        for r in spark.sql(
+            "SELECT event_type, max_by(n_days, n_days) AS n_days,"
+            " max_by(ph_t, n_days) AS ph_t, max_by(ph_max, n_days) AS ph_max,"
+            " max_by(n_alarms, n_days) AS n_alarms FROM ph_out GROUP BY 1"
+        ).collect()
+    }
+    for et, sr in series.items():
+        m_t = min_m = ph_max = n_alarms = 0
+        ph_t = 0
+        for _, x in sorted(sr):
+            m_t += 1000 * x - baselines[et] - delta
+            min_m = min(min_m, m_t)
+            ph_t = m_t - min_m
+            ph_max = max(ph_max, ph_t)
+            if ph_t >= h:
+                n_alarms += 1
+        assert got[et] == (len(sr), ph_t, ph_max, n_alarms), et
+    assert spark.sql("SELECT sum(n_late) FROM ph_out").collect()[0][0] == 0
+
+
+def test_streaming_retention_ols_tracker_equals_closed_form(spark, tmp_path):
+    """Incremental-OLS tracker across two micro-batches == the exact
+    closed-form fit over all points (state = five int64 sufficient
+    statistics; slope/intercept are exact half-up 1e-6 integers)."""
+    import glob
+    import os
+    import time
+
+    pts = [
+        (m, w, 5_000_000 - 300_000 * w + (17_000 * w * w if m == "b" else 0))
+        for m in ("a", "b")
+        for w in range(1, 9)
+    ]
+    pdf = spark.createDataFrame(pts, "metric string, w long, y_u long")
+    src = str(tmp_path / "ols_src")
+    pdf.filter(F.col("w") <= 4).coalesce(1).write.parquet(src + "/chunk=0")
+    pdf.filter(F.col("w") > 4).coalesce(1).write.parquet(src + "/chunk=1")
+    now = time.time()
+    for i, chunk in enumerate(("chunk=0", "chunk=1")):
+        for p in glob.glob(os.path.join(src, chunk, "*.parquet")):
+            os.utime(p, (now - 60 + 30 * i,) * 2)
+    stream = (
+        spark.readStream.schema(pdf.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+    run_to_memory(sw.retention_ols_tracker(stream), "ols_out", "update")
+    got = {
+        r.metric: (r.m, r.slope_micro, r.intercept_micro)
+        for r in spark.sql(
+            "SELECT metric, max_by(m, m) AS m,"
+            " max_by(slope_micro, m) AS slope_micro,"
+            " max_by(intercept_micro, m) AS intercept_micro"
+            " FROM ols_out GROUP BY 1"
+        ).collect()
+    }
+
+    def half_up(num, den):
+        mag = (2 * abs(num) + den) // (2 * den)
+        return -mag if num < 0 else mag
+
+    for metric in ("a", "b"):
+        sel = [(w, y) for m, w, y in pts if m == metric]
+        m = len(sel)
+        sx = sum(w for w, _ in sel)
+        sy = sum(y for _, y in sel)
+        sxy = sum(w * y for w, y in sel)
+        sxx = sum(w * w for w, _ in sel)
+        num, den = m * sxy - sx * sy, m * sxx - sx * sx
+        assert got[metric] == (
+            m,
+            half_up(num, den),
+            half_up(sy * den - num * sx, m * den),
+        ), metric
+    assert spark.sql("SELECT sum(n_late) FROM ols_out").collect()[0][0] == 0
