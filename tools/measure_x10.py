@@ -98,11 +98,11 @@ def main() -> int:
         def __init__(self, fn):
             self.fn = fn
 
-    # banked-but-unregistered round-9 queue resolves by name too, so
-    # the pre-registration recipe is one command for queued ops
-    from mysql_public_data_ingestor_spark.operators import roundnine
+    # banked-but-unregistered queue ops resolve by name too, so the
+    # pre-registration recipe is one command for queued ops
+    from mysql_public_data_ingestor_spark.operators import roundnine, roundten
 
-    for qname, qfn, _oracle, _doc in roundnine.QUEUE:
+    for qname, qfn, _oracle, _doc in [*roundnine.QUEUE, *roundten.QUEUE]:
         specs.setdefault(qname, _QSpec(qfn))
     missing = [n for n in names if n not in specs]
     if missing:
