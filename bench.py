@@ -284,6 +284,16 @@ HEADLINE = [
     "text_lang_vocab_jaccard",
     "corpus_split_balance_kl",
     "ml_uplift_by_engagement_tier",
+    # round-9 second batch (roundten.py, activated same round)
+    "stats_page_trend_l",
+    "sketch_linear_counting_users",
+    "events_churn_hazard_by_tenure",
+    "dq_benford_second_digit_totals",
+    "multimodal_payload_dedup_manifest",
+    "stats_gamma_latency_fit_moments",
+    "stats_anderson_darling_quantity",
+    "corpus_doclen_lognormal_fit",
+    "dq_candidate_key_discovery",
 ]
 
 

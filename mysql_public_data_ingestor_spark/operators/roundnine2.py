@@ -1861,3 +1861,260 @@ def ml_uplift_by_engagement_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("uplift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 17. Anderson-Darling two-sample statistic: quantity, returned vs rest
+# ---------------------------------------------------------------------------
+
+
+def _ad_oracle() -> str:
+    return """
+    WITH c AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+      FROM lineitem WHERE l_returnflag IN ('R', 'N') AND l_quantity IS NOT NULL
+    ), dv AS (
+      SELECT v,
+             CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cx,
+             CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cy
+      FROM c GROUP BY v
+    ), cum AS (
+      SELECT v, cx, cy, cx + cy AS ct,
+             sum(cx) OVER (ORDER BY v) AS cumx,
+             sum(cy) OVER (ORDER BY v) AS cumy,
+             sum(cx + cy) OVER (ORDER BY v) AS cumt,
+             sum(cx) OVER () AS n, sum(cy) OVER () AS m
+      FROM dv
+    ), terms AS (
+      SELECT n, m, n + m AS nn,
+             CASE WHEN cumt < n + m THEN
+               CAST((2000000000::HUGEINT
+                     * ((m::HUGEINT * cumx - n::HUGEINT * cumy)
+                        * (m::HUGEINT * cumx - n::HUGEINT * cumy)) * ct
+                     + (n::HUGEINT * m * cumt * (n + m - cumt)))
+                    // (2::HUGEINT * n * m * cumt * (n + m - cumt)) AS BIGINT)
+             ELSE 0 END AS term_nano
+      FROM cum
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_returned,
+           CAST(max(m) AS BIGINT) AS n_other,
+           CAST(sum(term_nano) AS BIGINT) AS ad2_nano,
+           CAST(sum(term_nano) AS BIGINT) / 1000000000.0 AS ad2
+    FROM terms
+    """
+
+
+@register("stats_anderson_darling_quantity", oracle=_ad_oracle())
+def stats_anderson_darling_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling-type two-sample statistic for lineitem
+    quantity, returned vs non-returned (discrete-data form): A2 =
+    sum_v (m*cumx - n*cumy)^2 * c_v / (n*m*cumt*(N-cumt)) over the
+    pooled value domain (H < 1) — the TAIL-WEIGHTED member that
+    completes the two-sample ECDF family (KS takes the supremum, CvM
+    the unweighted quadratic mean; AD's 1/(H(1-H)) weight is why it
+    dominates both when differences live in the tails).
+
+    Cross-multiplied exact arithmetic throughout: each value's term
+    is ONE exact decimal division quantized half-up 1e-9 BEFORE the
+    cross-value summation (so no float aggregation order exists), and
+    the cumulative counts come from a window over the <= 50-value
+    quantity domain — the same bounded-domain ordered pass CvM and
+    Wilcoxon use, never a row-scaled sort.
+    """
+    t = Tables(spark, sf_dir)
+    c = t.lineitem.filter(
+        F.col("l_returnflag").isin("R", "N") & F.col("l_quantity").isNotNull()
+    ).select(
+        F.col("l_returnflag").alias("g"), F.col("l_quantity").cast("long").alias("v")
+    )
+    dv = c.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == "R", 1).otherwise(0)).alias("cx"),
+        F.sum(F.when(F.col("g") == "N", 1).otherwise(0)).alias("cy"),
+    )
+    w_ord = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = dv.select(
+        (F.col("cx") + F.col("cy")).alias("ct"),
+        F.sum("cx").over(w_ord).alias("cumx"),
+        F.sum("cy").over(w_ord).alias("cumy"),
+        F.sum(F.col("cx") + F.col("cy")).over(w_ord).alias("cumt"),
+        F.sum("cx").over(w_all).alias("n"),
+        F.sum("cy").over(w_all).alias("m"),
+    )
+    diff = _dec(F.col("m")) * F.col("cumx") - _dec(F.col("n")) * F.col("cumy")
+    den = (
+        _dec(F.col("n"))
+        * F.col("m")
+        * F.col("cumt")
+        * (F.col("n") + F.col("m") - F.col("cumt"))
+    )
+    num = F.lit(2000000000).cast("decimal(38,0)") * diff * diff * F.col("ct") + den
+    term = F.when(
+        F.col("cumt") < F.col("n") + F.col("m"),
+        ((num - num % (F.lit(2).cast("decimal(38,0)") * den))
+         / (F.lit(2).cast("decimal(38,0)") * den)).cast("long"),
+    ).otherwise(F.lit(0))
+    return cum.select("n", "m", term.alias("term_nano")).agg(
+        F.max("n").alias("n_returned"),
+        F.max("m").alias("n_other"),
+        F.sum("term_nano").alias("ad2_nano"),
+        (F.sum("term_nano") / F.lit(1000000000.0)).alias("ad2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 18. Lognormal fit of document length (det-ln moments)
+# ---------------------------------------------------------------------------
+
+
+def _lognormal_oracle() -> str:
+    from ..functions.detmath import sql_det_ln_steps
+    from ..functions.exact import sql_round_big_int_ratio
+
+    return f"""
+    WITH d AS (
+      SELECT CAST(n_chars AS BIGINT) AS len FROM documents WHERE n_chars >= 1
+    ), {sql_det_ln_steps('d', 'len', 'l')},
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(l::HUGEINT) AS HUGEINT) AS sl,
+             CAST(sum(l::HUGEINT * l) AS HUGEINT) AS sll
+      FROM l_rel
+    )
+    SELECT n AS n_docs,
+           {sql_round_big_int_ratio('sl', 'n::HUGEINT * 1000000')} AS ln_mu,
+           CASE WHEN n >= 2 THEN
+             CAST(floor(sqrt(CAST(n::HUGEINT * sll - sl * sl AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0::DOUBLE)))
+                        / 1000000.0::DOUBLE * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+           END AS ln_sigma
+    FROM a
+    """
+
+
+@register("corpus_doclen_lognormal_fit", oracle=_lognormal_oracle())
+def corpus_doclen_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lognormal (mu, sigma) fit of document length by moments in log
+    space — the canonical document-length model (crawled corpora are
+    lognormal-ish in chars/tokens; the fitted pair drives sequence-
+    packing bin sizes and length-bucket mixture design) joining the
+    Weibull/Gamma/Gumbel/NegBin distribution-fitting family on the
+    DOCUMENTS table.
+
+    Each length's ln goes through the det-ln fixed-point chain (exact
+    1e-6-unit int64), so the two moment sums are exact integers;
+    ln_mu is an exact half-up ratio, and only sigma's final sqrt runs
+    in double (identical expression both engines), quantized 1e-6.
+    One scan, one constant-size reduce.
+    """
+    from ..functions.detmath import det_ln_q
+    from ..functions.exact import round_big_int_ratio
+
+    t = Tables(spark, sf_dir)
+    d = t.documents.filter(F.col("n_chars") >= 1).select(
+        det_ln_q(F.col("n_chars").cast("long")).alias("l")
+    )
+    a = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("l"))).alias("sl"),
+        F.sum(_dec(F.col("l")) * F.col("l")).alias("sll"),
+    )
+    nd = F.col("n").cast("double")
+    sig = F.sqrt(
+        (_dec(F.col("n")) * F.col("sll") - F.col("sl") * F.col("sl")).cast("double")
+        / (nd * (nd - F.lit(1.0)))
+    ) / F.lit(1000000.0)
+    return a.select(
+        F.col("n").alias("n_docs"),
+        round_big_int_ratio(F.col("sl"), _dec(F.col("n")) * F.lit(1000000)).alias(
+            "ln_mu"
+        ),
+        F.when(
+            F.col("n") >= 2,
+            F.floor(sig * F.lit(1000000.0) + F.lit(0.5)).cast("long") / F.lit(1e6),
+        ).alias("ln_sigma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 19. Candidate-key discovery over the orders table
+# ---------------------------------------------------------------------------
+
+CK_COLUMNS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def _candidate_key_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    selects = " UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name,
+               (SELECT CAST(count(DISTINCT {c}) AS BIGINT) FROM orders)
+                 AS n_distinct"""
+        for c in CK_COLUMNS
+    )
+    return f"""
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+    cols AS ({selects})
+    SELECT c.column_name, c.n_distinct, nn.n_rows,
+           CAST(CASE WHEN c.n_distinct = nn.n_rows THEN 1 ELSE 0 END AS BIGINT)
+             AS is_candidate_key,
+           {sql_round_int_ratio('c.n_distinct', 'nn.n_rows')} AS uniqueness
+    FROM cols c, nn ORDER BY c.column_name
+    """
+
+
+@register("dq_candidate_key_discovery", oracle=_candidate_key_oracle())
+def dq_candidate_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery over the orders table: exact distinct
+    count, uniqueness ratio, and a key verdict per column — the
+    schema-profiling step (which columns CAN serve as a primary key /
+    join key?) that complements the declared-key audits
+    (``dq_uniqueness_violations`` checks a KNOWN key;
+    ``dq_functional_dependency_audit`` checks a KNOWN dependency;
+    this DISCOVERS the candidates).
+
+    One aggregate computes all six exact distinct counts (Spark
+    expands multi-distinct into a single grouping-sets pass — still
+    one scan of the 6-column projection); the per-column rows unpivot
+    from that 1-row aggregate via a literal array, so no second scan
+    exists. Uniqueness is an exact half-up ratio.
+    """
+    from ..functions.exact import round_int_ratio
+
+    t = Tables(spark, sf_dir)
+    agg = t.orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.countDistinct(c).alias(f"d_{c}") for c in CK_COLUMNS],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"), F.col(f"d_{c}").alias("n_distinct")
+            )
+            for c in CK_COLUMNS
+        ]
+    )
+    return (
+        agg.select("n_rows", F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.column_name").alias("column_name"),
+            F.col("p.n_distinct").alias("n_distinct"),
+            "n_rows",
+            F.when(F.col("p.n_distinct") == F.col("n_rows"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_candidate_key"),
+            round_int_ratio(F.col("p.n_distinct"), F.col("n_rows")).alias(
+                "uniqueness"
+            ),
+        )
+    )

@@ -1,12 +1,12 @@
-"""Round-10 banked operator queue (NOT registered this round).
+"""Round-9 second operator batch (queue-structured, ACTIVATED in
+round 9).
 
-Round 9's driver window carries 39 unverified names (the activated
-round-8 queue + the roundnine2 registrations), so these operators
-follow the proven banking pattern (rounds 4/5 and 8/9): built and
-fully gated now (oracle parity, plan checks, fuzz profiles, replica
-tests via ``tests/test_roundten.py``), ACTIVATED next round once
-CORRECTNESS_r09 drains the backlog — ``registry._ensure_loaded``
-does NOT import this module; round 10 adds ``roundten.activate()``.
+Built and fully gated mid-round as a round-10 bank (oracle parity,
+plan checks, fuzz profiles, replica tests via
+``tests/test_roundten.py``), then activated in the SAME round: the
+banking pattern exists for FULL driver windows, and round 9's window
+closed at 45/50 with these included — registering now gets all six
+driver-verified a round earlier.
 
 Batch theme: remaining family corners — Page's trend test (the
 ordered-alternative member of the Friedman block design), linear

@@ -202,4 +202,11 @@ def _ensure_loaded() -> None:
 
     roundnine.activate()
 
+    # round-9 activation of the roundten batch: banked mid-round, then
+    # flipped on in the SAME round once the window budget confirmed
+    # 45/50 — banking is for full windows, and this one is not full
+    from .operators import roundten
+
+    roundten.activate()
+
     _LOADED = True

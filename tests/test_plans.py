@@ -444,6 +444,9 @@ SINGLE_PARTITION_ALLOWLIST = {
     # lag/flag/cumsum run detection over the POST-AGGREGATION
     # calendar-day exceedance series (~2.4k rows at any corpus size).
     "events_peak_over_threshold_clusters",
+    # ECDF cumulative over the <= 50-distinct-quantity pooled domain
+    # (same bounded-domain class as stats_cvm_two_sample).
+    "stats_anderson_darling_quantity",
 }
 
 

@@ -531,3 +531,60 @@ def test_uplift_matches_python(spark, sf_dir, events_pdf):
             assert row["uplift"] == _half_up(ct * nc - cc * nt, nt * nc)
         else:
             assert pd.isna(row["uplift"])
+
+
+def test_anderson_darling_matches_python(spark, sf_dir, lineitem_pdf, orders_pdf):
+    from mysql_public_data_ingestor_spark.tables import Tables
+
+    got = _q("stats_anderson_darling_quantity", spark, sf_dir).iloc[0]
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_returnflag", "l_quantity").toPandas()
+    li = li[li["l_returnflag"].isin(["R", "N"])].dropna(subset=["l_quantity"])
+    from collections import Counter
+
+    cx = Counter(int(v) for v in li[li["l_returnflag"] == "R"]["l_quantity"])
+    cy = Counter(int(v) for v in li[li["l_returnflag"] == "N"]["l_quantity"])
+    n, m = sum(cx.values()), sum(cy.values())
+    nn = n + m
+    cumx = cumy = cumt = 0
+    total = 0
+    for v in sorted(set(cx) | set(cy)):
+        ct = cx.get(v, 0) + cy.get(v, 0)
+        cumx += cx.get(v, 0)
+        cumy += cy.get(v, 0)
+        cumt += ct
+        if cumt < nn:
+            diff = m * cumx - n * cumy
+            den = n * m * cumt * (nn - cumt)
+            total += (2 * 10**9 * diff * diff * ct + den) // (2 * den)
+    assert int(got["n_returned"]) == n
+    assert int(got["n_other"]) == m
+    assert int(got["ad2_nano"]) == total
+    assert got["ad2"] == total / 1e9
+
+
+def test_lognormal_fit_matches_python(spark, sf_dir, docs_pdf):
+    got = _q("corpus_doclen_lognormal_fit", spark, sf_dir).iloc[0]
+    ls = [ref_det_ln_q(int(v)) for v in docs_pdf["n_chars"] if v >= 1]
+    n = len(ls)
+    sl, sll = sum(ls), sum(v * v for v in ls)
+    assert int(got["n_docs"]) == n
+    assert got["ln_mu"] == _half_up(sl, n * 10**6)
+    sig = math.sqrt(float(n * sll - sl * sl) / (float(n) * (float(n) - 1.0))) / 1e6
+    assert got["ln_sigma"] == math.floor(sig * 1e6 + 0.5) / 1e6
+
+
+def test_candidate_key_matches_python(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.tables import Tables
+
+    got = _q("dq_candidate_key_discovery", spark, sf_dir).sort_values("column_name")
+    t = Tables(spark, sf_dir)
+    od = t.orders.select(*r92.CK_COLUMNS).toPandas()
+    n = len(od)
+    for _, row in got.iterrows():
+        c = row["column_name"]
+        d = int(od[c].nunique())
+        assert int(row["n_distinct"]) == d, c
+        assert int(row["n_rows"]) == n
+        assert int(row["is_candidate_key"]) == int(d == n)
+        assert row["uniqueness"] == _half_up(d, n)

@@ -15,16 +15,34 @@ from mysql_public_data_ingestor_spark.operators import roundten
 from tools.check_correctness import compare, duck_connection
 
 
-def test_queue_does_not_touch_live_registry():
-    """Round 9's driver window carries 39 unverified names — importing
-    the banked queue must register NOTHING until round 10 flips it."""
+def test_queue_is_registered_with_oracles():
+    """Activation contract: all 6 batch names are live registry
+    entries, each carrying its oracle, and a repeat activate() is a
+    no-op rather than a duplicate-name error."""
     from mysql_public_data_ingestor_spark import registry
 
     registry._ensure_loaded()
     queued = {name for name, *_ in roundten.QUEUE}
     assert queued, "queue unexpectedly empty"
-    leaked = queued & set(registry._REGISTRY)
-    assert not leaked, f"queued names leaked into the live registry: {leaked}"
+    missing = queued - set(registry._REGISTRY)
+    assert not missing, f"queued names not registered: {missing}"
+    no_oracle = {n for n in queued if registry._REGISTRY[n].oracle is None}
+    assert not no_oracle, f"registered without oracle: {no_oracle}"
+    roundten.activate()  # idempotent — must not raise
+
+
+def test_queue_heads_driver_window():
+    """The never-driver-verified batch must sit inside the 50-slot
+    evaluation window (evidence-relative: retires once CORRECTNESS_r09
+    lands green)."""
+    from mysql_public_data_ingestor_spark import registry
+
+    hash_verified, _rows = registry._verified_names()
+    queued = [name for name, *_ in roundten.QUEUE]
+    unverified = [n for n in queued if n not in hash_verified]
+    window = list(registry.all_queries())[:50]
+    stranded = set(unverified) - set(window)
+    assert not stranded, f"unverified batch names outside the 50-slot window: {stranded}"
 
 
 def test_queue_entries_well_formed():
