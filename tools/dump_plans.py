@@ -124,6 +124,21 @@ PLAN_QUERIES = [
     "stats_hodges_lehmann_quantity",
     "text_simpson_diversity_by_lang",
     "stats_wilcoxon_signed_rank_daily",
+    # round-9 representatives (one per new thread: bounded quantile
+    # summary, weighted SSSP off the warehouse adjacency, sequence
+    # mining, ordered-alternative rank test, ECDF tail statistic,
+    # vocabulary scaling law, split drift, uplift, key discovery,
+    # cardinality fill-rate sketch)
+    "sketch_rank_sample_quantile_merge",
+    "graph_weighted_sssp_seeds",
+    "events_sequential_patterns_topk",
+    "stats_jonckheere_terpstra_priority",
+    "stats_anderson_darling_quantity",
+    "text_heaps_law_fit",
+    "corpus_split_balance_kl",
+    "ml_uplift_by_engagement_tier",
+    "dq_candidate_key_discovery",
+    "sketch_linear_counting_users",
 ]
 
 
