@@ -284,6 +284,9 @@ HEADLINE = [
     "text_lang_vocab_jaccard",
     "corpus_split_balance_kl",
     "ml_uplift_by_engagement_tier",
+    "stats_anderson_darling_quantity",
+    "corpus_doclen_lognormal_fit",
+    "dq_candidate_key_discovery",
     # round-9 second batch (roundten.py, activated same round)
     "stats_page_trend_l",
     "sketch_linear_counting_users",
@@ -291,9 +294,6 @@ HEADLINE = [
     "dq_benford_second_digit_totals",
     "multimodal_payload_dedup_manifest",
     "stats_gamma_latency_fit_moments",
-    "stats_anderson_darling_quantity",
-    "corpus_doclen_lognormal_fit",
-    "dq_candidate_key_discovery",
 ]
 
 

@@ -83,6 +83,7 @@ def _qsketch_oracle() -> str:
                   - e.q * t.n)''',
                '100::HUGEINT * t.n')} AS rank_err
     FROM est e, tot t
+    WHERE t.n > 0
     """
 
 
@@ -148,8 +149,13 @@ def sketch_rank_sample_quantile_merge(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("q", "w", "n")
         .agg(F.min("v").alias("est_cents"))
     )
+    # Empty-input parity (ADVICE r9): with an empty lineitem the inner
+    # probe join would emit 0 rows while the oracle's scalar subqueries
+    # emitted 7 NULL-estimate rows — both sides now guard identically on
+    # n_total > 0 (also keeps the rank-err ratio's denominator nonzero),
+    # so an empty table yields 0 rows in BOTH engines.
     ach = (
-        rws.join(F.broadcast(est), rws.v <= F.col("est_cents"))
+        rws.join(F.broadcast(est.filter(F.col("n") > 0)), rws.v <= F.col("est_cents"))
         .groupBy("q", "w", "n", "est_cents")
         .agg(F.count(F.lit(1)).alias("achieved_rank"))
     )
@@ -386,6 +392,7 @@ def _seqpat_oracle() -> str:
              CAST(count(*) AS BIGINT) AS n
       FROM grams
       WHERE sid3 = session_id
+        AND e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
       GROUP BY 1
     )
     SELECT pattern, n FROM pat
@@ -430,8 +437,18 @@ def events_sequential_patterns_topk(spark: SparkSession, sf_dir: str) -> DataFra
         "session_id",
         F.lead("session_id", 2).over(w).alias("sid3"),
     )
+    # NULL parity (ADVICE r9): concat_ws SKIPS null components while the
+    # oracle's || propagates them — a NULL event_type would make Spark
+    # count a malformed 2-part pattern the oracle drops. Both engines
+    # now filter null components explicitly, so the semantics agree for
+    # any input, not just the null-free fixtures.
     pat = (
-        grams.filter(F.col("sid3") == F.col("session_id"))
+        grams.filter(
+            (F.col("sid3") == F.col("session_id"))
+            & F.col("e1").isNotNull()
+            & F.col("e2").isNotNull()
+            & F.col("e3").isNotNull()
+        )
         .select(F.concat_ws(">", "e1", "e2", "e3").alias("pattern"))
         .groupBy("pattern")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -5,7 +5,7 @@ Built and fully gated mid-round as a round-10 bank (oracle parity,
 plan checks, fuzz profiles, replica tests via
 ``tests/test_roundten.py``), then activated in the SAME round: the
 banking pattern exists for FULL driver windows, and round 9's window
-closed at 45/50 with these included — registering now gets all six
+closed at 48/50 with these included — registering now gets all six
 driver-verified a round earlier.
 
 Batch theme: remaining family corners — Page's trend test (the
