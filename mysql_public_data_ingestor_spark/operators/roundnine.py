@@ -2199,8 +2199,24 @@ def agg_top_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boundary group contributes (cc - k) * cents back — integer
     arithmetic end-to-end, shares as exact half-up decimal ratios
     (cents sums exceed int64 at warehouse scale).
+
+    Two-pass boundary-bin refinement (VERDICT r9 item 3 — the distinct
+    cents domain is value-range-bounded, ~5.6e7 possible values over
+    the TPC-H price range, so a single global ordered cumulative over
+    it is effectively row-scaled at fixture scale): pass 1 partial-
+    aggregates the distinct-cents table into fixed $1000 bins (~600
+    over the price range, the sketch_fixedbin class) and finds each
+    k's boundary bin with a broadcast non-equi self-join cumulative —
+    no global sort anywhere; pass 2 runs the exact ordered cumulative
+    ONLY over the boundary bin's distinct cents values (<= BIN_W by
+    mechanism), offset by the strictly-higher bins' exact count/sum.
+    Output bit-identical to the one-pass form (same exact nearest-rank
+    arithmetic); the plan swaps a data-scaled SinglePartition window
+    for a bin-partitioned one plus a TakeOrdered(1).
     """
     from ..functions.exact import round_big_int_ratio
+
+    BIN_W = 100_000  # $1000-wide cents bins — range/1000 bins, not rows
 
     t = Tables(spark, sf_dir)
     c = t.orders.filter(F.col("o_totalprice").isNotNull()).select(
@@ -2209,13 +2225,22 @@ def agg_top_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     dv = c.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
-    w_desc = Window.orderBy(F.col("cents").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    dvb = dv.withColumn("bin", F.expr(f"cents div {BIN_W}"))
+    bins = dvb.groupBy("bin").agg(
+        F.sum("cnt").alias("bcnt"),
+        F.sum(_dec(F.col("cnt")) * F.col("cents")).alias("bcs"),
     )
-    cum = dv.select(
-        "cents",
-        F.sum("cnt").over(w_desc).alias("cc"),
-        F.sum(_dec(F.col("cnt")) * F.col("cents")).over(w_desc).alias("cs"),
+    # descending cumulative over the bounded bin domain via broadcast
+    # non-equi self-join (no SinglePartition ordered stage)
+    b2 = bins.select(
+        F.col("bin").alias("bin2"),
+        F.col("bcnt").alias("bcnt2"),
+        F.col("bcs").alias("bcs2"),
+    )
+    bcum = (
+        bins.join(F.broadcast(b2), F.col("bin2") >= F.col("bin"))
+        .groupBy("bin", "bcnt", "bcs")
+        .agg(F.sum("bcnt2").alias("ccnt"), F.sum("bcs2").alias("ccs"))
     )
     tot = dv.agg(
         F.sum("cnt").alias("n"), F.sum(_dec(F.col("cnt")) * F.col("cents")).alias("total_cents")
@@ -2226,14 +2251,60 @@ def agg_top_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") + (100 // pct - 1)
         ) % (100 // pct)
         k = (k / (100 // pct)).cast("long")
-        boundary = (
-            cum.crossJoin(F.broadcast(tot))
-            .filter(F.col("cc") >= k)
-            .orderBy(F.col("cents").desc())
-            .limit(1)
+        # pass 1: the boundary bin = highest-valued bin whose running
+        # count first reaches k — picked with a max_by FINAL AGGREGATE
+        # (not an ordered limit, so the plan's only SinglePartition
+        # stages feed constant-size aggregates); carry the strictly-
+        # higher bins' exact prefix (ccnt - bcnt, ccs - bcs) as the
+        # pass-2 offset
+        boundary_bin = (
+            bcum.crossJoin(F.broadcast(tot.select(k.alias("k"), "total_cents")))
+            .filter(F.col("ccnt") >= F.col("k"))
+            .agg(
+                F.max_by(
+                    F.struct("bin", "bcnt", "bcs", "ccnt", "ccs", "k", "total_cents"),
+                    F.col("bin"),
+                ).alias("b")
+            )
             .select(
-                (F.col("cs") - _dec(F.col("cc") - k) * F.col("cents")).alias("top_cents"),
-                "total_cents",
+                F.col("b.bin").alias("bbin"),
+                (F.col("b.ccnt") - F.col("b.bcnt")).alias("prev_cc"),
+                (F.col("b.ccs") - F.col("b.bcs")).alias("prev_cs"),
+                F.col("b.k").alias("k"),
+                F.col("b.total_cents").alias("total_cents"),
+            )
+        )
+        # pass 2: exact descending cumulative over ONLY the boundary
+        # bin's distinct cents (bin-partitioned window, <= BIN_W rows)
+        w_in = (
+            Window.partitionBy("bbin")
+            .orderBy(F.col("cents").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        inbin = dvb.join(F.broadcast(boundary_bin), dvb.bin == F.col("bbin"))
+        cum_in = inbin.select(
+            "cents",
+            "prev_cs",
+            "k",
+            "total_cents",
+            (F.col("prev_cc") + F.sum("cnt").over(w_in)).alias("cc"),
+            F.sum(_dec(F.col("cnt")) * F.col("cents")).over(w_in).alias("cs"),
+        )
+        boundary = (
+            cum_in.filter(F.col("cc") >= F.col("k"))
+            .agg(
+                F.max_by(
+                    F.struct("prev_cs", "cs", "cc", "k", "total_cents", "cents"),
+                    F.col("cents"),
+                ).alias("b")
+            )
+            .select(
+                (
+                    F.col("b.prev_cs")
+                    + F.col("b.cs")
+                    - _dec(F.col("b.cc") - F.col("b.k")) * F.col("b.cents")
+                ).alias("top_cents"),
+                F.col("b.total_cents").alias("total_cents"),
             )
         )
         return boundary.select(

@@ -1,12 +1,13 @@
-"""Round-10 banked operator queue, batch B (NOT registered in round 9).
+"""Round-9 banked operator queue, batch B — ACTIVATED in round 10.
 
 Round 9's driver window closed at 48/50 (the activated round-8 queue
-+ 25 direct registrations), so this batch follows the banking
-pattern: built and fully gated now (raw-frame oracle parity, plan
-checks, fuzz profiles, replicas via ``tests/test_roundtenb.py``),
-ACTIVATED in round 10 once CORRECTNESS_r09 drains the backlog —
-``registry._ensure_loaded`` does NOT import this module; round 10
-adds ``roundtenb.activate()``.
++ 25 direct registrations), so this batch was banked UNGATED at the
+end of round 9 (the round-9 snapshot wrongly claimed its gates
+existed — VERDICT r9 item 1). Round 10 made the claim true before
+flipping activation: raw-frame oracle parity + plan sweeps + Python
+replicas in ``tests/test_roundtenb.py``, fuzz profiles / sf0.1 / x10
+recorded in SCALE.md §5i, and ``registry._ensure_loaded`` now calls
+``roundtenb.activate()`` — all in the same commit as the gates.
 
 Batch theme: concordance effect size (Kendall's W over the Friedman
 rank table), product session-duration distribution, a code-detection

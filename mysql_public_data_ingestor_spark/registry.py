@@ -52,19 +52,15 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # remaining queries keep registration order behind them and stay covered
 # by the identical local gate (tools/check_correctness.py).
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # Round-9 window. CORRECTNESS_r08 came back 50/50 green (the two
-    # triangle-closure re-verifications included — their r8 entries
-    # are pruned per the authoring rule), so the backlog is ZERO.
-    # This round's manual head: the minhash recall audit, whose
-    # exact-truth side changed semantics (deterministic block
-    # sampling bounds the pair volume — VERDICT r8 item 4). The 22
-    # activated roundnine queue names and any new round-9
-    # registrations follow automatically (auto-unverified names sort
-    # after this manual list, in registration order).
-    # Budget: len(this list) + queue activations + new round-9
-    # registrations <= 50 keeps everything inside the driver's
-    # evaluation window (tests/test_entry.py asserts it).
-    "dedup_minhash_recall_audit",
+    # Round-10 window. CORRECTNESS_r09 came back 50/50 green (the
+    # recall-audit re-verification included — its _EVIDENCE_MIN_ROUND
+    # entry is pruned per the authoring rule), so the backlog is
+    # ZERO and no manual head is needed: the 6 activated roundtenb
+    # queue names plus all new round-10 registrations are
+    # auto-unverified and sort first in registration order.
+    # Budget: queue activations + new round-10 registrations <= 50
+    # keeps everything inside the driver's evaluation window
+    # (tests/test_entry.py asserts it).
 ]
 
 # Evidence invalidation (ADVICE r5 medium): when a verified query's
@@ -76,13 +72,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
 # entries at the start of the next round (round-6's eight entries all
 # collected CORRECTNESS_r06 evidence and were pruned in round 7).
 _EVIDENCE_MIN_ROUND: dict[str, int] = {
-    # round-8 triangle entries pruned: both collected fresh
-    # CORRECTNESS_r08 green evidence (authoring rule).
-    # round 9 bounds the minhash recall audit's exact ground-truth
-    # side to a deterministic hash-sample of blocks (VERDICT r8 item
-    # 4) — the audited pair population, and hence the per-decile
-    # counts, changed semantics; only r9+ evidence counts.
-    "dedup_minhash_recall_audit": 9,
+    # round-9 recall-audit entry pruned: it collected fresh
+    # CORRECTNESS_r09 green evidence after the truth-side block cap
+    # (authoring rule: entries auto-clear once fresh evidence lands;
+    # prune inert ones at the start of the next round).
 }
 
 
@@ -204,9 +197,16 @@ def _ensure_loaded() -> None:
 
     # round-9 activation of the roundten batch: banked mid-round, then
     # flipped on in the SAME round once the window budget confirmed
-    # 45/50 — banking is for full windows, and this one is not full
+    # 48/50 — banking is for full windows, and this one was not full
     from .operators import roundten
 
     roundten.activate()
+
+    # round-10 activation of the round-9-banked batch B (VERDICT r9
+    # item 1: gates written and recorded in tests/test_roundtenb.py +
+    # SCALE §5i before this flip)
+    from .operators import roundtenb
+
+    roundtenb.activate()
 
     _LOADED = True

@@ -432,8 +432,10 @@ SINGLE_PARTITION_ALLOWLIST = {
     "relational_skyline_pareto",
     # ROC cumulative over the <= 10001-value score grid.
     "ml_youden_optimal_threshold",
-    # descending cumulative over the distinct order-value cents domain.
-    "agg_top_value_share",
+    # (agg_top_value_share was allowlisted here through round 9 — its
+    # value-range-bounded distinct-cents cumulative is now a two-pass
+    # boundary-bin refinement with no ordered SinglePartition stage,
+    # so it rejoins the swept set. VERDICT r9 item 3.)
     # share window over the 8-row per-shard aggregate output.
     "layout_serpentine_shard_balance",
     # round-9 direct registrations (roundnine2.py):
@@ -447,6 +449,11 @@ SINGLE_PARTITION_ALLOWLIST = {
     # ECDF cumulative over the <= 50-distinct-quantity pooled domain
     # (same bounded-domain class as stats_cvm_two_sample).
     "stats_anderson_darling_quantity",
+    # round-10 activation (roundtenb.py): descending ROC cumulative
+    # over the POST-AGGREGATION <= 10001-value quantized score grid —
+    # same bounded-domain class (and same upstream aggregate) as
+    # ml_youden_optimal_threshold above.
+    "ml_cost_optimal_threshold",
 }
 
 

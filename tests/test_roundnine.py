@@ -103,8 +103,9 @@ def test_queued_query_matches_oracle(spark, sf_dir, entry):
 #   (value-domain-bounded), never over part rows.
 # ml_youden_optimal_threshold: ROC cumulative over the POST-
 #   AGGREGATION <= 10001-value score grid; top-1 via TakeOrdered.
-# agg_top_value_share: descending cumulative over the distinct
-#   order-value cents domain (range-bounded), never raw orders.
+# (agg_top_value_share left this list in round 10: its ordered pass is
+#   now a two-pass boundary-bin refinement with max_by final
+#   aggregates — no SinglePartition window remains. SCALE §5i.3.)
 QUEUE_SP_ALLOWLIST = {
     "stats_cvm_two_sample",
     "stats_page_hinkley_orders",
@@ -112,7 +113,6 @@ QUEUE_SP_ALLOWLIST = {
     "stats_ansari_bradley_quantity",
     "relational_skyline_pareto",
     "ml_youden_optimal_threshold",
-    "agg_top_value_share",
     # layout_serpentine_shard_balance: the share window runs over the
     # 8-row per-shard aggregate output.
     "layout_serpentine_shard_balance",
