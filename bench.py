@@ -303,6 +303,14 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_queries()
 
+    # Round-10 blind-spot closure (VERDICT r9 item 6): the explicit
+    # HEADLINE list preserves the historical ordering the delta report
+    # diffs against, and every registered query NOT in it is appended
+    # in sorted order — so the bench always covers the ENTIRE registry
+    # and a new registration can never silently escape canonical
+    # tracking again.
+    headline = HEADLINE + sorted(n for n in specs if n not in HEADLINE)
+
     # warm the JVM + parquet footers with one cheap query, and the
     # Python/Arrow UDF workers with a trivial pandas UDF (so per-query
     # timings measure steady-state, not one-time worker startup)
@@ -330,7 +338,7 @@ def main() -> None:
     # "queries_cold" for transparency.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         # Inter-query hygiene (untimed): drop Python-side DataFrame refs
         # so the async ContextCleaner can release localCheckpoint blocks
         # and broadcasts between queries. Python gc only — a forced

@@ -483,3 +483,145 @@ def retention_ols_tracker(points: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithState twins of the round-9 monitors (round 10, ----------
+# --- VERDICT r9 item 5's "wire transformWithState twins") -----------------
+
+
+def _rocksdb(df: DataFrame) -> None:
+    df.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+
+def page_hinkley_monitor_per_type_tws(
+    daily: DataFrame, baselines_milli: dict, delta_milli: int, h_milli: int
+) -> DataFrame:
+    """transformWithStateInPandas twin of
+    ``page_hinkley_monitor_per_type`` — identical int64 fold (same
+    state tuple, same out-of-order guard, bit-identical output rows),
+    expressed through the Spark 4 StatefulProcessor API with explicit
+    typed ValueState on the RocksDB store. Prefer this on Spark 4+:
+    state schema evolution, multiple state variables, and timers come
+    for free; the applyInPandasWithState form remains the
+    Spark 3-compatible twin. Requires google.protobuf at runtime
+    (state-server worker protocol); tests skip where absent.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class PageHinkley(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ph", _PH_STATE)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            prior = self._state.get() if self._state.exists() else None
+            n, m_t, min_m, ph_max, n_alarms, last_day = (
+                tuple(prior) if prior else (0, 0, 0, 0, 0, -1)
+            )
+            (event_type,) = key
+            mu = int(baselines_milli.get(event_type, 0))
+            pdf = pd.concat(list(rows)).sort_values("day")
+            n_late = 0
+            ph_t = m_t - min_m
+            for day, x in zip(pdf["day"], pdf["x"]):
+                dk = _day_key(day)
+                if dk <= last_day:
+                    n_late += 1
+                    continue
+                last_day = dk
+                m_t += 1000 * int(x) - mu - delta_milli
+                min_m = min(min_m, m_t)
+                ph_t = m_t - min_m
+                ph_max = max(ph_max, ph_t)
+                if ph_t >= h_milli:
+                    n_alarms += 1
+                n += 1
+            self._state.update((n, m_t, min_m, ph_max, n_alarms, last_day))
+            yield pd.DataFrame(
+                {
+                    "event_type": [event_type],
+                    "n_days": [n],
+                    "ph_t": [ph_t],
+                    "ph_max": [ph_max],
+                    "n_alarms": [n_alarms],
+                    "n_late": [n_late],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    _rocksdb(daily)
+    return daily.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=PageHinkley(),
+        outputStructType=_PH_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def retention_ols_tracker_tws(points: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of ``retention_ols_tracker`` —
+    the same five exact int64 OLS sufficient statistics and the same
+    monotone-offset guard, through the Spark 4 StatefulProcessor API
+    (typed ValueState, RocksDB store). Output rows are bit-identical
+    to the applyInPandasWithState form by construction: both fold the
+    same integers in the same order and emit the same exact half-up
+    slope/intercept.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RetentionOLS(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ols", _OLS_STATE)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            prior = self._state.get() if self._state.exists() else None
+            m, sx, sy, sxy, sxx, last_w = (
+                tuple(prior) if prior else (0, 0, 0, 0, 0, -1)
+            )
+            (metric,) = key
+            pdf = pd.concat(list(rows)).sort_values("w")
+            n_late = 0
+            for w, y_u in zip(pdf["w"], pdf["y_u"]):
+                w, y_u = int(w), int(y_u)
+                if w <= last_w:
+                    n_late += 1
+                    continue
+                last_w = w
+                m += 1
+                sx += w
+                sy += y_u
+                sxy += w * y_u
+                sxx += w * w
+            self._state.update((m, sx, sy, sxy, sxx, last_w))
+            num = m * sxy - sx * sy
+            den = m * sxx - sx * sx
+            slope = _half_up_int(num, den) if m >= 2 and den != 0 else 0
+            intercept = (
+                _half_up_int(sy * den - num * sx, m * den)
+                if m >= 2 and den != 0
+                else (sy if m == 1 else 0)
+            )
+            yield pd.DataFrame(
+                {
+                    "metric": [metric],
+                    "m": [m],
+                    "slope_micro": [slope],
+                    "intercept_micro": [intercept],
+                    "n_late": [n_late],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    _rocksdb(points)
+    return points.groupBy("metric").transformWithStateInPandas(
+        statefulProcessor=RetentionOLS(),
+        outputStructType=_OLS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
