@@ -200,7 +200,7 @@ def _cohort_oracle() -> str:
       SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
       FROM fw GROUP BY cohort
     )
-    SELECT a.cohort AS cohort_week, a.week_offset, a.n_active, s.cohort_size,
+    SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort_week, a.week_offset, a.n_active, s.cohort_size,
            {sql_round_int_ratio('a.n_active', 's.cohort_size')} AS retention
     FROM act a JOIN sizes s USING (cohort)
     """
@@ -238,7 +238,7 @@ def events_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFram
     )
     sizes = fw.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
     return act.join(sizes, "cohort").select(
-        F.col("cohort").alias("cohort_week"),
+        F.date_format(F.col("cohort"), "yyyy-MM-dd").alias("cohort_week"),
         "week_offset",
         "n_active",
         "cohort_size",
@@ -1814,17 +1814,30 @@ def ml_gains_at_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     sc = _scored_labeled(t)
-    grid = sc.groupBy("score_q").agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("label").alias("cpos")
+    grid = (
+        sc.groupBy("score_q")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("label").alias("cpos"))
+        # the <=10001-row grid feeds four consumers (bins, totals,
+        # boundary probe, in-bin cumulative) — hash the corpus ONCE
+        .localCheckpoint(eager=False)
     )
-    g2 = grid.select(
-        F.col("score_q").alias("s2"), F.col("cnt").alias("cnt2"),
-        F.col("cpos").alias("cpos2"),
+    # Two-pass boundary-bin refinement (the agg_top_value_share
+    # pattern): a direct non-equi self-join cumulative over the
+    # ~10001-row grid costs ~5*10^7 nested-loop pairs (measured ~5 s
+    # at sf0.1); coarse 100-point bins cut that to <= 101^2 + one
+    # bin-partitioned window over <= 100 rows.
+    gb = grid.withColumn("gbin", F.expr("score_q div 100"))
+    bins = gb.groupBy("gbin").agg(
+        F.sum("cnt").alias("bcnt"), F.sum("cpos").alias("bpos")
     )
-    cum = (
-        grid.join(F.broadcast(g2), F.col("s2") >= F.col("score_q"))
-        .groupBy("score_q", "cnt", "cpos")
-        .agg(F.sum("cnt2").alias("cc"), F.sum("cpos2").alias("ctp"))
+    b2 = bins.select(
+        F.col("gbin").alias("gbin2"), F.col("bcnt").alias("bcnt2"),
+        F.col("bpos").alias("bpos2"),
+    )
+    bcum = (
+        bins.join(F.broadcast(b2), F.col("gbin2") >= F.col("gbin"))
+        .groupBy("gbin", "bcnt", "bpos")
+        .agg(F.sum("bcnt2").alias("ccnt"), F.sum("bpos2").alias("ctp_b"))
     )
     tot = grid.agg(F.sum("cnt").alias("n"), F.sum("cpos").alias("pos"))
     caps = spark.range(1).select(
@@ -1835,20 +1848,48 @@ def ml_gains_at_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     kk = caps.crossJoin(F.broadcast(tot)).select(
         "capacity_pct", F.expr("(capacity_pct * n + 99) div 100").alias("k"), "n", "pos"
     )
-    bnd = (
-        kk.join(F.broadcast(cum), F.col("cc") >= F.col("k"), "left")
+    # boundary bin = highest-score bin whose running count reaches k
+    bbin = (
+        kk.join(F.broadcast(bcum), F.col("ccnt") >= F.col("k"), "left")
         .groupBy("capacity_pct", "k", "n", "pos")
-        .agg(F.max("score_q").alias("bscore"))
+        .agg(
+            F.max_by(
+                F.struct("gbin", "bcnt", "bpos", "ccnt", "ctp_b"), F.col("gbin")
+            ).alias("b")
+        )
+        .select(
+            "capacity_pct", "k", "n", "pos",
+            F.col("b.gbin").alias("bbin"),
+            (F.col("b.ccnt") - F.col("b.bcnt")).alias("hi_cc"),
+            (F.col("b.ctp_b") - F.col("b.bpos")).alias("hi_tp"),
+        )
     )
-    fin = bnd.join(
-        F.broadcast(cum.select(
-            F.col("score_q").alias("bscore"),
-            (F.col("cc") - F.col("cnt")).alias("cc_prev"),
-            (F.col("ctp") - F.col("cpos")).alias("tp_prev"),
-            F.col("cnt").alias("cnt_b"),
-            F.col("cpos").alias("cpos_b"),
-        )),
-        "bscore",
+    w_in = (
+        Window.partitionBy("capacity_pct", "bbin")
+        .orderBy(F.col("score_q").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inbin = gb.join(F.broadcast(bbin), gb.gbin == F.col("bbin"))
+    cum_in = inbin.select(
+        "capacity_pct", "k", "n", "pos", "score_q", "cnt", "cpos",
+        (F.col("hi_cc") + F.sum("cnt").over(w_in)).alias("cc"),
+        (F.col("hi_tp") + F.sum("cpos").over(w_in)).alias("ctp"),
+    )
+    fin = (
+        cum_in.filter(F.col("cc") >= F.col("k"))
+        .groupBy("capacity_pct", "k", "n", "pos")
+        .agg(
+            F.max_by(
+                F.struct("cc", "ctp", "cnt", "cpos"), F.col("score_q")
+            ).alias("b")
+        )
+        .select(
+            "capacity_pct", "k", "n", "pos",
+            (F.col("b.cc") - F.col("b.cnt")).alias("cc_prev"),
+            (F.col("b.ctp") - F.col("b.cpos")).alias("tp_prev"),
+            F.col("b.cnt").alias("cnt_b"),
+            F.col("b.cpos").alias("cpos_b"),
+        )
     )
     cap_num = _dec(F.col("tp_prev")) * F.col("cnt_b") + _dec(
         F.col("k") - F.col("cc_prev")
@@ -1902,7 +1943,7 @@ def _cusumsq_oracle() -> str:
              row_number() OVER (ORDER BY num DESC, day) AS rn
       FROM dev
     )
-    SELECT n AS n_days, day AS change_day, k AS change_index,
+    SELECT n AS n_days, strftime(day, '%Y-%m-%d') AS change_day, k AS change_index,
            CASE WHEN n > 0 AND s > 0 THEN
              {sql_round_big_int_ratio('num', 'n::HUGEINT * s')}
            END AS cusum_sq_stat
@@ -1962,7 +2003,7 @@ def stats_cusum_squares_changepoint(spark: SparkSession, sf_dir: str) -> DataFra
         ).alias("b")
     ).select(
         F.col("b.n").alias("n_days"),
-        F.col("b.day").alias("change_day"),
+        F.date_format(F.col("b.day"), "yyyy-MM-dd").alias("change_day"),
         F.col("b.k").alias("change_index"),
         F.when(
             (F.col("b.n") > 0) & (F.col("b.s") > 0),

@@ -172,6 +172,7 @@ def _ensure_loaded() -> None:
         roundeight2,
         roundeight3,
         roundnine2,
+        roundten2,
         roundsix,
         roundsix2,
         similarity,

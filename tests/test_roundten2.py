@@ -1,0 +1,635 @@
+"""Round-10 direct-registration gate (``operators/roundten2.py``):
+raw-frame oracle parity, registry-wide plan bars, and an independent
+Python replica for every operator — the same discipline as the
+roundtenb queue gate, applied to the direct batch.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mysql_public_data_ingestor_spark.operators import roundten2
+from mysql_public_data_ingestor_spark.tables import Tables
+from tools.check_correctness import compare, duck_connection
+
+NAMES = [
+    "sketch_ddsketch_quantiles",
+    "events_cohort_retention_matrix",
+    "corpus_stratified_sample_audit",
+    "events_funnel_path_signatures",
+    "stats_quade_nation_priority",
+    "stats_total_variation_segment_pairs",
+    "ml_conformal_threshold_by_lang",
+    "dq_bloom_fpp_audit",
+    "events_variance_ratio_test",
+    "events_user_activity_lorenz_deciles",
+    "graph_stress_centrality_seeds",
+    "stats_runs_up_down_daily",
+    "embedding_dim_correlation_topk",
+    "corpus_dedup_cluster_powerlaw",
+    "ml_gains_at_capacity",
+    "stats_cusum_squares_changepoint",
+]
+
+
+def test_batch_registered_with_oracles():
+    from mysql_public_data_ingestor_spark import registry
+
+    registry._ensure_loaded()
+    missing = [n for n in NAMES if n not in registry._REGISTRY]
+    assert not missing, f"not registered: {missing}"
+    no_oracle = [n for n in NAMES if registry._REGISTRY[n].oracle is None]
+    assert not no_oracle, f"registered without oracle: {no_oracle}"
+
+
+def test_batch_heads_driver_window():
+    from mysql_public_data_ingestor_spark import registry
+
+    hash_verified, _rows = registry._verified_names()
+    unverified = [n for n in NAMES if n not in hash_verified]
+    window = list(registry.all_queries())[:50]
+    stranded = set(unverified) - set(window)
+    assert not stranded, f"unverified batch names outside the 50-slot window: {stranded}"
+
+
+def _spec(name):
+    from mysql_public_data_ingestor_spark import registry
+
+    registry._ensure_loaded()
+    return registry._REGISTRY[name]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = _spec(name)
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    con = duck_connection(sf_dir)
+    try:
+        odf = con.execute(spec.oracle).fetchdf()
+    finally:
+        con.close()
+    problems = compare(name, sdf, odf)
+    assert not problems, f"{name}: {problems}"
+
+
+def _sp_consumers(plan: str) -> list[str]:
+    import re
+
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        if "REPARTITION_BY_NUM" in line:
+            continue
+        for j in range(i - 1, -1, -1):
+            m = re.match(r"\s*[:+\-\s]*([A-Za-z]+)", lines[j])
+            if m and m.group(1) != "Exchange":
+                out.append(m.group(1))
+                break
+    return out
+
+
+def test_batch_single_partition_only_feeds_final_aggregates(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.plans import physical_plan
+
+    offenders = {}
+    for name in NAMES:
+        plan = physical_plan(_spec(name).fn(spark, sf_dir))
+        bad = [
+            c
+            for c in _sp_consumers(plan)
+            if c not in ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+def test_batch_no_cartesian_products(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.plans import assert_no_cartesian
+
+    offenders = []
+    for name in NAMES:
+        try:
+            assert_no_cartesian(_spec(name).fn(spark, sf_dir))
+        except AssertionError:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+# --- Python replicas ------------------------------------------------------
+
+
+def _q(name, spark, sf_dir):
+    return _spec(name).fn(spark, sf_dir).toPandas()
+
+
+def _half_up(num: int, den: int, dp: int = 6) -> float:
+    s = 10**dp
+    mag = (2 * s * abs(num) + den) // (2 * den)
+    return (-mag if num < 0 else mag) / s
+
+
+def _sha60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+
+def test_ddsketch_matches_python(spark, sf_dir):
+    got = _q("sketch_ddsketch_quantiles", spark, sf_dir).sort_values("q")
+    t = Tables(spark, sf_dir)
+    vs = [
+        int(math.floor(v * 100 + 0.5))
+        for v in t.lineitem.select("l_extendedprice").toPandas()["l_extendedprice"]
+    ]
+    vs = [v for v in vs if v >= 1]
+    n = len(vs)
+    sub = roundten2.DD_SUB
+    from collections import Counter
+
+    def bucket(v):
+        e = v.bit_length() - 1
+        return e * sub + ((v - (1 << e)) * sub) // (1 << e)
+
+    counts = Counter(bucket(v) for v in vs)
+    order = sorted(counts)
+    for _, row in got.iterrows():
+        q = int(row["q"])
+        k = (q * n + 99) // 100
+        cc = 0
+        bkt = None
+        for b in order:
+            cc += counts[b]
+            if cc >= k:
+                bkt = b
+                break
+        e, sb = bkt // sub, bkt % sub
+        rep = ((1 << e) * 32 + (2 * sb + 1) * (1 << e)) // 32
+        ach = sum(1 for v in vs if v <= rep)
+        assert int(row["bucket"]) == bkt, q
+        assert int(row["est_cents"]) == rep, q
+        assert int(row["n_total"]) == n
+        assert int(row["achieved_rank"]) == ach, q
+        assert row["rank_err"] == _half_up(abs(100 * ach - q * n), 100 * n), q
+        # the sketch's contract: <=1/32 relative value error vs the
+        # exact nearest-rank quantile
+        exact = sorted(vs)[k - 1]
+        assert abs(rep - exact) <= max(exact // 16, 1), (q, rep, exact)
+
+
+def test_cohort_retention_matches_python(spark, sf_dir):
+    import pandas as pd
+
+    got = _q("events_cohort_retention_matrix", spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "ts").toPandas()
+    ev["week"] = pd.to_datetime(ev["ts"]).dt.to_period("W-SUN").dt.start_time
+    uw = ev[["user_id", "week"]].drop_duplicates()
+    first = uw.groupby("user_id")["week"].min().rename("cohort")
+    j = uw.merge(first, on="user_id")
+    j["off"] = ((j["week"] - j["cohort"]).dt.days // 7).astype(int)
+    j = j[j["off"] <= roundten2.COHORT_MAX_OFFSET]
+    act = j.groupby([j["cohort"].dt.strftime("%Y-%m-%d"), "off"]).size()
+    sizes = first.dt.strftime("%Y-%m-%d").value_counts()
+    assert len(got) == len(act)
+    for _, row in got.iterrows():
+        key = (row["cohort_week"], int(row["week_offset"]))
+        assert int(row["n_active"]) == int(act[key]), key
+        assert int(row["cohort_size"]) == int(sizes[row["cohort_week"]]), key
+        assert row["retention"] == _half_up(int(act[key]), int(sizes[row["cohort_week"]]))
+
+
+def test_stratified_audit_matches_python(spark, sf_dir):
+    got = _q("corpus_stratified_sample_audit", spark, sf_dir).sort_values("lang")
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang", "source").toPandas()
+    for _, row in got.iterrows():
+        sub = docs[docs["lang"] == row["lang"]]
+        n = len(sub)
+        k = (n + roundten2.STRAT_RATE_DEN - 1) // roundten2.STRAT_RATE_DEN
+        ranked = sorted(
+            sub.itertuples(), key=lambda r: (_sha60(f"strat|{r.doc_id}"), r.doc_id)
+        )
+        sample = ranked[:k]
+        from collections import Counter
+
+        pop = Counter(r.source for r in sub.itertuples())
+        smp = Counter(r.source for r in sample)
+        num = sum(abs(smp.get(src, 0) * n - pop[src] * k) for src in pop)
+        assert int(row["n_docs"]) == n
+        assert int(row["target_k"]) == k
+        assert int(row["n_sources"]) == len(pop)
+        assert row["tvd"] == _half_up(num, 2 * n * k)
+
+
+def test_pathsig_matches_python(spark, sf_dir):
+    got = _q("events_funnel_path_signatures", spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "ts", "event_id", "event_type").toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    sigs: dict = {}
+    for uid, grp in ev.groupby("user_id"):
+        ets = list(grp["event_type"])
+        if len(ets) < roundten2.PATHSIG_LEN or any(
+            e is None for e in ets[: roundten2.PATHSIG_LEN]
+        ):
+            continue
+        sig = ">".join(ets[: roundten2.PATHSIG_LEN])
+        conv = int("purchase" in ets)
+        n, c = sigs.get(sig, (0, 0))
+        sigs[sig] = (n + 1, c + conv)
+    top = sorted(sigs.items(), key=lambda kv: (-kv[1][0], kv[0]))[
+        : roundten2.PATHSIG_TOPK
+    ]
+    assert len(got) == len(top)
+    got_rows = list(got.itertuples())
+    # same multiset of rows (driver compares hash over sorted rows)
+    got_set = {
+        (r.signature, r.n_users, r.n_converted, r.conversion) for r in got_rows
+    }
+    exp_set = {
+        (sig, n, c, _half_up(c, n)) for sig, (n, c) in top
+    }
+    assert got_set == exp_set
+
+
+def test_quade_matches_python(spark, sf_dir):
+    got = _q("stats_quade_nation_priority", spark, sf_dir).iloc[0]
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select("o_custkey", "o_orderpriority", "o_totalprice").toPandas()
+    cust = t.customer.select("c_custkey", "c_nationkey").toPandas()
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = (j["o_totalprice"] * 100.0 + 0.5).apply(math.floor).astype("int64")
+    cells = j.groupby(["c_nationkey", "o_orderpriority"]).agg(
+        n=("cents", "count"), s=("cents", "sum")
+    )
+    k = j["o_orderpriority"].nunique()
+    blocks = {}
+    for blk, grp in cells.groupby(level=0):
+        if len(grp) != k:
+            continue
+        mus = {trt: float(r["s"]) / float(r["n"]) for (_, trt), r in grp.iterrows()}
+        blocks[blk] = mus
+    b = len(blocks)
+    rngs = sorted((max(m.values()) - min(m.values()), blk) for blk, m in blocks.items())
+    qr = {blk: i + 1 for i, (_, blk) in enumerate(rngs)}
+    t_ij = []
+    tj: dict = {}
+    for blk, mus in blocks.items():
+        ranked = sorted((mu, trt) for trt, mu in mus.items())
+        for r, (_, trt) in enumerate(ranked, 1):
+            v = qr[blk] * (2 * r - (k + 1))
+            t_ij.append(v)
+            tj[trt] = tj.get(trt, 0) + v
+    a2 = sum(v * v for v in t_ij)
+    b2 = sum(v * v for v in tj.values())
+    assert int(got["k"]) == k
+    assert int(got["n_blocks"]) == b
+    assert int(got["a2"]) == a2
+    assert int(got["b2"]) == b2
+    if b * a2 - b2 > 0:
+        assert got["quade_f"] == _half_up((b - 1) * b2, b * a2 - b2)
+
+
+def test_tvd_pairs_matches_python(spark, sf_dir):
+    got = _q("stats_total_variation_segment_pairs", spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select("o_custkey", "o_orderpriority").toPandas()
+    cust = t.customer.select("c_custkey", "c_mktsegment").toPandas()
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    from collections import Counter
+
+    cnt = Counter(zip(j["c_mktsegment"], j["o_orderpriority"]))
+    segs = sorted(j["c_mktsegment"].unique())
+    prios = sorted(j["o_orderpriority"].unique())
+    tot = {s: sum(cnt.get((s, p), 0) for p in prios) for s in segs}
+    assert len(got) == len(segs) * (len(segs) - 1) // 2
+    for _, row in got.iterrows():
+        a, b = row["seg_a"], row["seg_b"]
+        num = sum(
+            abs(cnt.get((a, p), 0) * tot[b] - cnt.get((b, p), 0) * tot[a])
+            for p in prios
+        )
+        assert row["tvd"] == _half_up(num, 2 * tot[a] * tot[b]), (a, b)
+        assert 0.0 <= row["tvd"] <= 1.0
+
+
+def test_conformal_matches_python(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.operators.ml import _scored_labeled
+
+    got = _q("ml_conformal_threshold_by_lang", spark, sf_dir).sort_values("lang")
+    t = Tables(spark, sf_dir)
+    sc = _scored_labeled(t).select("doc_id", "lang", "score_q").toPandas()
+    a_n, a_d = roundten2.CONF_ALPHA_NUM, roundten2.CONF_ALPHA_DEN
+    for _, row in got.iterrows():
+        sub = sc[sc["lang"] == row["lang"]]
+        cal = sorted(int(s) for s in sub[sub["doc_id"] % 2 == 0]["score_q"])
+        tst = [int(s) for s in sub[sub["doc_id"] % 2 == 1]["score_q"]]
+        n_cal = len(cal)
+        k = ((a_d - a_n) * (n_cal + 1) + a_d - 1) // a_d
+        thr = cal[k - 1] if k <= n_cal else None
+        assert int(row["n_cal"]) == n_cal
+        assert int(row["n_test"]) == len(tst)
+        if thr is None:
+            assert row["thr_score_q"] is None or math.isnan(row["thr_score_q"])
+        else:
+            assert int(row["thr_score_q"]) == thr
+            if tst:
+                cov = sum(1 for s in tst if s <= thr)
+                assert row["coverage"] == _half_up(cov, len(tst))
+                # conformal guarantee holds in expectation; sanity only
+                assert 0.0 <= row["coverage"] <= 1.0
+
+
+def test_bloom_fpp_matches_python(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.operators.sketches import (
+        BLOOM_SEEDS,
+        _P,
+    )
+
+    got = _q("dq_bloom_fpp_audit", spark, sf_dir).iloc[0]
+    t = Tables(spark, sf_dir)
+    keys = {int(r.c_custkey) for r in t.customer.select("c_custkey").collect()}
+    m = roundten2.FPP_M
+
+    def uh(x, a, b):
+        return (((x % _P) * a + b) % _P) % m
+
+    bits = {uh(k, a, b) for k in keys for a, b in BLOOM_SEEDS}
+    probes = {
+        int(r.o_orderkey) + roundten2.FPP_PROBE_OFFSET
+        for r in t.orders.select("o_orderkey").collect()
+    }
+    fp = sum(
+        1
+        for p in probes
+        if p not in keys and all(uh(p, a, b) in bits for a, b in BLOOM_SEEDS)
+    )
+    s = len(bits)
+    assert int(got["n_keys"]) == len(keys)
+    assert int(got["bits_set"]) == s
+    assert got["fpp_est"] == _half_up(s**3, m**3)
+    assert int(got["n_probes"]) == len(probes)
+    assert int(got["n_false_pos"]) == fp
+    assert got["fpp_measured"] == _half_up(fp, len(probes))
+
+
+def test_variance_ratio_matches_python(spark, sf_dir, orders_pdf=None):
+    import pandas as pd
+
+    got = _q("events_variance_ratio_test", spark, sf_dir).iloc[0]
+    t = Tables(spark, sf_dir)
+    od = t.orders.select("o_orderdate").toPandas()
+    daily = od.groupby(pd.to_datetime(od["o_orderdate"]).dt.date).size()
+    bymap = {d: int(x) for d, x in daily.items()}
+    import datetime
+
+    q = roundten2.VR_Q
+    d1 = [
+        bymap[d] - bymap[d - datetime.timedelta(days=1)]
+        for d in bymap
+        if d - datetime.timedelta(days=1) in bymap
+    ]
+    dq = [
+        bymap[d] - bymap[d - datetime.timedelta(days=q)]
+        for d in bymap
+        if d - datetime.timedelta(days=q) in bymap
+    ]
+    n1, sd, sdd = len(d1), sum(d1), sum(x * x for x in d1)
+    nq, ss, ssq = len(dq), sum(dq), sum(x * x for x in dq)
+    assert int(got["n_diff"]) == n1
+    assert int(got["n_qdiff"]) == nq
+    den = q * nq * nq * (n1 * sdd - sd * sd)
+    if n1 > 0 and nq > 0 and n1 * sdd - sd * sd > 0:
+        assert got["variance_ratio"] == _half_up(
+            n1 * n1 * (nq * ssq - ss * ss), den
+        )
+
+
+def test_lorenz_matches_python(spark, sf_dir):
+    got = _q("events_user_activity_lorenz_deciles", spark, sf_dir).sort_values(
+        "decile"
+    )
+    t = Tables(spark, sf_dir)
+    from collections import Counter
+
+    freq = Counter(
+        int(r.user_id) for r in t.events.select("user_id").collect()
+    )
+    counts = sorted(freq.values())
+    u, e = len(counts), sum(counts)
+    # prefix sums over users ranked ascending by activity
+    pref = [0]
+    for c in counts:
+        pref.append(pref[-1] + c)
+    for _, row in got.iterrows():
+        d = int(row["decile"])
+        lo, hi = ((d - 1) * u) // 10, (d * u) // 10
+        ev_d = pref[hi] - pref[lo]
+        cum = pref[hi]
+        assert int(row["n_users"]) == hi - lo, d
+        assert row["events_share"] == _half_up(ev_d, e), d
+        assert row["cum_share"] == _half_up(cum, e), d
+    # Lorenz sanity: cumulative share is nondecreasing and ends at 1
+    cums = list(got.sort_values("decile")["cum_share"])
+    assert all(a <= b + 1e-12 for a, b in zip(cums, cums[1:]))
+    assert cums[-1] == 1.0
+
+
+def test_stress_centrality_matches_python(spark, sf_dir):
+    got = _q("graph_stress_centrality_seeds", spark, sf_dir).sort_values("seed_part")
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey").distinct().toPandas()
+    from collections import defaultdict
+
+    baskets = defaultdict(set)
+    for r in li.itertuples():
+        baskets[r.l_orderkey].add(int(r.l_partkey))
+    adj = defaultdict(set)
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                adj[a].add(b)
+                adj[b].add(a)
+    seeds = sorted(n for n in adj if n < roundten2.STRESS_SEED_MAX)
+    exp = {}
+    for s in seeds:
+        d1 = adj[s]
+        sigma2, d2set = {}, set()
+        for u in d1:
+            for v in adj[u]:
+                if v == s or v in d1:
+                    continue
+                sigma2[v] = sigma2.get(v, 0) + 1
+        d2set = set(sigma2)
+        sigma3 = {}
+        for u in d2set:
+            for v in adj[u]:
+                if v == s or v in d1 or v in d2set:
+                    continue
+                sigma3[v] = sigma3.get(v, 0) + sigma2[u]
+        d3set = set(sigma3)
+        pf2 = {u: sum(1 for v in adj[u] if v in d3set) for u in d2set}
+        pf1 = {
+            u: sum(1 + pf2[v] for v in adj[u] if v in d2set) for u in d1
+        }
+        interior = [(u, 1 * pf1[u]) for u in d1] + [
+            (u, sigma2[u] * pf2[u]) for u in d2set
+        ]
+        total = sum(st for _, st in interior)
+        mx = max(st for _, st in interior)
+        node = min(u for u, st in interior if st == mx)
+        exp[s] = (len(interior), total, mx, node)
+    assert len(got) == len(exp)
+    for _, row in got.iterrows():
+        n_i, tot, mx, node = exp[int(row["seed_part"])]
+        assert int(row["n_interior"]) == n_i
+        assert int(row["total_stress"]) == tot
+        assert int(row["max_stress"]) == mx
+        assert int(row["max_stress_node"]) == node
+
+
+def test_runs_updown_matches_python(spark, sf_dir):
+    import pandas as pd
+
+    got = _q("stats_runs_up_down_daily", spark, sf_dir).iloc[0]
+    t = Tables(spark, sf_dir)
+    od = t.orders.select("o_orderdate").toPandas()
+    daily = od.groupby(pd.to_datetime(od["o_orderdate"]).dt.date).size().sort_index()
+    xs = [int(v) for v in daily]
+    sgn = [
+        (1 if b > a else (-1 if b < a else 0)) for a, b in zip(xs, xs[1:])
+    ]
+    n = len(sgn)
+    changes = sum(1 for a, b in zip(sgn, sgn[1:]) if a != b)
+    runs = changes + 1
+    assert int(got["n_diffs"]) == n
+    assert int(got["n_pairs"]) == n - 1
+    assert int(got["n_runs"]) == runs
+    if 16 * n - 29 > 0:
+        z = (
+            float(3 * runs - (2 * n - 1))
+            * math.sqrt(10.0)
+            / (math.sqrt(float(16 * n - 29)) * math.sqrt(9.0))
+        )
+        assert got["z_updown"] == math.floor(z * 1e6 + 0.5) / 1e6
+
+
+def test_dimcorr_matches_python(spark, sf_dir):
+    import numpy as np
+
+    got = _q("embedding_dim_correlation_topk", spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("embedding").toPandas()["embedding"]
+    x = np.array([list(v) for v in emb], dtype=np.float64)
+    xq = np.floor(x * 1e6 + 0.5).astype(np.int64)
+    n, d = xq.shape
+    best = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            a, b = xq[:, i].astype(object), xq[:, j].astype(object)
+            sxy = int(sum(p * q for p, q in zip(a, b)))
+            sx, sy = int(a.sum()), int(b.sum())
+            sxx = int(sum(p * p for p in a))
+            syy = int(sum(q * q for q in b))
+            cov = n * sxy - sx * sy
+            vi = n * sxx - sx * sx
+            vj = n * syy - sy * sy
+            if vi > 0 and vj > 0:
+                r = float(cov) / (math.sqrt(float(vi)) * math.sqrt(float(vj)))
+                rq = math.floor(r * 1e6 + 0.5)
+                best.append((abs(rq), -(i + 1), -(j + 1), rq))
+    best.sort(reverse=True)
+    top = best[: roundten2.DIMCORR_TOPK]
+    assert len(got) == len(top)
+    exp = {(-bi, -bj, rq / 1e6) for _, bi, bj, rq in top}
+    got_set = {
+        (int(r.dim_i), int(r.dim_j), r.pearson_r) for r in got.itertuples()
+    }
+    assert got_set == exp
+
+
+def test_powerlaw_matches_python(spark, sf_dir):
+    import hashlib
+
+    from mysql_public_data_ingestor_spark.functions.detmath import ref_det_ln_q
+
+    got = _q("corpus_dedup_cluster_powerlaw", spark, sf_dir).iloc[0]
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("text").toPandas()["text"]
+    from collections import Counter
+
+    sizes = Counter(hashlib.sha256(s.encode()).hexdigest() for s in docs)
+    ms = list(sizes.values())
+    tail = [m for m in ms if m >= roundten2.PL_MMIN]
+    l15 = ref_det_ln_q(roundten2.PL_MMIN - 0.5)
+    dsum = sum(ref_det_ln_q(float(m)) - l15 for m in tail)
+    assert int(got["n_clusters"]) == len(ms)
+    assert int(got["n_dup_clusters"]) == sum(1 for m in ms if m >= 2)
+    assert int(got["max_cluster"]) == max(ms)
+    assert int(got["n_tail"]) == len(tail)
+    if dsum > 0:
+        assert got["alpha"] == _half_up(dsum + len(tail) * 10**6, dsum)
+        assert got["alpha"] >= 1.0
+
+
+def test_gains_matches_python(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.operators.ml import _scored_labeled
+
+    got = _q("ml_gains_at_capacity", spark, sf_dir).sort_values("capacity_pct")
+    t = Tables(spark, sf_dir)
+    sc = _scored_labeled(t).select("score_q", "label").toPandas()
+    grid: dict = {}
+    for r in sc.itertuples():
+        c, p = grid.get(int(r.score_q), (0, 0))
+        grid[int(r.score_q)] = (c + 1, p + int(r.label))
+    n = sum(c for c, _ in grid.values())
+    pos = sum(p for _, p in grid.values())
+    order = sorted(grid, reverse=True)
+    for _, row in got.iterrows():
+        cap = int(row["capacity_pct"])
+        k = (cap * n + 99) // 100
+        cc = tp = 0
+        for s in order:
+            c, p = grid[s]
+            if cc + c >= k:
+                cc_prev, tp_prev, cnt_b, cpos_b = cc, tp, c, p
+                break
+            cc += c
+            tp += p
+        num = tp_prev * cnt_b + (k - cc_prev) * cpos_b
+        assert int(row["k"]) == k
+        assert int(row["n_pos"]) == pos
+        assert row["gain"] == _half_up(num, pos * cnt_b), cap
+        assert row["lift"] == _half_up(num * n, pos * cnt_b * k), cap
+
+
+def test_cusum_squares_matches_python(spark, sf_dir):
+    import pandas as pd
+
+    got = _q("stats_cusum_squares_changepoint", spark, sf_dir).iloc[0]
+    t = Tables(spark, sf_dir)
+    od = t.orders.select("o_orderdate").toPandas()
+    daily = od.groupby(pd.to_datetime(od["o_orderdate"]).dt.date).size().sort_index()
+    xs = [int(v) for v in daily]
+    days = list(daily.index)
+    n = len(xs)
+    s_tot = sum(x * x for x in xs)
+    best = None
+    sk = 0
+    for k, (d, x) in enumerate(zip(days, xs), 1):
+        sk += x * x
+        num = abs(n * sk - k * s_tot)
+        key = (num, -k)
+        if best is None or key > best[0]:
+            best = (key, (d, k, num))
+    d, k, num = best[1]
+    assert int(got["n_days"]) == n
+    assert got["change_day"] == d.strftime("%Y-%m-%d")
+    assert int(got["change_index"]) == k
+    assert got["cusum_sq_stat"] == _half_up(num, n * s_tot)

@@ -778,3 +778,114 @@ def test_streaming_retention_ols_tracker_equals_closed_form(spark, tmp_path):
             half_up(sy * den - num * sx, m * den),
         ), metric
     assert spark.sql("SELECT sum(n_late) FROM ols_out").collect()[0][0] == 0
+
+
+def test_streaming_page_hinkley_tws_equals_apws(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas Page-Hinkley twin across two ordered
+    micro-batches emits the same final per-type rows as the
+    applyInPandasWithState monitor's fold (identical int64 recursion,
+    different state API). Requires google.protobuf; skipped where
+    absent."""
+    pytest.importorskip("google.protobuf")
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "event_type", F.to_date(F.col("ts")).cast("string").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    rows = daily.collect()
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append((r.day, int(r.x)))
+    baselines = {
+        et: (1000 * sum(x for _, x in sr)) // len(sr) for et, sr in series.items()
+    }
+    delta, h = 500, 10_000_000
+    stream = _two_batch_stream(spark, tmp_path, daily)
+    run_to_memory(
+        sw.page_hinkley_monitor_per_type_tws(stream, baselines, delta, h),
+        "ph_tws_out",
+        "update",
+    )
+    got = {
+        r.event_type: (r.n_days, r.ph_t, r.ph_max, r.n_alarms)
+        for r in spark.sql(
+            "SELECT event_type, max_by(n_days, n_days) AS n_days,"
+            " max_by(ph_t, n_days) AS ph_t, max_by(ph_max, n_days) AS ph_max,"
+            " max_by(n_alarms, n_days) AS n_alarms FROM ph_tws_out GROUP BY 1"
+        ).collect()
+    }
+    for et, sr in series.items():
+        m_t = min_m = ph_max = n_alarms = 0
+        ph_t = 0
+        for _, x in sorted(sr):
+            m_t += 1000 * x - baselines[et] - delta
+            min_m = min(min_m, m_t)
+            ph_t = m_t - min_m
+            ph_max = max(ph_max, ph_t)
+            if ph_t >= h:
+                n_alarms += 1
+        assert got[et] == (len(sr), ph_t, ph_max, n_alarms), et
+    assert spark.sql("SELECT sum(n_late) FROM ph_tws_out").collect()[0][0] == 0
+
+
+def test_streaming_retention_ols_tws_equals_closed_form(spark, tmp_path):
+    """transformWithStateInPandas OLS tracker == exact closed-form fit
+    (same five int64 sufficient statistics as the
+    applyInPandasWithState twin)."""
+    pytest.importorskip("google.protobuf")
+    import glob
+    import os
+    import time
+
+    pts = [
+        (m, w, 5_000_000 - 300_000 * w + (17_000 * w * w if m == "b" else 0))
+        for m in ("a", "b")
+        for w in range(1, 9)
+    ]
+    pdf = spark.createDataFrame(pts, "metric string, w long, y_u long")
+    src = str(tmp_path / "ols_tws_src")
+    pdf.filter(F.col("w") <= 4).coalesce(1).write.parquet(src + "/chunk=0")
+    pdf.filter(F.col("w") > 4).coalesce(1).write.parquet(src + "/chunk=1")
+    now = time.time()
+    for i, chunk in enumerate(("chunk=0", "chunk=1")):
+        for p in glob.glob(os.path.join(src, chunk, "*.parquet")):
+            os.utime(p, (now - 60 + 30 * i,) * 2)
+    stream = (
+        spark.readStream.schema(pdf.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+    run_to_memory(sw.retention_ols_tracker_tws(stream), "ols_tws_out", "update")
+    got = {
+        r.metric: (r.m, r.slope_micro, r.intercept_micro)
+        for r in spark.sql(
+            "SELECT metric, max_by(m, m) AS m,"
+            " max_by(slope_micro, m) AS slope_micro,"
+            " max_by(intercept_micro, m) AS intercept_micro"
+            " FROM ols_tws_out GROUP BY 1"
+        ).collect()
+    }
+
+    def half_up(num, den):
+        mag = (2 * abs(num) + den) // (2 * den)
+        return -mag if num < 0 else mag
+
+    for metric in ("a", "b"):
+        sel = [(w, y) for m, w, y in pts if m == metric]
+        m = len(sel)
+        sx = sum(w for w, _ in sel)
+        sy = sum(y for _, y in sel)
+        sxy = sum(w * y for w, y in sel)
+        sxx = sum(w * w for w, _ in sel)
+        num, den = m * sxy - sx * sy, m * sxx - sx * sx
+        assert got[metric] == (
+            m,
+            half_up(num, den),
+            half_up(sy * den - num * sx, m * den),
+        ), metric
+    assert spark.sql("SELECT sum(n_late) FROM ols_tws_out").collect()[0][0] == 0
