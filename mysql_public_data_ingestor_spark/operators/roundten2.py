@@ -2011,3 +2011,652 @@ def stats_cusum_squares_changepoint(spark: SparkSession, sf_dir: str) -> DataFra
         ).alias("cusum_sq_stat"),
     )
     return best
+
+
+# ---------------------------------------------------------------------------
+# 17. LSH band-geometry tuning curve folded over observed similarity
+# ---------------------------------------------------------------------------
+
+LSH_TUNE_CONFIGS = ((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))  # r*b = 16
+LSH_TUNE_BLOCK_CAP = 64  # deterministic hash-rank sample per block
+_LSH_D = 20**16
+
+
+def _lsh_scurve_rows() -> list:
+    """(r, b, bin, p_num) with p = p_num / 20^16 the EXACT collision
+    probability 1 - (1 - s^r)^b at the bin's midpoint similarity
+    s = (2*bin+1)/20 (bin 10 = exact duplicates, s = 1): Python big
+    ints evaluated once and embedded as identical literals in both
+    engines — no in-engine power arithmetic to flake."""
+    rows = []
+    for r, b in LSH_TUNE_CONFIGS:
+        for i in range(11):
+            if i == 10:
+                p_num = _LSH_D
+            else:
+                m = 2 * i + 1
+                p_num = _LSH_D - (20**r - m**r) ** b
+            rows.append((r, b, i, p_num))
+    return rows
+
+
+def _lsh_tuning_oracle() -> str:
+    from .dedup import _SQL_SHINGLES
+    from ..functions.exact import sql_round_big_int_ratio
+
+    vals = ", ".join(
+        f"({r}, {b}, {i}, {p}::HUGEINT)" for r, b, i, p in _lsh_scurve_rows()
+    )
+    LSH_TUNE_BLOCK_CAP = globals()["LSH_TUNE_BLOCK_CAP"]
+    return f"""
+    WITH norm AS (
+{_SQL_SHINGLES}
+    ), keyed0 AS (
+      SELECT n.doc_id, d.lang, d.n_chars // 100 AS len_bucket,
+             list_distinct(list_transform(n.shingles,
+               s -> ('0x' || substr(sha256(s), 1, 15))::BIGINT)) AS hs
+      FROM norm n JOIN documents d USING (doc_id)
+      WHERE len(n.shingles) > 0
+    ), keyed AS (
+      SELECT doc_id, lang, len_bucket, hs FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang, len_bucket
+          ORDER BY ('0x' || substr(sha256('tune|' || CAST(doc_id AS VARCHAR)),
+                    1, 15))::BIGINT, doc_id) AS rnk
+        FROM keyed0
+      ) WHERE rnk <= {LSH_TUNE_BLOCK_CAP}
+    ), pairs AS (
+      SELECT len(list_intersect(a.hs, b.hs)) AS i_sz,
+             len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS u_sz
+      FROM keyed a JOIN keyed b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+           AND a.doc_id < b.doc_id
+    ), hist AS (
+      SELECT CAST((10 * i_sz) // u_sz AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_b
+      FROM pairs WHERE u_sz > 0 GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_b) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN bin >= 5 THEN n_b ELSE 0 END) AS BIGINT) AS n_hi
+      FROM hist
+    ), curve(r, b, bin, p_num) AS (VALUES {vals}),
+    folded AS (
+      SELECT c.r, c.b,
+             CAST(sum(h.n_b::HUGEINT * c.p_num) AS HUGEINT) AS det_num,
+             CAST(sum(CASE WHEN h.bin >= 5
+                           THEN h.n_b::HUGEINT * c.p_num ELSE 0 END)
+                  AS HUGEINT) AS det_hi_num
+      FROM curve c JOIN hist h ON h.bin = c.bin
+      GROUP BY c.r, c.b
+    )
+    SELECT CAST(f.r AS BIGINT) AS r, CAST(f.b AS BIGINT) AS b,
+           t.n AS n_pairs, t.n_hi AS n_pairs_hi,
+           CASE WHEN t.n > 0 THEN
+             {sql_round_big_int_ratio('f.det_num', f't.n::HUGEINT * {_LSH_D}')}
+           END AS expected_detected,
+           CASE WHEN t.n_hi > 0 THEN
+             {sql_round_big_int_ratio('f.det_hi_num', f't.n_hi::HUGEINT * {_LSH_D}')}
+           END AS expected_detected_hi
+    FROM folded f, tot t ORDER BY f.r
+    """
+
+
+@register("dedup_lsh_band_tuning_curve", oracle=_lsh_tuning_oracle())
+def dedup_lsh_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-geometry tuning: for every (rows-per-band r, bands b)
+    split of a 16-hash MinHash signature, the EXPECTED share of
+    candidate pairs the banding would surface — the S-curve
+    1-(1-s^r)^b folded over the corpus's OBSERVED pair-similarity
+    histogram (same blocked shingle-Jaccard pair frame as
+    ``dedup_ngram_jaccard``), reported both over all blocked pairs
+    and over the true-duplicate band (J >= 0.5). This is the number
+    that picks (r, b) before a 100 TB dedup run: the registry's LSH
+    recall audits measure ONE deployed geometry after the fact; this
+    ranks all of them from one similarity scan.
+
+    The S-curve is exact rational arithmetic with denominator 20^16:
+    Python big-int literals embedded identically in both engines (no
+    pow() in either plan). Pair similarity bins are exact integer
+    deciles ((10*|I|) div |U| — bin>=5 IS J>=0.5 exactly); the fold
+    is an 11-row x 5-config broadcast join over the histogram
+    aggregate. Same blocking = same bounded pair volume as the
+    existing exact-Jaccard path.
+    """
+    from .dedup import SHINGLE_K
+    from ..functions.textnorm import sha256_prefix_i64, shingle_base_hash_udf
+    from ..functions.exact import round_big_int_ratio
+    from ..functions.partitioning import cpu_repartition
+
+    t = Tables(spark, sf_dir)
+    bases_udf = shingle_base_hash_udf(SHINGLE_K)
+    keyed0 = (
+        cpu_repartition(t.documents, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+            bases_udf(F.col("text")).alias("hs"),
+        )
+        .filter(F.size("hs") > 0)
+    )
+    # deterministic per-block cap (the recall-audit mechanism): pair
+    # volume <= n_blocks * C(64,2) BY CONSTRUCTION, so the histogram
+    # is a bounded hash-sample of blocked pairs at any corpus size
+    h = sha256_prefix_i64(
+        F.concat(F.lit("tune|"), F.col("doc_id").cast("string"))
+    )
+    w_cap = Window.partitionBy("lang", "len_bucket").orderBy(
+        h.asc(), F.col("doc_id").asc()
+    )
+    keyed = (
+        keyed0.withColumn("rnk", F.row_number().over(w_cap))
+        .filter(F.col("rnk") <= LSH_TUNE_BLOCK_CAP)
+        .drop("rnk")
+        .localCheckpoint(eager=False)
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), "lang", "len_bucket", F.col("hs").alias("ha")
+    )
+    b_ = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("len_bucket").alias("len_bucket_b"),
+        F.col("hs").alias("hb"),
+    )
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    union = F.size("ha") + F.size("hb") - inter
+    pairs = a.join(
+        b_,
+        (F.col("lang") == F.col("lang_b"))
+        & (F.col("len_bucket") == F.col("len_bucket_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    ).select(inter.cast("long").alias("i_sz"), union.cast("long").alias("u_sz"))
+    hist = (
+        pairs.filter(F.col("u_sz") > 0)
+        .select(F.expr("(10 * i_sz) div u_sz").cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    tot = hist.agg(
+        F.sum("n_b").alias("n"),
+        F.sum(F.when(F.col("bin") >= 5, F.col("n_b")).otherwise(0)).alias("n_hi"),
+    )
+    curve = spark.createDataFrame(
+        [(r, b, i, str(p)) for r, b, i, p in _lsh_scurve_rows()],
+        "r long, b long, bin long, p_num string",
+    ).select("r", "b", "bin", F.col("p_num").cast("decimal(38,0)").alias("p_num"))
+    folded = (
+        hist.join(F.broadcast(curve), "bin")
+        .groupBy("r", "b")
+        .agg(
+            F.sum(_dec(F.col("n_b")) * F.col("p_num")).alias("det_num"),
+            F.sum(
+                F.when(F.col("bin") >= 5, _dec(F.col("n_b")) * F.col("p_num")).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).alias("det_hi_num"),
+        )
+    )
+    d_lit = F.lit(str(_LSH_D)).cast("decimal(38,0)")
+    return folded.crossJoin(F.broadcast(tot)).select(
+        "r",
+        "b",
+        F.col("n").alias("n_pairs"),
+        F.col("n_hi").alias("n_pairs_hi"),
+        F.when(
+            F.col("n") > 0,
+            round_big_int_ratio(F.col("det_num"), _dec(F.col("n")) * d_lit),
+        ).alias("expected_detected"),
+        F.when(
+            F.col("n_hi") > 0,
+            round_big_int_ratio(F.col("det_hi_num"), _dec(F.col("n_hi")) * d_lit),
+        ).alias("expected_detected_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 18. Mantel-Haenszel common odds ratio across nation strata
+# ---------------------------------------------------------------------------
+
+MH_EXPOSED = ("1-URGENT", "2-HIGH")
+
+
+def _mh_oracle() -> str:
+    from ..functions.exact import sql_round_big_int_ratio
+
+    exp_in = ", ".join(f"'{p}'" for p in MH_EXPOSED)
+    return f"""
+    WITH j AS (
+      SELECT c.c_nationkey AS blk,
+             CASE WHEN o.o_orderpriority IN ({exp_in}) THEN 1 ELSE 0 END AS e,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cells AS (
+      SELECT blk,
+             CAST(sum(e * y) AS BIGINT) AS a,
+             CAST(sum(e * (1 - y)) AS BIGINT) AS b,
+             CAST(sum((1 - e) * y) AS BIGINT) AS c,
+             CAST(sum((1 - e) * (1 - y)) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM j GROUP BY blk
+    ), terms AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum((a::HUGEINT * d * 1000000) // n) AS HUGEINT) AS sum_ad_q,
+             CAST(sum((b::HUGEINT * c * 1000000) // n) AS HUGEINT) AS sum_bc_q
+      FROM cells WHERE n > 0
+    )
+    SELECT n_strata, CAST(sum_ad_q AS BIGINT) AS sum_ad_q,
+           CAST(sum_bc_q AS BIGINT) AS sum_bc_q,
+           CASE WHEN sum_bc_q > 0 THEN
+             {sql_round_big_int_ratio('sum_ad_q', 'sum_bc_q')}
+           END AS mh_odds_ratio
+    FROM terms
+    """
+
+
+@register("stats_mantel_haenszel_priority_nation", oracle=_mh_oracle())
+def stats_mantel_haenszel_priority_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio across nation strata:
+    exposure = urgent/high priority, outcome = finished status,
+    stratified by customer nation — THE confounder-adjusted 2x2
+    association estimator (a crude pooled odds ratio is Simpson's-
+    paradox bait when nation sizes and priority mixes differ; MH
+    weights each stratum's ad/n and bc/n so only WITHIN-stratum
+    contrasts count), completing the association family beside the
+    crude odds ratio (Woolf CI) and Cramer's V.
+
+    Deterministic variant: each stratum's ad/n and bc/n term is
+    quantized to exact 1e-6 integer units BEFORE summation (floor
+    division, identical both engines), so the two sums are exact
+    int64 arithmetic and the final ratio one half-up big-ratio — no
+    float accumulation order anywhere. One fact-scan aggregate to
+    |nations| cells, then a constant-size reduce.
+    """
+    from ..functions.exact import round_big_int_ratio
+
+    t = Tables(spark, sf_dir)
+    j = t.orders.select(
+        "o_custkey",
+        F.col("o_orderpriority").isin(*MH_EXPOSED).cast("int").alias("e"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    ).join(
+        t.customer.select(
+            F.col("c_custkey").alias("o_custkey"), F.col("c_nationkey").alias("blk")
+        ),
+        "o_custkey",
+    )
+    cells = j.groupBy("blk").agg(
+        F.sum(F.col("e") * F.col("y")).alias("a"),
+        F.sum(F.col("e") * (1 - F.col("y"))).alias("b"),
+        F.sum((1 - F.col("e")) * F.col("y")).alias("c"),
+        F.sum((1 - F.col("e")) * (1 - F.col("y"))).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    terms = cells.filter(F.col("n") > 0).agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(
+            F.expr("CAST(a AS DECIMAL(38,0)) * d * 1000000 div n").cast("long")
+        ).alias("sum_ad_q"),
+        F.sum(
+            F.expr("CAST(b AS DECIMAL(38,0)) * c * 1000000 div n").cast("long")
+        ).alias("sum_bc_q"),
+    )
+    return terms.select(
+        "n_strata",
+        "sum_ad_q",
+        "sum_bc_q",
+        F.when(
+            F.col("sum_bc_q") > 0,
+            round_big_int_ratio(_dec(F.col("sum_ad_q")), _dec(F.col("sum_bc_q"))),
+        ).alias("mh_odds_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 19. Engagement-class transition matrix across history halves
+# ---------------------------------------------------------------------------
+
+RFM_MID_MIN = 30
+RFM_HIGH_MIN = 38
+
+
+def _rfm_class_sql(col: str) -> str:
+    return (
+        f"CASE WHEN {col} >= {RFM_HIGH_MIN} THEN 'high' "
+        f"WHEN {col} >= {RFM_MID_MIN} THEN 'mid' "
+        f"WHEN {col} >= 1 THEN 'low' ELSE 'gone' END"
+    )
+
+
+def _rfm_transition_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    return f"""
+    WITH bounds AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS cut_us FROM events
+    ), per AS (
+      SELECT e.user_id,
+             CAST(sum(CASE WHEN epoch_us(e.ts) < b.cut_us THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN epoch_us(e.ts) >= b.cut_us THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2
+      FROM events e, bounds b
+      GROUP BY e.user_id
+    ), classed AS (
+      SELECT {_rfm_class_sql('n1')} AS class_from,
+             {_rfm_class_sql('n2')} AS class_to
+      FROM per WHERE n1 >= 1
+    ), cells AS (
+      SELECT class_from, class_to, CAST(count(*) AS BIGINT) AS n_users
+      FROM classed GROUP BY 1, 2
+    ), rowtot AS (
+      SELECT class_from, CAST(sum(n_users) AS BIGINT) AS n_from
+      FROM cells GROUP BY class_from
+    )
+    SELECT c.class_from, c.class_to, c.n_users, r.n_from,
+           {sql_round_int_ratio('c.n_users', 'r.n_from')} AS share
+    FROM cells c JOIN rowtot r USING (class_from)
+    ORDER BY c.class_from, c.class_to
+    """
+
+
+@register("events_rfm_transition_matrix", oracle=_rfm_transition_oracle())
+def events_rfm_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-class transition matrix: users classed by activity
+    volume (low 1-29 / mid 30-37 / high 38+ events — the terciles of
+    the fixture's stable ~33-events-per-half-window activity) in the FIRST half of
+    the observed window, cross-tabulated against their class in the
+    second half ('gone' = zero events) — the Markov view of
+    engagement the RFM segmentation snapshot
+    (``stats_rfm_segmentation``) cannot show: WHERE users move, not
+    just where they sit; the share column per source class is the
+    empirical transition kernel that churn/upsell models consume.
+
+    The window midpoint is exact integer microsecond arithmetic from
+    one global min/max aggregate (broadcast back); both half-counts
+    come from ONE user-keyed aggregate with conditional sums (no
+    second scan, no window); the matrix is a <= 4x4 final aggregate
+    and the shares exact half-up ratios.
+    """
+    from ..functions.exact import round_int_ratio
+
+    t = Tables(spark, sf_dir)
+    bounds = t.events.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").alias("cut_us")
+    )
+    per = (
+        t.events.select("user_id", F.unix_micros(F.col("ts")).alias("us"))
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("cut_us"), 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("us") >= F.col("cut_us"), 1).otherwise(0)).alias("n2"),
+        )
+    )
+
+    def cls(col):
+        return (
+            F.when(F.col(col) >= RFM_HIGH_MIN, "high")
+            .when(F.col(col) >= RFM_MID_MIN, "mid")
+            .when(F.col(col) >= 1, "low")
+            .otherwise("gone")
+        )
+
+    classed = per.filter(F.col("n1") >= 1).select(
+        cls("n1").alias("class_from"), cls("n2").alias("class_to")
+    )
+    cells = classed.groupBy("class_from", "class_to").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    rowtot = cells.groupBy("class_from").agg(F.sum("n_users").alias("n_from"))
+    return cells.join(F.broadcast(rowtot), "class_from").select(
+        "class_from",
+        "class_to",
+        "n_users",
+        "n_from",
+        round_int_ratio(F.col("n_users"), F.col("n_from")).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 20. k-map re-identification risk audit
+# ---------------------------------------------------------------------------
+
+KMAP_K = 5
+
+
+def _kmap_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    k = KMAP_K
+    return f"""
+    WITH pop AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(count(*) AS BIGINT) AS p
+      FROM customer GROUP BY 1, 2
+    ), smp AS (
+      SELECT c.c_nationkey AS nat, c.c_mktsegment AS seg,
+             CAST(count(*) AS BIGINT) AS s
+      FROM (SELECT DISTINCT o_custkey FROM orders) o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), cells AS (
+      SELECT p.nat, p.seg, p.p, coalesce(s.s, 0) AS s
+      FROM pop p LEFT JOIN smp s ON s.nat = p.nat AND s.seg = p.seg
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(s) AS BIGINT) AS n_sample,
+             CAST(sum(CASE WHEN p < {k} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_risky_cells,
+             CAST(sum(CASE WHEN p < {k} THEN s ELSE 0 END) AS BIGINT)
+               AS n_risky_records
+      FROM cells
+    )
+    SELECT CAST({k} AS BIGINT) AS k, n_cells, n_sample, n_risky_cells,
+           n_risky_records,
+           CASE WHEN n_sample > 0 THEN
+             {sql_round_int_ratio('n_risky_records', 'n_sample')}
+           END AS risk_share
+    FROM agg
+    """
+
+
+@register("privacy_k_map_risk_audit", oracle=_kmap_oracle())
+def privacy_k_map_risk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-map re-identification risk: for the released sample (the
+    customers who actually appear in orders) under quasi-identifiers
+    (nation, segment), count the records whose POPULATION group has
+    fewer than k=5 members — the k-map model: k-anonymity judges
+    group sizes within the release, k-map against the population an
+    attacker actually joins on, which is both the weaker assumption
+    and the realistic one when a public register exists. Completes
+    the privacy family beside l-diversity / t-closeness (those audit
+    the SENSITIVE attribute; this audits identifiability itself).
+
+    One aggregate over the population table, one over the distinct
+    sample keys, a |nations| x |segments| cell join, and a
+    constant-size reduce — everything integer-exact.
+    """
+    from ..functions.exact import round_int_ratio
+
+    k = KMAP_K
+    t = Tables(spark, sf_dir)
+    pop = t.customer.groupBy(
+        F.col("c_nationkey").alias("nat"), F.col("c_mktsegment").alias("seg")
+    ).agg(F.count(F.lit(1)).alias("p"))
+    smp = (
+        t.orders.select("o_custkey")
+        .distinct()
+        .join(
+            t.customer.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_nationkey").alias("nat"),
+                F.col("c_mktsegment").alias("seg"),
+            ),
+            "o_custkey",
+        )
+        .groupBy("nat", "seg")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    cells = pop.join(smp, ["nat", "seg"], "left").select(
+        "p", F.coalesce(F.col("s"), F.lit(0)).alias("s")
+    )
+    agg = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("s").alias("n_sample"),
+        F.sum(F.when(F.col("p") < k, 1).otherwise(0)).alias("n_risky_cells"),
+        F.sum(F.when(F.col("p") < k, F.col("s")).otherwise(0)).alias(
+            "n_risky_records"
+        ),
+    )
+    return agg.select(
+        F.lit(k).cast("long").alias("k"),
+        "n_cells",
+        "n_sample",
+        "n_risky_cells",
+        "n_risky_records",
+        F.when(
+            F.col("n_sample") > 0,
+            round_int_ratio(F.col("n_risky_records"), F.col("n_sample")),
+        ).alias("risk_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 21. Cosine-similarity histogram over hash-blocked vector pairs
+# ---------------------------------------------------------------------------
+
+COSH_BUCKETS = 64
+COSH_BUCKET_CAP = 64  # deterministic hash-rank sample per bucket
+
+
+def _cosine_hist_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    B = COSH_BUCKETS
+    CAP = COSH_BUCKET_CAP
+    return f"""
+    WITH ranked AS (
+      SELECT vec_id, embedding,
+             ('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+               % {B} AS bkt,
+             row_number() OVER (PARTITION BY
+               ('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % {B}
+               ORDER BY ('0x' || substr(sha256('cosh|' || CAST(vec_id AS VARCHAR)),
+                         1, 15))::BIGINT, vec_id) AS rnk
+      FROM embeddings
+    ), vq AS (
+      SELECT vec_id, bkt,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT)
+               AS xq
+      FROM ranked WHERE rnk <= {CAP}
+    ), norms AS (
+      SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2
+      FROM vq GROUP BY vec_id
+    ), dots AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+      FROM vq a JOIN vq b
+        ON a.bkt = b.bkt AND a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ), cos AS (
+      SELECT least(CAST(floor(CAST(d.dot AS DOUBLE)
+                        / (sqrt(CAST(na.n2 AS DOUBLE))
+                           * sqrt(CAST(nb.n2 AS DOUBLE))) * 10.0) AS BIGINT),
+                   9) AS bin
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.va
+      JOIN norms nb ON nb.vec_id = d.vb
+      WHERE na.n2 > 0 AND nb.n2 > 0
+    ), hist AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs FROM cos GROUP BY bin
+    ), tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n FROM hist)
+    SELECT h.bin, h.bin / 10.0 AS bin_lo, h.n_pairs,
+           {sql_round_int_ratio('h.n_pairs', 't.n')} AS share
+    FROM hist h, tot t ORDER BY h.bin
+    """
+
+
+@register("similarity_cosine_pair_histogram", oracle=_cosine_hist_oracle())
+def similarity_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space geometry profile: the distribution of pairwise
+    cosine similarity over a deterministic hash-blocked pair sample
+    (64 id-hash buckets; pairs within a bucket — n²/B pairs by
+    mechanism, every engine and rerun picks the same ones), binned
+    into fixed 0.1-wide bins. THE diagnostic read before tuning ANN:
+    an anisotropic space (mass piled near +0.4 instead of 0) is
+    exactly when LSH hyperplanes lose selectivity and IVF needs more
+    cells — the registry's recall audits measure a deployed index;
+    this explains WHY the index needs what it needs.
+
+    Spark computes each pair dot product JVM-side with zip_with over
+    1e-6-quantized int64 coordinates (exact integer sums — no float
+    accumulation order), the oracle by position-explode + integer
+    sum; both then evaluate the identical double cos expression and
+    fixed floor binning. Per-bucket pair volume scales as (n/B)² —
+    B grows with the corpus like every blocking key in the dedup
+    family.
+    """
+    from ..functions.textnorm import sha256_prefix_i64
+    from ..functions.exact import round_int_ratio
+
+    B = COSH_BUCKETS
+    t = Tables(spark, sf_dir)
+    xq = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+    )
+    ranked = t.embeddings.select(
+        "vec_id",
+        "embedding",
+        (sha256_prefix_i64(F.col("vec_id").cast("string")) % B).alias("bkt"),
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("bkt").orderBy(
+                sha256_prefix_i64(
+                    F.concat(F.lit("cosh|"), F.col("vec_id").cast("string"))
+                ).asc(),
+                F.col("vec_id").asc(),
+            )
+        ),
+    ).filter(F.col("rnk") <= COSH_BUCKET_CAP)
+    vq = ranked.select(
+        "vec_id",
+        "bkt",
+        xq.alias("xq"),
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.col("xq"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ),
+    ).filter(F.col("n2") > 0).localCheckpoint(eager=False)
+    a = vq.select(
+        F.col("vec_id").alias("va"), "bkt", F.col("xq").alias("xa"),
+        F.col("n2").alias("na"),
+    )
+    b = vq.select(
+        F.col("vec_id").alias("vb"), F.col("bkt").alias("bkt_b"),
+        F.col("xq").alias("xb"), F.col("n2").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("xa"), F.col("xb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    pairs = (
+        a.join(b, (F.col("bkt") == F.col("bkt_b")) & (F.col("va") < F.col("vb")))
+        .select(dot.alias("dot"), "na", "nb")
+        .select(F.least(F.floor(cos * 10).cast("long"), F.lit(9)).alias("bin"))
+    )
+    hist = pairs.groupBy("bin").agg(F.count(F.lit(1)).alias("n_pairs"))
+    tot = hist.agg(F.sum("n_pairs").alias("n"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        (F.col("bin") / 10.0).alias("bin_lo"),
+        "n_pairs",
+        round_int_ratio(F.col("n_pairs"), F.col("n")).alias("share"),
+    )

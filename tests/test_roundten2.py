@@ -31,6 +31,11 @@ NAMES = [
     "corpus_dedup_cluster_powerlaw",
     "ml_gains_at_capacity",
     "stats_cusum_squares_changepoint",
+    "dedup_lsh_band_tuning_curve",
+    "stats_mantel_haenszel_priority_nation",
+    "events_rfm_transition_matrix",
+    "privacy_k_map_risk_audit",
+    "similarity_cosine_pair_histogram",
 ]
 
 
@@ -633,3 +638,181 @@ def test_cusum_squares_matches_python(spark, sf_dir):
     assert got["change_day"] == d.strftime("%Y-%m-%d")
     assert int(got["change_index"]) == k
     assert got["cusum_sq_stat"] == _half_up(num, n * s_tot)
+
+
+def test_lsh_tuning_matches_python(spark, sf_dir):
+    got = _q("dedup_lsh_band_tuning_curve", spark, sf_dir).sort_values("r")
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang", "n_chars", "text").toPandas()
+    from mysql_public_data_ingestor_spark.operators.dedup import SHINGLE_K
+
+    def hs(text):
+        toks = " ".join(text.lower().split()).split(" ")
+        sh = {
+            " ".join(toks[i : i + SHINGLE_K])
+            for i in range(max(len(toks) - SHINGLE_K + 1, 0))
+        }
+        return {_sha60(x) for x in sh}
+
+    docs["hs"] = docs["text"].apply(hs)
+    docs["lb"] = docs["n_chars"] // 100
+    from collections import Counter
+
+    hist: Counter = Counter()
+    for (_lang, _lb), grp in docs.groupby(["lang", "lb"]):
+        rows = [r for r in grp.itertuples() if len(r.hs) > 0]
+        rows.sort(key=lambda r: (_sha60(f"tune|{r.doc_id}"), r.doc_id))
+        rows = rows[: roundten2.LSH_TUNE_BLOCK_CAP]
+        rows.sort(key=lambda r: r.doc_id)
+        for i, ra in enumerate(rows):
+            for rb in rows[i + 1 :]:
+                inter = len(ra.hs & rb.hs)
+                union = len(ra.hs | rb.hs)
+                if union > 0:
+                    hist[(10 * inter) // union] += 1
+    n = sum(hist.values())
+    n_hi = sum(v for k, v in hist.items() if k >= 5)
+    curve = {(r, b, i): p for r, b, i, p in roundten2._lsh_scurve_rows()}
+    d = roundten2._LSH_D
+    assert len(got) == len(roundten2.LSH_TUNE_CONFIGS)
+    for _, row in got.iterrows():
+        r, b = int(row["r"]), int(row["b"])
+        det = sum(v * curve[(r, b, k)] for k, v in hist.items())
+        det_hi = sum(v * curve[(r, b, k)] for k, v in hist.items() if k >= 5)
+        assert int(row["n_pairs"]) == n
+        assert int(row["n_pairs_hi"]) == n_hi
+        assert row["expected_detected"] == _half_up(det, n * d)
+        assert row["expected_detected_hi"] == _half_up(det_hi, n_hi * d)
+    # monotone sanity: more rows per band -> fewer expected detections
+    er = {int(r.r): r.expected_detected for r in got.itertuples()}
+    assert er[1] >= er[2] >= er[4] >= er[8] >= er[16]
+
+
+def test_mantel_haenszel_matches_python(spark, sf_dir):
+    got = _q("stats_mantel_haenszel_priority_nation", spark, sf_dir).iloc[0]
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        "o_custkey", "o_orderpriority", "o_orderstatus"
+    ).toPandas()
+    cust = t.customer.select("c_custkey", "c_nationkey").toPandas()
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    sum_ad = sum_bc = 0
+    n_strata = 0
+    for _, grp in j.groupby("c_nationkey"):
+        e = grp["o_orderpriority"].isin(roundten2.MH_EXPOSED)
+        y = grp["o_orderstatus"] == "F"
+        a = int((e & y).sum())
+        b = int((e & ~y).sum())
+        c = int((~e & y).sum())
+        d = int((~e & ~y).sum())
+        n = a + b + c + d
+        if n > 0:
+            n_strata += 1
+            sum_ad += (a * d * 10**6) // n
+            sum_bc += (b * c * 10**6) // n
+    assert int(got["n_strata"]) == n_strata
+    assert int(got["sum_ad_q"]) == sum_ad
+    assert int(got["sum_bc_q"]) == sum_bc
+    if sum_bc > 0:
+        assert got["mh_odds_ratio"] == _half_up(sum_ad, sum_bc)
+
+
+def test_rfm_transition_matches_python(spark, sf_dir):
+    import pandas as pd
+
+    got = _q("events_rfm_transition_matrix", spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "ts").toPandas()
+    us = pd.to_datetime(ev["ts"]).astype("int64") // 1000
+    cut = (int(us.min()) + int(us.max())) // 2
+    ev["h1"] = us < cut
+    per = ev.groupby("user_id")["h1"].agg(n1="sum", tot="count")
+    per["n2"] = per["tot"] - per["n1"]
+
+    def cls(n):
+        if n >= roundten2.RFM_HIGH_MIN:
+            return "high"
+        if n >= roundten2.RFM_MID_MIN:
+            return "mid"
+        if n >= 1:
+            return "low"
+        return "gone"
+
+    from collections import Counter
+
+    cells: Counter = Counter()
+    for _, r in per.iterrows():
+        if r["n1"] >= 1:
+            cells[(cls(int(r["n1"])), cls(int(r["n2"])))] += 1
+    rowtot = Counter()
+    for (cf, _), v in cells.items():
+        rowtot[cf] += v
+    assert len(got) == len(cells)
+    for _, row in got.iterrows():
+        key = (row["class_from"], row["class_to"])
+        assert int(row["n_users"]) == cells[key], key
+        assert int(row["n_from"]) == rowtot[key[0]], key
+        assert row["share"] == _half_up(cells[key], rowtot[key[0]])
+
+
+def test_kmap_matches_python(spark, sf_dir):
+    got = _q("privacy_k_map_risk_audit", spark, sf_dir).iloc[0]
+    t = Tables(spark, sf_dir)
+    cust = t.customer.select("c_custkey", "c_nationkey", "c_mktsegment").toPandas()
+    sample_keys = {
+        int(r.o_custkey) for r in t.orders.select("o_custkey").distinct().collect()
+    }
+    from collections import Counter
+
+    pop = Counter(zip(cust["c_nationkey"], cust["c_mktsegment"]))
+    smp = Counter(
+        (r.c_nationkey, r.c_mktsegment)
+        for r in cust.itertuples()
+        if int(r.c_custkey) in sample_keys
+    )
+    k = roundten2.KMAP_K
+    n_sample = sum(smp.values())
+    risky_cells = [c for c in pop if pop[c] < k]
+    n_risky = sum(smp.get(c, 0) for c in risky_cells)
+    assert int(got["n_cells"]) == len(pop)
+    assert int(got["n_sample"]) == n_sample
+    assert int(got["n_risky_cells"]) == len(risky_cells)
+    assert int(got["n_risky_records"]) == n_risky
+    if n_sample > 0:
+        assert got["risk_share"] == _half_up(n_risky, n_sample)
+
+
+def test_cosine_hist_matches_python(spark, sf_dir):
+    import numpy as np
+
+    got = _q("similarity_cosine_pair_histogram", spark, sf_dir).sort_values("bin")
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding").toPandas()
+    B = roundten2.COSH_BUCKETS
+    from collections import Counter, defaultdict
+
+    buckets = defaultdict(list)
+    for r in emb.itertuples():
+        xq = np.floor(np.array(list(r.embedding), dtype=np.float64) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        n2 = int((xq.astype(object) ** 2).sum())
+        if n2 > 0:
+            buckets[_sha60(str(int(r.vec_id))) % B].append((int(r.vec_id), xq, n2))
+    hist: Counter = Counter()
+    for rows in buckets.values():
+        rows.sort(key=lambda r: (_sha60(f"cosh|{r[0]}"), r[0]))
+        rows = rows[: roundten2.COSH_BUCKET_CAP]
+        rows.sort()
+        for i, (va, xa, na) in enumerate(rows):
+            for vb, xb, nb in rows[i + 1 :]:
+                dot = int(sum(int(p) * int(q) for p, q in zip(xa, xb)))
+                cos = float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+                hist[min(math.floor(cos * 10), 9)] += 1
+    n = sum(hist.values())
+    assert len(got) == len(hist)
+    for _, row in got.iterrows():
+        b = int(row["bin"])
+        assert int(row["n_pairs"]) == hist[b], b
+        assert row["bin_lo"] == b / 10.0
+        assert row["share"] == _half_up(hist[b], n)
