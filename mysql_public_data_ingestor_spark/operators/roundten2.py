@@ -2660,3 +2660,539 @@ def similarity_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFr
         "n_pairs",
         round_int_ratio(F.col("n_pairs"), F.col("n")).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 22. Jensen-Shannon divergence between language unigram distributions
+# ---------------------------------------------------------------------------
+
+
+def _js_lang_oracle() -> str:
+    from .corpus import _SQL_TOKENS
+    from ..functions.detmath import sql_det_ln_steps
+    from ..functions.exact import sql_round_big_int_ratio
+
+    return f"""
+    WITH toks AS (
+      SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), cnt AS (
+      SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY lang, token
+    ), sizes AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY lang
+    ), pairs AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, a.n AS n_a, b.n AS n_b
+      FROM sizes a JOIN sizes b ON a.lang < b.lang
+    ), cells AS (
+      SELECT p.lang_a, p.lang_b, p.n_a, p.n_b,
+             coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+      FROM pairs p
+      JOIN (SELECT token FROM cnt GROUP BY token) t ON true
+      LEFT JOIN cnt ca ON ca.lang = p.lang_a AND ca.token = t.token
+      LEFT JOIN cnt cb ON cb.lang = p.lang_b AND cb.token = t.token
+      WHERE coalesce(ca.c, 0) > 0 OR coalesce(cb.c, 0) > 0
+    ), args AS (
+      SELECT lang_a, lang_b, n_a, n_b, ca, cb,
+             CASE WHEN ca > 0 THEN 2 * ca * n_b ELSE NULL END AS arg_pa,
+             CASE WHEN cb > 0 THEN 2 * cb * n_a ELSE NULL END AS arg_qb,
+             ca * n_b + cb * n_a AS arg_m
+      FROM cells
+    ), {sql_det_ln_steps('args', 'arg_pa', 'lpa')},
+    {sql_det_ln_steps('lpa_rel', 'arg_qb', 'lqb')},
+    {sql_det_ln_steps('lqb_rel', 'arg_m', 'lm')},
+    terms AS (
+      SELECT lang_a, lang_b, n_a, n_b,
+             CAST(sum(CASE WHEN ca > 0 THEN ca::HUGEINT * (lpa - lm) ELSE 0 END)
+                  AS HUGEINT) AS a_sum,
+             CAST(sum(CASE WHEN cb > 0 THEN cb::HUGEINT * (lqb - lm) ELSE 0 END)
+                  AS HUGEINT) AS b_sum
+      FROM lm_rel GROUP BY lang_a, lang_b, n_a, n_b
+    )
+    SELECT lang_a, lang_b, n_a AS n_tokens_a, n_b AS n_tokens_b,
+           {sql_round_big_int_ratio(
+               'a_sum * n_b + b_sum * n_a',
+               '2::HUGEINT * n_a * n_b * 1000000')} AS js_divergence
+    FROM terms ORDER BY lang_a, lang_b
+    """
+
+
+@register("text_unigram_js_lang_pairs", oracle=_js_lang_oracle())
+def text_unigram_js_lang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between language unigram
+    DISTRIBUTIONS: JS(P,Q) = (KL(P||M) + KL(Q||M))/2 at M = (P+Q)/2 —
+    the distributional sibling of ``text_lang_vocab_jaccard`` (that
+    one asks which words exist; this asks how MASS differs — two
+    corpora can share a vocabulary yet weight it incomparably, which
+    is what mixture-weight design actually cares about).
+
+    Every log runs through the det-ln fixed-point chain on exact
+    integer ratios: p/m = 2*c_a*n_b / (c_a*n_b + c_b*n_a), so each
+    term is c_a * (ln-units integer difference); the per-pair sums
+    are exact int64 in 1e-6 nat units and the final JS one half-up
+    big-ratio. Zero-count sides contribute zero exactly (their
+    KL terms vanish by continuity — the CASE guards match the
+    convention in both engines). Work is |pairs| x |union vocab| —
+    vocabulary-bounded, not row-bounded, like every text-family op.
+    """
+    from ..functions.detmath import det_ln_q
+    from ..functions.exact import round_big_int_ratio
+    from ..functions.textnorm import whitespace_tokens
+
+    t = Tables(spark, sf_dir)
+    cnt = (
+        t.documents.select(
+            "lang", F.explode(whitespace_tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = cnt.groupBy("lang").agg(F.sum("c").alias("n"))
+    pairs = sizes.select(
+        F.col("lang").alias("lang_a"), F.col("n").alias("n_a")
+    ).join(
+        F.broadcast(
+            sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+        ),
+        F.col("lang_a") < F.col("lang_b"),
+    )
+    # per (pair, token) counts via two left joins from the
+    # pair x token spine — vocabulary-bounded: |union vocab| x |pairs|
+    spine = pairs.crossJoin(
+        F.broadcast(cnt.select("token").distinct())
+    )
+    cells = (
+        spine.join(
+            cnt.select(
+                F.col("lang").alias("lang_a"), "token", F.col("c").alias("ca")
+            ),
+            ["lang_a", "token"],
+            "left",
+        )
+        .join(
+            cnt.select(
+                F.col("lang").alias("lang_b"), "token", F.col("c").alias("cb")
+            ),
+            ["lang_b", "token"],
+            "left",
+        )
+        .select(
+            "lang_a", "lang_b", "n_a", "n_b",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+        .filter((F.col("ca") > 0) | (F.col("cb") > 0))
+    )
+    lpa = det_ln_q((2 * F.col("ca") * F.col("n_b")).cast("double"))
+    lqb = det_ln_q((2 * F.col("cb") * F.col("n_a")).cast("double"))
+    lm = det_ln_q((F.col("ca") * F.col("n_b") + F.col("cb") * F.col("n_a")).cast("double"))
+    terms = cells.select(
+        "lang_a", "lang_b", "n_a", "n_b",
+        F.when(F.col("ca") > 0, _dec(F.col("ca")) * (lpa - lm))
+        .otherwise(F.lit(0).cast("decimal(38,0)"))
+        .alias("ta"),
+        F.when(F.col("cb") > 0, _dec(F.col("cb")) * (lqb - lm))
+        .otherwise(F.lit(0).cast("decimal(38,0)"))
+        .alias("tb"),
+    ).groupBy("lang_a", "lang_b", "n_a", "n_b").agg(
+        F.sum("ta").alias("a_sum"), F.sum("tb").alias("b_sum")
+    )
+    return terms.select(
+        "lang_a",
+        "lang_b",
+        F.col("n_a").alias("n_tokens_a"),
+        F.col("n_b").alias("n_tokens_b"),
+        round_big_int_ratio(
+            F.col("a_sum") * F.col("n_b") + F.col("b_sum") * F.col("n_a"),
+            F.lit(2).cast("decimal(38,0)") * F.col("n_a") * F.col("n_b") * 1000000,
+        ).alias("js_divergence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 23. Exact randomization (permutation) test for the A/B value gap
+# ---------------------------------------------------------------------------
+
+PERM_B = 64
+
+
+def _perm_oracle() -> str:
+    from ..functions.exact import sql_round_big_int_ratio, sql_round_int_ratio
+
+    B = PERM_B
+    return f"""
+    WITH ux AS (
+      SELECT user_id,
+             CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ), obs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END) AS HUGEINT) AS sa,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END) AS HUGEINT) AS sb
+      FROM ux
+    ), perms AS (
+      SELECT s.b,
+             CAST(sum(CASE WHEN s.g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN s.g = 0 THEN s.x ELSE 0 END) AS HUGEINT) AS sa,
+             CAST(sum(CASE WHEN s.g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN s.g = 1 THEN s.x ELSE 0 END) AS HUGEINT) AS sb
+      FROM (
+        SELECT u.user_id, u.x, bb.b,
+               (('0x' || substr(sha256('perm' || CAST(bb.b AS VARCHAR) || '|'
+                 || CAST(u.user_id AS VARCHAR)), 1, 15))::BIGINT % 2) AS g
+        FROM ux u, (SELECT unnest(range(0, {B})) AS b) bb
+      ) s
+      GROUP BY s.b
+    ), cmp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exceed
+      FROM perms p, obs o
+      WHERE p.na > 0 AND p.nb > 0
+        AND abs(p.sa * p.nb - p.sb * p.na) * (o.na::HUGEINT * o.nb)
+            >= abs(o.sa * o.nb - o.sb * o.na) * (p.na::HUGEINT * p.nb)
+    )
+    SELECT o.n_users, CAST({B} AS BIGINT) AS n_perms,
+           CASE WHEN o.na > 0 AND o.nb > 0 THEN
+             {sql_round_big_int_ratio(
+                 'o.sa * o.nb - o.sb * o.na',
+                 'o.na::HUGEINT * o.nb * 1000000')}
+           END AS mean_diff_obs,
+           {sql_round_int_ratio('1 + c.n_exceed', f'{B} + 1')} AS p_value
+    FROM obs o, cmp c
+    """
+
+
+@register("stats_permutation_test_ab", oracle=_perm_oracle())
+def stats_permutation_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact randomization test for the A/B purchase-value gap:
+    64 deterministic salted-hash relabelings of the user-level spend
+    totals, p = (1 + #{|T_perm| >= |T_obs|}) / 65 — the
+    assumption-free inference the t-test family approximates (Welch
+    assumes normal-ish sampling distributions; the randomization test
+    IS the null distribution, and hash-derived labelings make it
+    RNG-free and bit-reproducible on every engine and rerun).
+
+    One user-keyed aggregate produces the spend totals; the 64
+    relabelings are a broadcast 64-row grid crossed against that
+    AGGREGATE (64x|users| rows, never 64x raw events); each
+    permutation reduces to 4 integers, and every |T_b| >= |T_obs|
+    comparison is cross-multiplied exact decimal arithmetic (valid to
+    ~1e6 users before decimal38 would saturate — beyond that the
+    comparison drops to the deterministic double cast of the same
+    exact integers).
+    """
+    from ..functions.exact import round_big_int_ratio, round_int_ratio
+    from ..functions.textnorm import sha256_prefix_i64
+
+    B = PERM_B
+    t = Tables(spark, sf_dir)
+    ux = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("xv"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("xv").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    obs = ux.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, _dec(F.col("x"))).otherwise(
+            F.lit(0).cast("decimal(38,0)"))).alias("sa"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, _dec(F.col("x"))).otherwise(
+            F.lit(0).cast("decimal(38,0)"))).alias("sb"),
+    )
+    bs = spark.range(B).select(F.col("id").alias("b"))
+    g = (
+        sha256_prefix_i64(
+            F.concat(
+                F.lit("perm"), F.col("b").cast("string"), F.lit("|"),
+                F.col("user_id").cast("string"),
+            )
+        )
+        % 2
+    )
+    perms = (
+        ux.crossJoin(F.broadcast(bs))
+        .select("b", "x", g.alias("g"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("g") == 0, _dec(F.col("x"))).otherwise(
+                F.lit(0).cast("decimal(38,0)"))).alias("sa"),
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("nb"),
+            F.sum(F.when(F.col("g") == 1, _dec(F.col("x"))).otherwise(
+                F.lit(0).cast("decimal(38,0)"))).alias("sb"),
+        )
+    )
+    o = F.broadcast(obs.select(
+        F.col("na").alias("o_na"), F.col("sa").alias("o_sa"),
+        F.col("nb").alias("o_nb"), F.col("sb").alias("o_sb"),
+    ))
+    cmp = (
+        perms.crossJoin(o)
+        .filter(
+            (F.col("na") > 0) & (F.col("nb") > 0)
+            & (
+                F.abs(F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
+                * (_dec(F.col("o_na")) * F.col("o_nb"))
+                >= F.abs(
+                    F.col("o_sa") * F.col("o_nb") - F.col("o_sb") * F.col("o_na")
+                )
+                * (_dec(F.col("na")) * F.col("nb"))
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_exceed"))
+    )
+    return obs.crossJoin(F.broadcast(cmp)).select(
+        "n_users",
+        F.lit(B).cast("long").alias("n_perms"),
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            round_big_int_ratio(
+                F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"),
+                _dec(F.col("na")) * F.col("nb") * 1000000,
+            ),
+        ).alias("mean_diff_obs"),
+        round_int_ratio(F.lit(1) + F.col("n_exceed"), F.lit(B + 1)).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 24. KMV/theta set-DIFFERENCE estimate: heavy viewers minus purchasers
+# ---------------------------------------------------------------------------
+
+KMV_DIFF_MIN = 10
+
+
+def _kmv_difference_oracle() -> str:
+    from .roundnine import KMV_INT_DOMAIN, KMV_INT_K
+    from ..functions.exact import sql_round_int_ratio
+
+    k, dom, thr = KMV_INT_K, KMV_INT_DOMAIN, KMV_DIFF_MIN
+    return f"""
+    WITH pv AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nv,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS np
+      FROM events GROUP BY user_id
+    ), h AS (
+      SELECT user_id,
+             (('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15)))::BIGINT
+               AS hv,
+             nv >= {thr} AS in_a, np >= {thr} AS in_b
+      FROM pv WHERE nv >= {thr} OR np >= {thr}
+    ), ha AS (SELECT hv FROM h WHERE in_a),
+    hb AS (SELECT hv FROM h WHERE in_b),
+    hu AS (SELECT hv FROM ha UNION SELECT hv FROM hb),
+    theta AS (
+      SELECT CAST(max(hv) AS BIGINT) AS th,
+             CAST(count(*) AS BIGINT) AS k_eff
+      FROM (SELECT hv FROM hu ORDER BY hv LIMIT {k})
+    ), a_under AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_a
+      FROM ha, theta WHERE hv <= theta.th
+    ), common AS (
+      SELECT CAST(count(*) AS BIGINT) AS c
+      FROM ha JOIN hb USING (hv), theta
+      WHERE hv <= theta.th
+    ), tru AS (
+      SELECT CAST(count(*) AS BIGINT) AS d_true
+      FROM h WHERE in_a AND NOT in_b
+    )
+    SELECT t.k_eff, t.th AS theta,
+           a.n_a - c.c AS n_diff_under_theta,
+           CAST(CASE WHEN t.k_eff = {k}
+                THEN ((a.n_a - c.c)::HUGEINT * {k - 1} * {dom})
+                     // ({k}::HUGEINT * t.th)
+                ELSE a.n_a - c.c END AS BIGINT) AS d_diff_est,
+           u.d_true,
+           CASE WHEN u.d_true > 0 THEN {sql_round_int_ratio(
+               f'''abs(CAST(CASE WHEN t.k_eff = {k}
+                    THEN ((a.n_a - c.c)::HUGEINT * {k - 1} * {dom})
+                         // ({k}::HUGEINT * t.th)
+                    ELSE a.n_a - c.c END AS BIGINT) - u.d_true)''',
+               'u.d_true')} END AS rel_error
+    FROM theta t, a_under a, common c, tru u
+    """
+
+
+@register("sketch_kmv_difference_users", oracle=_kmv_difference_oracle())
+def sketch_kmv_difference_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta set-DIFFERENCE estimate |heavy viewers \\ heavy
+    purchasers| (activity >= 10 events of the type — behaviorally
+    distinct sets whose difference is the "browses a lot, never
+    converts" audience): under the union's theta threshold,
+    difference membership is EXACT on the sampled hashes (in A, not
+    in B), and the same inverse-theta scale-up as the intersection
+    estimator extrapolates it — the third theta-sketch set-algebra
+    member (distinct, intersection, difference). Audited against the
+    exact difference with relative error like every sketch in the
+    registry.
+
+    Same bottom-k machinery as ``sketch_kmv_intersection_users``:
+    per-set membership from ONE user-keyed aggregate, union bottom-256
+    theta (a 256-row TakeOrdered), broadcast threshold probes, exact
+    integer scale-up. Mergeable by construction (theta sketches
+    compose by min-theta + hash union).
+    """
+    from .roundnine import KMV_INT_DOMAIN, KMV_INT_K
+    from ..functions.exact import round_int_ratio
+    from ..functions.textnorm import sha256_prefix_i64
+
+    k, dom, thr = KMV_INT_K, KMV_INT_DOMAIN, KMV_DIFF_MIN
+    t = Tables(spark, sf_dir)
+    pv = t.events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("nv"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("np"),
+    )
+    h = (
+        pv.filter((F.col("nv") >= thr) | (F.col("np") >= thr))
+        .select(
+            sha256_prefix_i64(F.col("user_id").cast("string")).alias("hv"),
+            (F.col("nv") >= thr).alias("in_a"),
+            (F.col("np") >= thr).alias("in_b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ha = h.filter(F.col("in_a")).select("hv")
+    hb = h.filter(F.col("in_b")).select("hv")
+    hu = ha.union(hb).distinct()
+    theta = (
+        hu.orderBy("hv")
+        .limit(k)
+        .agg(F.max("hv").alias("th"), F.count(F.lit(1)).alias("k_eff"))
+    )
+    a_under = ha.crossJoin(F.broadcast(theta)).filter(
+        F.col("hv") <= F.col("th")
+    ).agg(F.count(F.lit(1)).alias("n_a"))
+    common = (
+        ha.join(hb, "hv")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("hv") <= F.col("th"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tru = h.filter(F.col("in_a") & ~F.col("in_b")).agg(
+        F.count(F.lit(1)).alias("d_true")
+    )
+    out = (
+        theta.crossJoin(F.broadcast(a_under))
+        .crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(tru))
+    )
+    est = F.when(
+        F.col("k_eff") == k,
+        F.expr(
+            f"CAST((CAST(n_a - c AS DECIMAL(38,0)) * {k - 1} * {dom})"
+            f" div (CAST({k} AS DECIMAL(38,0)) * th) AS BIGINT)"
+        ),
+    ).otherwise(F.col("n_a") - F.col("c"))
+    return out.select(
+        "k_eff",
+        F.col("th").alias("theta"),
+        (F.col("n_a") - F.col("c")).alias("n_diff_under_theta"),
+        est.alias("d_diff_est"),
+        "d_true",
+        F.when(
+            F.col("d_true") > 0,
+            round_int_ratio(F.abs(est - F.col("d_true")), F.col("d_true")),
+        ).alias("rel_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 25. Nearest-event as-of attribution (purchase -> closest view)
+# ---------------------------------------------------------------------------
+
+ASOF_NEAR_EDGES_MIN = (1, 5, 30, 120, 1440)  # minutes; last bucket = beyond
+
+
+def _asof_near_bucket_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {col} < {m}::BIGINT * 60000000 THEN {i}"
+        for i, m in enumerate(ASOF_NEAR_EDGES_MIN)
+    )
+    return f"CASE {cases} ELSE {len(ASOF_NEAR_EDGES_MIN)} END"
+
+
+def _asof_nearest_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    return f"""
+    WITH p AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'view'
+    ), nearest AS (
+      SELECT p.user_id, p.event_id,
+             min(abs(p.us - v.us)) AS gap_us
+      FROM p JOIN v USING (user_id)
+      GROUP BY p.user_id, p.event_id
+    ), bucketed AS (
+      SELECT CAST({_asof_near_bucket_sql('gap_us')} AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_purchases
+      FROM nearest GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n_purchases) AS BIGINT) AS t FROM bucketed)
+    SELECT b.bucket, b.n_purchases,
+           {sql_round_int_ratio('b.n_purchases', 't.t')} AS share
+    FROM bucketed b, tot t ORDER BY b.bucket
+    """
+
+
+@register("events_asof_nearest_attribution", oracle=_asof_nearest_oracle())
+def events_asof_nearest_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of attribution: for every purchase, the
+    time gap to the user's CLOSEST view in either direction, bucketed
+    into a fixed minute ladder (<1m / <5m / <30m / <2h / <1d /
+    beyond) — the NEAREST-direction member of the as-of join family
+    (``events_scd_asof_snapshot`` is backward-only; last-touch
+    attribution is backward with a horizon; "nearest" is the
+    symmetric variant ad-attribution models use when view logs and
+    purchase logs have clock skew in either direction).
+
+    The nearest gap per purchase is a user-keyed equi-join between
+    the two PER-USER event subsets (pair volume bounded by per-user
+    activity squared — the sessionization family's standing
+    assumption, not data-scaled), reduced by a (user, purchase)
+    min aggregate; the histogram is a literal CASE ladder, <= 6 rows
+    out, shares exact half-up ratios.
+    """
+    from ..functions.exact import round_int_ratio
+
+    t = Tables(spark, sf_dir)
+    p = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us_p")
+    )
+    v = t.events.filter(F.col("event_type") == "view").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us_v")
+    )
+    nearest = (
+        p.join(v, "user_id")
+        .groupBy("user_id", "event_id")
+        .agg(F.min(F.abs(F.col("us_p") - F.col("us_v"))).alias("gap_us"))
+    )
+    bucket = F.when(F.col("gap_us") < ASOF_NEAR_EDGES_MIN[0] * 60_000_000, 0)
+    for i, m in enumerate(ASOF_NEAR_EDGES_MIN[1:], start=1):
+        bucket = bucket.when(F.col("gap_us") < m * 60_000_000, i)
+    bucket = bucket.otherwise(len(ASOF_NEAR_EDGES_MIN)).cast("long")
+    bucketed = nearest.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+    tot = bucketed.agg(F.sum("n_purchases").alias("t"))
+    return bucketed.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_purchases",
+        round_int_ratio(F.col("n_purchases"), F.col("t")).alias("share"),
+    )

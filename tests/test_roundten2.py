@@ -36,6 +36,10 @@ NAMES = [
     "events_rfm_transition_matrix",
     "privacy_k_map_risk_audit",
     "similarity_cosine_pair_histogram",
+    "text_unigram_js_lang_pairs",
+    "stats_permutation_test_ab",
+    "sketch_kmv_difference_users",
+    "events_asof_nearest_attribution",
 ]
 
 
@@ -816,3 +820,147 @@ def test_cosine_hist_matches_python(spark, sf_dir):
         assert int(row["n_pairs"]) == hist[b], b
         assert row["bin_lo"] == b / 10.0
         assert row["share"] == _half_up(hist[b], n)
+
+
+def test_js_lang_pairs_matches_python(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.functions.detmath import ref_det_ln_q
+
+    got = _q("text_unigram_js_lang_pairs", spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("lang", "text").toPandas()
+    from collections import Counter, defaultdict
+
+    cnt: dict = defaultdict(Counter)
+    for r in docs.itertuples():
+        toks = " ".join(r.text.lower().split()).split(" ")
+        cnt[r.lang].update(toks)
+    sizes = {lg: sum(c.values()) for lg, c in cnt.items()}
+    langs = sorted(sizes)
+    assert len(got) == len(langs) * (len(langs) - 1) // 2
+    for _, row in got.iterrows():
+        a, b = row["lang_a"], row["lang_b"]
+        na, nb = sizes[a], sizes[b]
+        a_sum = b_sum = 0
+        for tok in set(cnt[a]) | set(cnt[b]):
+            ca, cb = cnt[a].get(tok, 0), cnt[b].get(tok, 0)
+            lm = ref_det_ln_q(float(ca * nb + cb * na))
+            if ca > 0:
+                a_sum += ca * (ref_det_ln_q(float(2 * ca * nb)) - lm)
+            if cb > 0:
+                b_sum += cb * (ref_det_ln_q(float(2 * cb * na)) - lm)
+        assert int(row["n_tokens_a"]) == na
+        assert int(row["n_tokens_b"]) == nb
+        assert row["js_divergence"] == _half_up(
+            a_sum * nb + b_sum * na, 2 * na * nb * 10**6
+        ), (a, b)
+        assert 0.0 <= row["js_divergence"] <= 0.693148
+
+
+def test_permutation_test_matches_python(spark, sf_dir):
+    got = _q("stats_permutation_test_ab", spark, sf_dir).iloc[0]
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter("event_type = 'purchase'").select(
+        "user_id", "value"
+    ).toPandas()
+    import math as _m
+
+    from collections import defaultdict
+
+    ux: dict = defaultdict(int)
+    for r in ev.itertuples():
+        ux[int(r.user_id)] += int(_m.floor(r.value * 1e6 + 0.5))
+    users = sorted(ux)
+    n = len(users)
+    na = sum(1 for u in users if u % 2 == 0)
+    sa = sum(ux[u] for u in users if u % 2 == 0)
+    nb, sb = n - na, sum(ux.values()) - sa
+    d_obs = abs(sa * nb - sb * na)
+    den_obs = na * nb
+    n_exceed = 0
+    B = roundten2.PERM_B
+    for b in range(B):
+        ga = [u for u in users if _sha60(f"perm{b}|{u}") % 2 == 0]
+        pna = len(ga)
+        psa = sum(ux[u] for u in ga)
+        pnb, psb = n - pna, sum(ux.values()) - psa
+        if pna > 0 and pnb > 0:
+            if abs(psa * pnb - psb * pna) * den_obs >= d_obs * (pna * pnb):
+                n_exceed += 1
+    assert int(got["n_users"]) == n
+    assert int(got["n_perms"]) == B
+    assert got["mean_diff_obs"] == _half_up(sa * nb - sb * na, den_obs * 10**6)
+    assert got["p_value"] == _half_up(1 + n_exceed, B + 1)
+    assert 0.0 < got["p_value"] <= 1.0
+
+
+def test_kmv_difference_matches_python(spark, sf_dir):
+    # column access, not .iloc[0]: a row slice upcasts the >2^53
+    # theta to float64 and silently rounds it
+    gdf = _q("sketch_kmv_difference_users", spark, sf_dir)
+    got = {c: gdf[c].iloc[0] for c in gdf.columns}
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type").toPandas()
+    from collections import Counter
+
+    nv = Counter(r.user_id for r in ev.itertuples() if r.event_type == "view")
+    np_ = Counter(r.user_id for r in ev.itertuples() if r.event_type == "purchase")
+    thr = roundten2.KMV_DIFF_MIN
+    A = {u for u, c in nv.items() if c >= thr}
+    Bs = {u for u, c in np_.items() if c >= thr}
+    from mysql_public_data_ingestor_spark.operators.roundnine import (
+        KMV_INT_DOMAIN,
+        KMV_INT_K,
+    )
+
+    hu = sorted(_sha60(str(int(u))) for u in A | Bs)
+    kk = min(KMV_INT_K, len(hu))
+    th = hu[kk - 1] if hu else None
+    ha = {_sha60(str(int(u))) for u in A}
+    hb = {_sha60(str(int(u))) for u in Bs}
+    n_a = sum(1 for h in ha if h <= th)
+    c = sum(1 for h in ha & hb if h <= th)
+    d_true = len(A - Bs)
+    if kk == KMV_INT_K:
+        est = ((n_a - c) * (KMV_INT_K - 1) * KMV_INT_DOMAIN) // (KMV_INT_K * th)
+    else:
+        est = n_a - c
+    assert int(got["k_eff"]) == kk
+    assert int(got["theta"]) == th
+    assert int(got["n_diff_under_theta"]) == n_a - c
+    assert int(got["d_diff_est"]) == est
+    assert int(got["d_true"]) == d_true
+    if d_true > 0:
+        assert got["rel_error"] == _half_up(abs(est - d_true), d_true)
+
+
+def test_asof_nearest_matches_python(spark, sf_dir):
+    import pandas as pd
+
+    got = _q("events_asof_nearest_attribution", spark, sf_dir).sort_values("bucket")
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_id", "event_type", "ts").toPandas()
+    ev["us"] = pd.to_datetime(ev["ts"]).astype("int64") // 1000
+    from collections import Counter, defaultdict
+
+    views = defaultdict(list)
+    for r in ev.itertuples():
+        if r.event_type == "view":
+            views[r.user_id].append(int(r.us))
+    edges = roundten2.ASOF_NEAR_EDGES_MIN
+    hist: Counter = Counter()
+    for r in ev.itertuples():
+        if r.event_type != "purchase" or r.user_id not in views:
+            continue
+        gap = min(abs(int(r.us) - v) for v in views[r.user_id])
+        b = len(edges)
+        for i, m in enumerate(edges):
+            if gap < m * 60_000_000:
+                b = i
+                break
+        hist[b] += 1
+    tot = sum(hist.values())
+    assert len(got) == len(hist)
+    for _, row in got.iterrows():
+        b = int(row["bucket"])
+        assert int(row["n_purchases"]) == hist[b], b
+        assert row["share"] == _half_up(hist[b], tot)
