@@ -173,6 +173,7 @@ def _ensure_loaded() -> None:
         roundeight3,
         roundnine2,
         roundten2,
+        roundten3,
         roundsix,
         roundsix2,
         similarity,
