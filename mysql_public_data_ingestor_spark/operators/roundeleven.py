@@ -1,0 +1,1114 @@
+"""Round-11 banked operator queue — built AND gated in round 10, to be
+activated when the round-11 driver window opens (VERDICT r9 item 7:
+the bank commit and its gate evidence land together or not at all;
+``tests/test_roundeleven.py`` carries raw-frame oracle parity, plan
+sweeps and Python replicas, and SCALE.md §5i.11 records the fuzz /
+sf0.1 / ×10 ladder from THIS round's session).
+
+NOT imported by ``registry._ensure_loaded`` yet — the round-10 driver
+window is exactly full at 50, so registering these now would strand
+their evidence outside the window. ``activate()`` is the round-11
+switch.
+
+Batch theme — model-fitting and set-algebra completions: discrete Bass
+diffusion fit (3-var Cramer OLS), a Granger-style lag-regression
+comparison, Tukey HSD post-hoc pairs after the ANOVA family, an n-gram
+entropy curve, the KMV theta-UNION (completing distinct /
+intersection / difference), degree-inequality Gini, a deterministic
+exponential-mechanism DP release, and a last-digit preference audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import Tables
+
+QUEUE: list[tuple] = []
+
+
+def _queued(name: str, oracle: str):
+    def deco(fn):
+        QUEUE.append((name, fn, oracle, fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+_ACTIVATED = False
+
+
+def activate() -> None:
+    """Register every queued query (round-11 switch; idempotent)."""
+    global _ACTIVATED
+    if _ACTIVATED:
+        return
+    from ..registry import register
+
+    for name, fn, oracle, doc in QUEUE:
+        register(name, oracle=oracle, doc=doc)(fn)
+    _ACTIVATED = True
+
+
+def _dec(c):
+    return c.cast("decimal(38,0)")
+
+
+def _halfup_div(num, den):
+    """Half-up integer division of decimal columns (den > 0), re-signed;
+    returns the integer quotient as decimal(38,0). Twin of the HUGEINT
+    CASE idiom in the oracles (shared shape with roundten3)."""
+    a = F.lit(2).cast("decimal(38,0)") * _dec(F.abs(num)) + _dec(den)
+    b = F.lit(2).cast("decimal(38,0)") * _dec(den)
+    mag = (a - a % b) / b
+    return _dec(F.when(num < 0, -mag).otherwise(mag))
+
+
+def _sql_halfup_div(num: str, den: str) -> str:
+    mag = f"((2::HUGEINT*abs({num}) + ({den})) // (2::HUGEINT*({den})))"
+    return f"(CASE WHEN ({num}) < 0 THEN -{mag} ELSE {mag} END)"
+
+
+# ---------------------------------------------------------------------------
+# 1. Discrete Bass diffusion fit on cumulative signups
+# ---------------------------------------------------------------------------
+
+BASS_SCALE_SHIFT = 6  # cumulative adopters scaled by >>6 for det headroom
+
+
+def _bass_oracle() -> str:
+    from ..functions.exact import sql_round_big_int_ratio
+
+    sh = BASS_SCALE_SHIFT
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS s
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), idx AS (
+      SELECT a.d, a.s, CAST(count(*) AS BIGINT) AS k
+      FROM daily a JOIN daily b ON b.d <= a.d
+      GROUP BY a.d, a.s
+    ), cum AS (
+      SELECT k, s, CAST(sum(s) OVER (ORDER BY k) - s AS BIGINT) AS nprev
+      FROM idx
+    ), xy AS (
+      SELECT s AS y, nprev >> {sh} AS x1,
+             (nprev >> {sh}) * (nprev >> {sh}) AS x2
+      FROM cum WHERE k > 1
+    ), m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+             CAST(sum(x1::HUGEINT * x1) AS HUGEINT) AS s11,
+             CAST(sum(x1::HUGEINT * x2) AS HUGEINT) AS s12,
+             CAST(sum(x2::HUGEINT * x2) AS HUGEINT) AS s22,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x1::HUGEINT * y) AS HUGEINT) AS sy1,
+             CAST(sum(x2::HUGEINT * y) AS HUGEINT) AS sy2
+      FROM xy
+    ), det AS (
+      SELECT n,
+             n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+               + s2*(s1*s12 - s11*s2) AS dd,
+             sy*(s11*s22 - s12*s12) - s1*(sy1*s22 - s12*sy2)
+               + s2*(sy1*s12 - s11*sy2) AS da,
+             n*(sy1*s22 - sy2*s12) - sy*(s1*s22 - s12*s2)
+               + s2*(s1*sy2 - sy1*s2) AS db,
+             n*(s11*sy2 - s12*sy1) - s1*(s1*sy2 - sy1*s2)
+               + sy*(s1*s12 - s11*s2) AS dc
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           {sql_round_big_int_ratio('da', 'dd')} AS coef_a,
+           {sql_round_big_int_ratio('db', 'dd')} AS coef_b,
+           {sql_round_big_int_ratio('dc', 'dd')} AS coef_c
+    FROM det WHERE dd <> 0
+    """
+
+
+@_queued("events_bass_diffusion_fit", _bass_oracle())
+def events_bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Bass diffusion fit of daily signups: regress new
+    adopters S_t on cumulative prior adoption N_{t−1} and N_{t−1}² —
+    the Bass identity S_t = pM + (q−p)N − (q/M)N², so the fitted
+    (a, b, c) recover innovation p, imitation q and market size M.
+    The adoption-curve member of the product-analytics family (the
+    retention-decay fit models leaving; this models arriving).
+
+    Exact path: a 3-regressor OLS solved by Cramer determinants over
+    the 3×3 normal-equation matrix — every entry an exact integer sum,
+    each coefficient one round_big_int_ratio of two 128-bit
+    determinants. Cumulative adoption is pre-scaled by a FIXED >>6
+    (identically in both engines) so the degree-6 determinant terms
+    stay ≲ 10³² at sf1×10 instead of overflowing decimal(38) — a
+    constant rescale of x1/x2 that only rescales b and c, documented
+    in the coefficient semantics (b, c are per-64-adopters units).
+
+    Scale shape: fact scan partial-aggregates to the ~30-row signup
+    calendar; the rank comes from the house broadcast non-equi
+    self-join; the single ordered cumulative runs over that bounded
+    POST-AGGREGATION spine (same class as stats_ljung_box_daily's
+    allowlist entry — here it collapses into the scalar aggregate).
+    """
+    from ..functions.exact import round_big_int_ratio
+
+    sh = BASS_SCALE_SHIFT
+    t = Tables(spark, sf_dir)
+    daily = t.events.filter(F.col("event_type") == "signup").groupBy(
+        F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("s"))
+    b0 = daily.select(F.col("d").alias("d_b"))
+    idx = (
+        daily.join(F.broadcast(b0), F.col("d_b") <= F.col("d"))
+        .groupBy("d", "s")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    # nprev via a second bounded non-equi self-join (strictly-earlier
+    # ranks), keeping the plan window-free
+    ib = idx.select(F.col("k").alias("k_b"), F.col("s").alias("s_b"))
+    cum = (
+        idx.join(F.broadcast(ib), F.col("k_b") < F.col("k"), "left")
+        .groupBy("k", "s")
+        .agg(F.coalesce(F.sum("s_b"), F.lit(0)).alias("nprev"))
+    )
+    x1 = (F.col("nprev") / F.lit(1 << sh)).cast("long")
+    xy = cum.filter(F.col("k") > 1).select(
+        F.col("s").alias("y"), x1.alias("x1")
+    ).withColumn("x2", F.col("x1") * F.col("x1"))
+    m = xy.agg(
+        _dec(F.count(F.lit(1))).alias("n"),
+        _dec(F.sum("x1")).alias("s1"),
+        _dec(F.sum("x2")).alias("s2"),
+        F.sum(_dec(F.col("x1")) * _dec(F.col("x1"))).alias("s11"),
+        F.sum(_dec(F.col("x1")) * _dec(F.col("x2"))).alias("s12"),
+        F.sum(_dec(F.col("x2")) * _dec(F.col("x2"))).alias("s22"),
+        _dec(F.sum("y")).alias("sy"),
+        F.sum(_dec(F.col("x1")) * _dec(F.col("y"))).alias("sy1"),
+        F.sum(_dec(F.col("x2")) * _dec(F.col("y"))).alias("sy2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, sy1, sy2 = F.col("sy"), F.col("sy1"), F.col("sy2")
+    det = m.select(
+        n.alias("n"),
+        (
+            n * (s11 * s22 - s12 * s12)
+            - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2)
+        ).alias("dd"),
+        (
+            sy * (s11 * s22 - s12 * s12)
+            - s1 * (sy1 * s22 - s12 * sy2)
+            + s2 * (sy1 * s12 - s11 * sy2)
+        ).alias("da"),
+        (
+            n * (sy1 * s22 - sy2 * s12)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * sy2 - sy1 * s2)
+        ).alias("db"),
+        (
+            n * (s11 * sy2 - s12 * sy1)
+            - s1 * (s1 * sy2 - sy1 * s2)
+            + sy * (s1 * s12 - s11 * s2)
+        ).alias("dc"),
+    )
+    return det.filter(F.col("dd") != 0).select(
+        F.col("n").cast("long").alias("n_days"),
+        round_big_int_ratio(F.col("da"), F.col("dd")).alias("coef_a"),
+        round_big_int_ratio(F.col("db"), F.col("dd")).alias("coef_b"),
+        round_big_int_ratio(F.col("dc"), F.col("dd")).alias("coef_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Granger-style lag-1 regression comparison (view -> purchase)
+# ---------------------------------------------------------------------------
+
+
+def _granger_oracle() -> str:
+    from ..functions.exact import sql_round_big_int_ratio
+
+    return f"""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+    ), cx AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), cy AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), filled AS (
+      SELECT days.d, coalesce(cx.c, 0) AS x, coalesce(cy.c, 0) AS y
+      FROM days LEFT JOIN cx ON cx.d = days.d LEFT JOIN cy ON cy.d = days.d
+    ), idx AS (
+      SELECT a.d, a.x, a.y, CAST(count(*) AS BIGINT) AS k
+      FROM filled a JOIN filled b ON b.d <= a.d
+      GROUP BY a.d, a.x, a.y
+    ), rows_ AS (
+      SELECT a.y AS y, b.y AS x1, b.x AS x2
+      FROM idx a JOIN idx b ON b.k = a.k - 1
+    ), m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+             CAST(sum(x1::HUGEINT * x1) AS HUGEINT) AS s11,
+             CAST(sum(x1::HUGEINT * x2) AS HUGEINT) AS s12,
+             CAST(sum(x2::HUGEINT * x2) AS HUGEINT) AS s22,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x1::HUGEINT * y) AS HUGEINT) AS sy1,
+             CAST(sum(x2::HUGEINT * y) AS HUGEINT) AS sy2,
+             CAST(sum(y::HUGEINT * y) AS HUGEINT) AS syy
+      FROM rows_
+    ), fits AS (
+      SELECT n, syy, sy, sy1, sy2,
+             -- restricted: y ~ 1 + x1 (own lag only)
+             n * s11 - s1 * s1 AS dr,
+             (n * sy1 - s1 * sy) AS br_num,
+             -- unrestricted 3x3 Cramer determinants
+             n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+               + s2*(s1*s12 - s11*s2) AS dd,
+             sy*(s11*s22 - s12*s12) - s1*(sy1*s22 - s12*sy2)
+               + s2*(sy1*s12 - s11*sy2) AS da,
+             n*(sy1*s22 - sy2*s12) - sy*(s1*s22 - s12*s2)
+               + s2*(s1*sy2 - sy1*s2) AS db,
+             n*(s11*sy2 - s12*sy1) - s1*(s1*sy2 - sy1*s2)
+               + sy*(s1*s12 - s11*s2) AS dc
+      FROM m
+    ), ssr AS (
+      -- centered R^2 identities in cleared-denominator integer space:
+      -- restricted  R^2 = br_num^2 / (tss_n * dr)
+      -- unrestricted R^2 = (n * beta'X'y * D - Sy^2 * D) / (tss_n * D)
+      --   with beta*D = (da, db, dc)
+      SELECT n,
+             (n * syy - sy * sy) AS tss_n,
+             br_num * br_num AS expl_r_scaled,
+             dr, dd,
+             n * (da * sy + db * sy1 + dc * sy2) - sy * sy * dd
+               AS expl_u_scaled
+      FROM fits
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           {sql_round_big_int_ratio('expl_r_scaled', 'tss_n * dr')}
+             AS r2_restricted,
+           {sql_round_big_int_ratio('expl_u_scaled', 'tss_n * dd')}
+             AS r2_unrestricted
+    FROM ssr
+    WHERE tss_n > 0 AND dr > 0 AND dd > 0
+    """
+
+
+@_queued("events_granger_lag1_test", _granger_oracle())
+def events_granger_lag1_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-style lag-1 predictability comparison: does yesterday's
+    VIEW count improve the prediction of today's PURCHASE count beyond
+    yesterday's purchases alone? Reports R² of the restricted model
+    (purchases ~ own lag) and the unrestricted one (+ view lag) — the
+    regression-based causality screen completing the lead-lag pair
+    with events_ccf_types_lags (CCF is bivariate symmetric; Granger
+    conditions on the own-lag).
+
+    Exactness: both R² values are exact integer ratios. Restricted:
+    R² = (nSxy − SxSy)²/((nSxx − Sx²)(nSyy − Sy²)). Unrestricted: from
+    the 3×3 Cramer solution β·D = (Dα, Dβ1, Dβ2), explained sum of
+    squares obeys R² = (n·βᵀX'y·D − Sy²·D²)/((nSyy − Sy²)·D²) — every
+    term an exact 128-bit integer, one round_big_int_ratio each
+    (|terms| ≲ 10³⁰ at sf1×10 over the 30-day grid). Zero-variance
+    series empty the output identically on both engines.
+
+    Scale shape: identical to the CCF op — per-(type, day) partial
+    aggregation, calendar-bounded spine, broadcast rank join, lag-1
+    rank equi-join; the regression is a scalar aggregate.
+    """
+    from ..functions.exact import round_big_int_ratio
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(F.to_date("ts").alias("d"), "event_type")
+    days = ev.select("d").distinct()
+    cx = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("cx"))
+    )
+    cy = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("cy"))
+    )
+    filled = (
+        days.join(cx, "d", "left")
+        .join(cy, "d", "left")
+        .select(
+            "d",
+            F.coalesce(F.col("cx"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("cy"), F.lit(0)).alias("y"),
+        )
+    )
+    b0 = filled.select(F.col("d").alias("d_b"))
+    idx = (
+        filled.join(F.broadcast(b0), F.col("d_b") <= F.col("d"))
+        .groupBy("d", "x", "y")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    ia = idx.select(F.col("k").alias("k_a"), F.col("y").alias("ya"))
+    ib = idx.select(
+        F.col("k").alias("k_b"), F.col("y").alias("x1"), F.col("x").alias("x2")
+    )
+    rows = ia.join(ib, F.col("k_b") == F.col("k_a") - 1).select(
+        F.col("ya").alias("y"), "x1", "x2"
+    )
+    m = rows.agg(
+        _dec(F.count(F.lit(1))).alias("n"),
+        _dec(F.sum("x1")).alias("s1"),
+        _dec(F.sum("x2")).alias("s2"),
+        F.sum(_dec(F.col("x1")) * _dec(F.col("x1"))).alias("s11"),
+        F.sum(_dec(F.col("x1")) * _dec(F.col("x2"))).alias("s12"),
+        F.sum(_dec(F.col("x2")) * _dec(F.col("x2"))).alias("s22"),
+        _dec(F.sum("y")).alias("sy"),
+        F.sum(_dec(F.col("x1")) * _dec(F.col("y"))).alias("sy1"),
+        F.sum(_dec(F.col("x2")) * _dec(F.col("y"))).alias("sy2"),
+        F.sum(_dec(F.col("y")) * _dec(F.col("y"))).alias("syy"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, sy1, sy2, syy = F.col("sy"), F.col("sy1"), F.col("sy2"), F.col("syy")
+    fits = m.select(
+        n.alias("n"),
+        syy.alias("syy"),
+        sy.alias("sy"),
+        (n * s11 - s1 * s1).alias("dr"),
+        (n * sy1 - s1 * sy).alias("br_num"),
+        (
+            n * (s11 * s22 - s12 * s12)
+            - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2)
+        ).alias("dd"),
+        (
+            sy * (s11 * s22 - s12 * s12)
+            - s1 * (sy1 * s22 - s12 * sy2)
+            + s2 * (sy1 * s12 - s11 * sy2)
+        ).alias("da"),
+        (
+            n * (sy1 * s22 - sy2 * s12)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * sy2 - sy1 * s2)
+        ).alias("db"),
+        (
+            n * (s11 * sy2 - s12 * sy1)
+            - s1 * (s1 * sy2 - sy1 * s2)
+            + sy * (s1 * s12 - s11 * s2)
+        ).alias("dc"),
+        sy1.alias("sy1v"),
+        sy2.alias("sy2v"),
+    )
+    tss_n = fits["n"] * F.col("syy") - F.col("sy") * F.col("sy")
+    bty_dd = (
+        F.col("da") * F.col("sy")
+        + F.col("db") * F.col("sy1v")
+        + F.col("dc") * F.col("sy2v")
+    )
+    out = fits.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        tss_n.alias("tss_n"),
+        F.col("dr"),
+        F.col("dd"),
+        (F.col("br_num") * F.col("br_num")).alias("expl_r_scaled"),
+        (fits["n"] * bty_dd - F.col("sy") * F.col("sy") * F.col("dd")).alias(
+            "expl_u_scaled"
+        ),
+    )
+    return out.filter(
+        (F.col("tss_n") > 0) & (F.col("dr") > 0) & (F.col("dd") > 0)
+    ).select(
+        "n_pairs",
+        round_big_int_ratio(
+            F.col("expl_r_scaled"), F.col("tss_n") * F.col("dr")
+        ).alias("r2_restricted"),
+        round_big_int_ratio(
+            F.col("expl_u_scaled"), F.col("tss_n") * F.col("dd")
+        ).alias("r2_unrestricted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Tukey HSD post-hoc pairs (l_quantity by order priority)
+# ---------------------------------------------------------------------------
+
+
+def _tukey_oracle() -> str:
+    from ..functions.exact import sql_round_big_int_ratio
+
+    return f"""
+    WITH jn AS (
+      SELECT o.o_orderpriority AS g, CAST(l.l_quantity AS BIGINT) AS q
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), grp AS (
+      SELECT g, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(q) AS HUGEINT) AS s,
+             CAST(sum(q * q) AS HUGEINT) AS qq
+      FROM jn GROUP BY g
+    ), gq AS (
+      SELECT g, n, s,
+             {_sql_halfup_div('10000::HUGEINT * s', 'n')} AS mq,
+             {_sql_halfup_div('10000::HUGEINT * (n * qq - s * s)', 'n')} AS sswq
+      FROM grp
+    ), tot AS (
+      SELECT CAST(sum(n) AS HUGEINT) AS nn,
+             CAST(count(*) AS HUGEINT) AS kk,
+             CAST(sum(sswq) AS HUGEINT) AS ssw
+      FROM gq
+    ), pairs AS (
+      SELECT a.g AS prio_a, b.g AS prio_b,
+             a.n AS na, b.n AS nb, a.mq - b.mq AS dm,
+             t.nn, t.kk, t.ssw
+      FROM gq a JOIN gq b ON a.g < b.g, tot t
+    )
+    SELECT prio_a, prio_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(dm AS BIGINT) / 10000.0 AS mean_diff,
+           CASE WHEN ssw > 0 AND nn > kk THEN
+             {sql_round_big_int_ratio(
+                 '(CASE WHEN dm < 0 THEN -1 ELSE 1 END) * dm * dm'
+                 ' * 2 * na * nb * (nn - kk)',
+                 '10000::HUGEINT * ssw * (na + nb)')}
+           END AS q_signed_sq
+    FROM pairs
+    """
+
+
+@_queued("stats_tukey_hsd_priority", _tukey_oracle())
+def stats_tukey_hsd_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc pairwise comparisons of mean l_quantity
+    across the five order priorities: the studentized-range statistic
+    q_ij = (m_i - m_j)/sqrt(MSW/2 * (1/n_i + 1/n_j)) for every
+    priority pair — the missing POST-HOC member after the omnibus
+    family (one/two-way ANOVA, Welch, Kruskal-Wallis all say "some
+    group differs"; Tukey says WHICH pairs, with family-wise control).
+
+    House exact form sign(q)*q^2 (the sqrt-avoidance convention):
+    group means and the within-group sum of squares quantize ONCE at
+    1e-4 via the shared half-up idiom (mq = [1e4*S/n], sswq =
+    [1e4*(n*Sum(q^2) - S^2)/n] per group — exact integers on both
+    engines), then sign*dm^2*2*n_i*n_j*(N-k) /
+    (1e4*SSW_q*(n_i+n_j)) is one round_big_int_ratio per pair
+    (numerator <= ~1e34 at sf1x10, inside decimal(38)/HUGEINT). One
+    fact-scan aggregate to 5 group rows; the pair grid is 10 rows by
+    mechanism.
+    """
+    from ..functions.exact import round_big_int_ratio
+
+    t = Tables(spark, sf_dir)
+    jn = t.lineitem.join(
+        t.orders.select("o_orderkey", "o_orderpriority"),
+        t.lineitem.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    grp = jn.groupBy("g").agg(
+        _dec(F.count(F.lit(1))).alias("n"),
+        _dec(F.sum("q")).alias("s"),
+        _dec(F.sum(F.col("q") * F.col("q"))).alias("qq"),
+    )
+    ten4 = F.lit(10000).cast("decimal(38,0)")
+    gq = grp.select(
+        "g",
+        "n",
+        _halfup_div(ten4 * F.col("s"), F.col("n")).alias("mq"),
+        _halfup_div(
+            ten4 * (F.col("n") * F.col("qq") - F.col("s") * F.col("s")),
+            F.col("n"),
+        ).alias("sswq"),
+    )
+    tot = gq.agg(
+        F.sum("n").alias("nn"),
+        _dec(F.count(F.lit(1))).alias("kk"),
+        F.sum("sswq").alias("ssw"),
+    )
+    a = gq.select(
+        F.col("g").alias("prio_a"),
+        F.col("n").alias("na"),
+        F.col("mq").alias("mqa"),
+    )
+    b = gq.select(
+        F.col("g").alias("prio_b"),
+        F.col("n").alias("nb"),
+        F.col("mq").alias("mqb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("prio_a") < F.col("prio_b")).crossJoin(
+        F.broadcast(tot)
+    )
+    dm = F.col("mqa") - F.col("mqb")
+    sign = F.when(dm < 0, F.lit(-1)).otherwise(F.lit(1)).cast("decimal(38,0)")
+    return pairs.select(
+        "prio_a",
+        "prio_b",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        (dm.cast("long") / F.lit(1e4)).alias("mean_diff"),
+        F.when(
+            (F.col("ssw") > 0) & (F.col("nn") > F.col("kk")),
+            round_big_int_ratio(
+                sign
+                * dm
+                * dm
+                * F.lit(2).cast("decimal(38,0)")
+                * F.col("na")
+                * F.col("nb")
+                * (F.col("nn") - F.col("kk")),
+                ten4 * F.col("ssw") * (F.col("na") + F.col("nb")),
+            ),
+        ).alias("q_signed_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Token n-gram entropy curve (n = 1, 2, 3)
+# ---------------------------------------------------------------------------
+
+
+def _ngram_entropy_oracle() -> str:
+    from ..functions.detmath import sql_det_ln_steps
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(trim(regexp_replace(lower(text),
+               '\\s+', ' ', 'g')), ' '), 1) AS pos,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+               'g')), ' ')) AS tok
+      FROM documents
+    ), grams AS (
+      SELECT 1 AS n, tok AS gram FROM toks
+      UNION ALL
+      SELECT 2 AS n, a.tok || chr(1) || b.tok AS gram
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      UNION ALL
+      SELECT 3 AS n, a.tok || chr(1) || b.tok || chr(1) || c.tok AS gram
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ), cnt AS (
+      SELECT n, gram, CAST(count(*) AS BIGINT) AS c
+      FROM grams GROUP BY n, gram
+    ), {sql_det_ln_steps('cnt', 'c', 'lc')},
+    per_n AS (
+      SELECT n, CAST(sum(c) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c * lc) AS BIGINT) AS clc
+      FROM lc_rel GROUP BY n
+    ), witht AS (SELECT *, total AS arg_t FROM per_n),
+    {sql_det_ln_steps('witht', 'arg_t', 'lt')}
+    SELECT CAST(n AS BIGINT) AS ngram_n, total AS n_grams, vocab,
+           {_sql_halfup_div('(total * lt - clc)', 'total')} / 1000000.0
+             AS entropy_nats
+    FROM lt_rel
+    """
+
+
+@_queued("text_ngram_entropy_curve", _ngram_entropy_oracle())
+def text_ngram_entropy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the corpus token n-gram distribution for
+    n = 1, 2, 3 — the redundancy curve: H2 - H1 and H3 - H2 bound the
+    conditional next-token entropy, the standard "how compressible /
+    how repetitive is this corpus" diagnostic before LM training
+    (token entropy measures the unigram only; the curve shows how
+    fast context kills surprise).
+
+    n-grams are within-document adjacencies: the Spark side builds
+    them with array slices + zip_with (no join at all — bigram =
+    zip(toks[:-1], toks[1:]) with a chr(1) separator), the oracle
+    with position self-joins; both partial-aggregate to the
+    vocabulary-bounded (n, gram) grid before entropy, every ln a
+    det_ln_q on an exact count and the final rate one shared half-up
+    division at micro-nats.
+    """
+    from ..functions.detmath import det_ln_q
+    from ..functions.textnorm import whitespace_tokens
+
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(whitespace_tokens(F.col("text")).alias("a"))
+    sz = F.size(F.col("a"))
+    sep = F.lit("\x01")
+    uni = toks.select(F.lit(1).alias("n"), F.explode(F.col("a")).alias("gram"))
+    s1 = F.slice(F.col("a"), 1, sz - 1)
+    s2 = F.slice(F.col("a"), 2, sz - 1)
+    bi = toks.filter(sz >= 2).select(
+        F.lit(2).alias("n"),
+        F.explode(F.zip_with(s1, s2, lambda x, y: F.concat(x, sep, y))).alias(
+            "gram"
+        ),
+    )
+    t1 = F.slice(F.col("a"), 1, sz - 2)
+    t2 = F.slice(F.col("a"), 2, sz - 2)
+    t3 = F.slice(F.col("a"), 3, sz - 2)
+    tri = toks.filter(sz >= 3).select(
+        F.lit(3).alias("n"),
+        F.explode(
+            F.zip_with(
+                F.zip_with(t1, t2, lambda x, y: F.concat(x, sep, y)),
+                t3,
+                lambda x, y: F.concat(x, sep, y),
+            )
+        ).alias("gram"),
+    )
+    cnt = (
+        uni.unionAll(bi)
+        .unionAll(tri)
+        .groupBy("n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_n = cnt.groupBy("n").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("c") * det_ln_q(F.col("c"))).alias("clc"),
+    )
+    return per_n.select(
+        F.col("n").cast("long").alias("ngram_n"),
+        F.col("total").alias("n_grams"),
+        "vocab",
+        (
+            _halfup_div(
+                F.col("total") * det_ln_q(F.col("total")) - F.col("clc"),
+                F.col("total"),
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("entropy_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. KMV theta-sketch UNION (completing the set algebra)
+# ---------------------------------------------------------------------------
+
+KMV_UNION_MIN = 10
+
+
+def _kmv_union_oracle() -> str:
+    from .roundnine import KMV_INT_DOMAIN, KMV_INT_K
+    from ..functions.exact import sql_round_int_ratio
+
+    k, dom, thr = KMV_INT_K, KMV_INT_DOMAIN, KMV_UNION_MIN
+    est_sql = (
+        f"CAST(CASE WHEN k.k_eff = {k} "
+        f"THEN ({k - 1}::BIGINT * {dom}::HUGEINT) // k.theta "
+        f"ELSE k.k_eff END AS BIGINT)"
+    )
+    return f"""
+    WITH pv AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+      FROM events GROUP BY user_id
+    ), members AS (
+      SELECT user_id, nv >= {thr} AS in_a, np >= {thr} AS in_b,
+             (('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % {dom}) AS hv
+      FROM pv WHERE nv >= {thr} OR np >= {thr}
+    ), ska AS (
+      SELECT hv FROM members WHERE in_a ORDER BY hv LIMIT {k}
+    ), skb AS (
+      SELECT hv FROM members WHERE in_b ORDER BY hv LIMIT {k}
+    ), merged AS (
+      SELECT DISTINCT hv FROM (SELECT hv FROM ska UNION ALL SELECT hv FROM skb)
+    ), bottom AS (
+      SELECT hv FROM merged ORDER BY hv LIMIT {k}
+    ), kth AS (
+      SELECT CAST(max(hv) AS BIGINT) AS theta,
+             CAST(count(*) AS BIGINT) AS k_eff
+      FROM bottom
+    ), tru AS (
+      SELECT CAST(count(*) AS BIGINT) AS d_true FROM members
+    )
+    SELECT k.k_eff, k.theta,
+           {est_sql} AS d_est,
+           t.d_true,
+           CASE WHEN t.d_true > 0 THEN
+             {sql_round_int_ratio(f'abs({est_sql} - t.d_true)', 't.d_true')}
+           END AS rel_error
+    FROM kth k, tru t
+    """
+
+
+@_queued("sketch_kmv_union_users", _kmv_union_oracle())
+def sketch_kmv_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta set-UNION estimate |heavy viewers UNION heavy
+    purchasers| (>= 10 events of the type) — the member completing the
+    theta-sketch set algebra (distinct / intersection / difference
+    already registered): build each set's bottom-k sketch
+    INDEPENDENTLY, merge by unioning the k-sets and re-taking the k
+    minimum (exactly how shard sketches compose at 100 TB — this op
+    IS the merge path, exercised end-to-end), estimate (k-1)*2^60 /
+    theta, audit against the exact union with relative error.
+
+    Same deterministic bottom-k machinery as the siblings: per-user
+    membership from ONE user-keyed aggregate, two 256-row
+    TakeOrdereds, a <= 512-row merge, integer estimate —
+    hash-verified cross-engine, never "approximately matches".
+    """
+    from .roundnine import KMV_INT_DOMAIN, KMV_INT_K
+    from ..functions.exact import round_int_ratio
+    from ..functions.textnorm import sha256_prefix_i64
+
+    k, dom, thr = KMV_INT_K, KMV_INT_DOMAIN, KMV_UNION_MIN
+    t = Tables(spark, sf_dir)
+    pv = t.events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("nv"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "np"
+        ),
+    )
+    members = pv.filter((F.col("nv") >= thr) | (F.col("np") >= thr)).select(
+        (F.col("nv") >= thr).alias("in_a"),
+        (F.col("np") >= thr).alias("in_b"),
+        (sha256_prefix_i64(F.col("user_id").cast("string")) % dom).alias("hv"),
+    )
+    ska = members.filter(F.col("in_a")).select("hv").orderBy("hv").limit(k)
+    skb = members.filter(F.col("in_b")).select("hv").orderBy("hv").limit(k)
+    bottom = ska.unionAll(skb).distinct().orderBy("hv").limit(k)
+    kth = bottom.agg(F.max("hv").alias("theta"), F.count(F.lit(1)).alias("k_eff"))
+    tru = members.agg(F.count(F.lit(1)).alias("d_true"))
+    est_num = _dec(F.lit(k - 1)) * F.lit(dom)
+    est = F.when(
+        F.col("k_eff") == k,
+        (
+            (est_num - est_num % _dec(F.col("theta"))) / _dec(F.col("theta"))
+        ).cast("long"),
+    ).otherwise(F.col("k_eff"))
+    return kth.join(F.broadcast(tru)).select(
+        "k_eff",
+        "theta",
+        est.alias("d_est"),
+        "d_true",
+        F.when(
+            F.col("d_true") > 0,
+            round_int_ratio(F.abs(est - F.col("d_true")), F.col("d_true")),
+        ).alias("rel_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. Degree-inequality Gini of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def _degree_gini_oracle() -> str:
+    from .graph import _SQL_EDGES
+    from ..functions.exact import sql_round_big_int_ratio, sql_round_int_ratio
+
+    return (
+        _SQL_EDGES
+        + f"""
+    , deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY node
+    ), coc AS (
+      SELECT degree AS d, CAST(count(*) AS BIGINT) AS m
+      FROM deg GROUP BY degree
+    ), cum AS (
+      SELECT a.d, a.m, CAST(coalesce(sum(b.m), 0) AS HUGEINT) AS r
+      FROM coc a LEFT JOIN coc b ON b.d < a.d
+      GROUP BY a.d, a.m
+    ), agg AS (
+      SELECT CAST(sum(m) AS HUGEINT) AS n,
+             CAST(sum(d::HUGEINT * m) AS HUGEINT) AS sx,
+             CAST(sum(d::HUGEINT * (2 * m * r + m * (m + 1))) AS HUGEINT)
+               AS two_ri
+      FROM cum
+    )
+    SELECT CAST(n AS BIGINT) AS n_nodes, CAST(sx AS BIGINT) AS sum_degree,
+           {sql_round_int_ratio('sx', 'n')} AS mean_degree,
+           CASE WHEN n > 0 AND sx > 0 THEN
+             {sql_round_big_int_ratio('two_ri - (n + 1) * sx', 'n * sx')}
+           END AS gini
+    FROM agg
+    """
+    )
+
+
+@_queued("graph_degree_gini", _degree_gini_oracle())
+def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the co-purchase degree distribution — the
+    hub-concentration scalar beside the degree histogram and the
+    rich-club coefficient (the histogram shows the shape; Gini prices
+    the inequality in one number, the classic "is this graph scale-
+    free-ish or egalitarian" screen).
+
+    Exact via the count-of-counts identity: nodes with equal degree d
+    occupy a contiguous rank run (prior-count r, length m), so
+    2*Sum(rank_i*x_i) = Sum_d d*(2*m*r + m*(m+1)) and G =
+    (2*Sum(rank*x) - (n+1)*Sum(x)) / (n*Sum(x)) — one
+    round_big_int_ratio over exact 128-bit integers. The rank
+    cumulative is a broadcast non-equi self-join over the BOUNDED
+    distinct-degree domain (count-of-counts rows, never node rows) —
+    the same shape as diag_key_skew_profile's Lorenz machinery. Edge
+    list comes from the session warehouse (shared with the whole
+    graph family).
+    """
+    from .graph import _degrees, edge_table
+    from ..functions.exact import round_big_int_ratio, round_int_ratio
+
+    t = Tables(spark, sf_dir)
+    deg = _degrees(edge_table(spark, t, sf_dir))
+    coc = deg.groupBy(F.col("degree").alias("d")).agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    cb = coc.select(F.col("d").alias("d_b"), F.col("m").alias("m_b"))
+    cum = (
+        coc.join(F.broadcast(cb), F.col("d_b") < F.col("d"), "left")
+        .groupBy("d", "m")
+        .agg(F.coalesce(F.sum("m_b"), F.lit(0)).alias("r"))
+    )
+    agg = cum.agg(
+        _dec(F.sum("m")).alias("n"),
+        F.sum(_dec(F.col("d")) * _dec(F.col("m"))).alias("sx"),
+        F.sum(
+            _dec(F.col("d"))
+            * (
+                F.lit(2).cast("decimal(38,0)") * _dec(F.col("m")) * _dec(F.col("r"))
+                + _dec(F.col("m")) * (_dec(F.col("m")) + F.lit(1).cast("decimal(38,0)"))
+            )
+        ).alias("two_ri"),
+    )
+    one = F.lit(1).cast("decimal(38,0)")
+    return agg.select(
+        F.col("n").cast("long").alias("n_nodes"),
+        F.col("sx").cast("long").alias("sum_degree"),
+        round_int_ratio(F.col("sx").cast("long"), F.col("n").cast("long")).alias(
+            "mean_degree"
+        ),
+        F.when(
+            (F.col("n") > 0) & (F.col("sx") > 0),
+            round_big_int_ratio(
+                F.col("two_ri") - (F.col("n") + one) * F.col("sx"),
+                F.col("n") * F.col("sx"),
+            ),
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. Deterministic exponential-mechanism DP release (top segment/nation)
+# ---------------------------------------------------------------------------
+
+EXPMECH_EPS_MICRO_HALF = 250000  # eps = 0.5, sensitivity 1 -> eps/2 in 1e-6
+
+
+def _expmech_oracle() -> str:
+    from ..functions.detmath import sql_det_ln_steps
+
+    return f"""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2
+    ), hashed AS (
+      SELECT c_nationkey, c_mktsegment, c,
+             (('0x' || substr(sha256('expmech|' || CAST(c_nationkey AS VARCHAR)
+               || '|' || c_mktsegment), 1, 15))::BIGINT % 4503599627370496)
+               AS h
+      FROM cells
+    ), uarg AS (
+      SELECT *, (2 * h + 1)::DOUBLE / 9007199254740992.0::DOUBLE AS u
+      FROM hashed
+    ), {sql_det_ln_steps('uarg', 'u', 'lnu')},
+    varg AS (
+      SELECT *, (-lnu)::DOUBLE * 0.000001::DOUBLE AS vln FROM lnu_rel
+    ), {sql_det_ln_steps('varg', 'vln', 'lnv')},
+    scored AS (
+      SELECT c_nationkey, c_mktsegment, c,
+             {EXPMECH_EPS_MICRO_HALF}::BIGINT * c - lnv AS sq
+      FROM lnv_rel
+    ), pick AS (
+      SELECT a.c_nationkey, a.c_mktsegment AS chosen_segment,
+             a.c AS chosen_count
+      FROM scored a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM scored b
+        WHERE b.c_nationkey = a.c_nationkey
+          AND (b.sq > a.sq OR (b.sq = a.sq AND b.c_mktsegment < a.c_mktsegment))
+      )
+    ), best AS (
+      SELECT a.c_nationkey, a.c_mktsegment AS true_segment,
+             a.c AS true_count
+      FROM cells a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cells b
+        WHERE b.c_nationkey = a.c_nationkey
+          AND (b.c > a.c OR (b.c = a.c AND b.c_mktsegment < a.c_mktsegment))
+      )
+    )
+    SELECT p.c_nationkey AS nationkey, p.chosen_segment, p.chosen_count,
+           b.true_segment, b.true_count,
+           p.chosen_segment = b.true_segment AS utility_hit
+    FROM pick p JOIN best b ON b.c_nationkey = p.c_nationkey
+    """
+
+
+@_queued("privacy_exponential_mechanism_segment", _expmech_oracle())
+def privacy_exponential_mechanism_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-mechanism differentially-private release of the
+    most common market segment per nation (eps = 0.5, sensitivity 1):
+    argmax over score = eps*count/2 + Gumbel noise — the SELECTION
+    member of the DP family (privacy_dp_laplace_counts releases noisy
+    COUNTS; the exponential mechanism releases a noisy ARGMAX, the
+    right primitive when the category itself is the secret). The
+    utility audit joins the true per-nation argmax and flags hits.
+
+    RNG-free like the Laplace op: the Gumbel draw is
+    -ln(-ln u) with u = (2h+1)/2^53 from the salted sha-hash of the
+    (nation, segment) cell — an EXACT double (odd 53-bit numerator
+    over a power of two), both ln's via the det_ln twins, so the
+    whole release is bit-deterministic cross-engine. Scores compare
+    as int64 micro-units (250000*c - lnv_q); argmax ties break on
+    segment. One scan to the <=125-cell QI grid; the two argmax
+    anti-join passes run on that bounded grid.
+    """
+    from ..functions.detmath import det_ln_q
+    from ..functions.textnorm import sha256_prefix_i64
+
+    t = Tables(spark, sf_dir)
+    cells = t.customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    h = sha256_prefix_i64(
+        F.concat(
+            F.lit("expmech|"),
+            F.col("c_nationkey").cast("string"),
+            F.lit("|"),
+            F.col("c_mktsegment"),
+        )
+    ) % F.lit(4503599627370496)
+    u = (F.lit(2) * F.col("h") + 1).cast("double") / F.lit(9007199254740992.0)
+    hashed = cells.withColumn("h", h)
+    uarg = hashed.withColumn("lnu", det_ln_q(u))
+    varg = uarg.withColumn(
+        "vln", (-F.col("lnu")).cast("double") * F.lit(0.000001)
+    )
+    scored = varg.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "c",
+        (
+            F.lit(EXPMECH_EPS_MICRO_HALF) * F.col("c") - det_ln_q(F.col("vln"))
+        ).alias("sq"),
+    )
+    sb = scored.select(
+        F.col("c_nationkey").alias("nk_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("sq").alias("sq_b"),
+    )
+    pick = (
+        scored.join(
+            F.broadcast(sb),
+            (F.col("nk_b") == F.col("c_nationkey"))
+            & (
+                (F.col("sq_b") > F.col("sq"))
+                | ((F.col("sq_b") == F.col("sq")) & (F.col("seg_b") < F.col("c_mktsegment")))
+            ),
+            "left_anti",
+        )
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("chosen_segment"),
+            F.col("c").alias("chosen_count"),
+        )
+    )
+    cb = cells.select(
+        F.col("c_nationkey").alias("nk_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("c").alias("c_b"),
+    )
+    best = (
+        cells.join(
+            F.broadcast(cb),
+            (F.col("nk_b") == F.col("c_nationkey"))
+            & (
+                (F.col("c_b") > F.col("c"))
+                | ((F.col("c_b") == F.col("c")) & (F.col("seg_b") < F.col("c_mktsegment")))
+            ),
+            "left_anti",
+        )
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("true_segment"),
+            F.col("c").alias("true_count"),
+        )
+    )
+    return pick.join(best, "nationkey").select(
+        "nationkey",
+        "chosen_segment",
+        "chosen_count",
+        "true_segment",
+        "true_count",
+        (F.col("chosen_segment") == F.col("true_segment")).alias("utility_hit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. Last-digit preference audit of order totals
+# ---------------------------------------------------------------------------
+
+
+def _digit_pref_oracle() -> str:
+    from ..functions.exact import sql_round_big_int_ratio, sql_round_int_ratio
+
+    return f"""
+    WITH cents AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 10 AS digit
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), cnt AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS c FROM cents GROUP BY digit
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+    chi AS (
+      SELECT CAST(sum((10 * c - t.n)::HUGEINT * (10 * c - t.n)) AS HUGEINT)
+               AS num, t.n
+      FROM cnt, tot t GROUP BY t.n
+    )
+    SELECT c.digit, c.c AS n_orders,
+           {sql_round_int_ratio('c.c', 'ch.n')} AS share,
+           {sql_round_big_int_ratio('ch.num', '10::HUGEINT * ch.n * ch.n')}
+             AS chi2_over_n
+    FROM cnt c, chi ch
+    """
+
+
+@_queued("dq_digit_preference_audit", _digit_pref_oracle())
+def dq_digit_preference_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-digit preference audit of order totals (in cents): the
+    terminal-digit histogram with the chi-square index of digit
+    preference — the measurement-quality cousin of the Benford
+    first/second-digit audits (Benford tests the LEADING digits'
+    logarithmic law; rounded-or-fabricated values betray themselves in
+    the TRAILING digit, which should be uniform).
+
+    Exact arithmetic throughout: chi^2/n = Sum(10*O_d - N)^2 / (10*N^2)
+    (the per-n normalized index, so the statistic is comparable across
+    scales) as one round_big_int_ratio, shares exact. One scan to the
+    10-cell digit grid.
+    """
+    from ..functions.exact import round_big_int_ratio, round_int_ratio
+
+    t = Tables(spark, sf_dir)
+    cents = t.orders.filter(F.col("o_totalprice").isNotNull()).select(
+        (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long") % 10).alias(
+            "digit"
+        )
+    )
+    cnt = cents.groupBy("digit").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    chi = cnt.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            _dec(F.lit(10) * F.col("c") - F.col("n"))
+            * _dec(F.lit(10) * F.col("c") - F.col("n"))
+        ).alias("num"),
+        F.max("n").alias("n"),
+    )
+    return cnt.crossJoin(F.broadcast(chi)).select(
+        "digit",
+        F.col("c").alias("n_orders"),
+        round_int_ratio(F.col("c"), F.col("n")).alias("share"),
+        round_big_int_ratio(
+            F.col("num"),
+            F.lit(10).cast("decimal(38,0)") * _dec(F.col("n")) * _dec(F.col("n")),
+        ).alias("chi2_over_n"),
+    )

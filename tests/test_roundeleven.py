@@ -1,0 +1,477 @@
+"""Round-11 banked-queue gate: every operator in
+``operators/roundeleven.py`` must pass the SAME raw-frame compare the
+driver's correctness gate uses, meet the registry-wide plan bars, and
+match an independent Python replica NOW — activation in round 11 is
+then a pure registration flip (the round-4/5, 8/9 and 9/10 pattern;
+the bank commit and its gate evidence land together, VERDICT r9
+item 7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from mysql_public_data_ingestor_spark.operators import roundeleven
+from mysql_public_data_ingestor_spark.tables import Tables
+from tools.check_correctness import compare, duck_connection
+
+
+def test_queue_is_banked_not_registered():
+    """Isolation contract: the round-10 driver window is exactly full,
+    so importing the queue module must NOT touch the live registry —
+    activation is round 11's move."""
+    from mysql_public_data_ingestor_spark import registry
+
+    registry._ensure_loaded()
+    queued = {name for name, *_ in roundeleven.QUEUE}
+    assert len(queued) == 8
+    leaked = queued & set(registry._REGISTRY)
+    assert not leaked, f"queued names leaked into the live registry: {leaked}"
+
+
+def test_queue_entries_well_formed():
+    seen = set()
+    for name, fn, oracle, doc in roundeleven.QUEUE:
+        assert name not in seen, f"duplicate queue name {name}"
+        seen.add(name)
+        assert callable(fn)
+        assert isinstance(oracle, str) and oracle.strip()
+        assert doc.strip(), f"{name} missing docstring"
+
+
+@pytest.mark.parametrize(
+    "entry", roundeleven.QUEUE, ids=[name for name, *_ in roundeleven.QUEUE]
+)
+def test_queued_query_matches_oracle(spark, sf_dir, entry):
+    # RAW frames into compare() (it canons internally) — the round-9
+    # lesson: pre-canoning masked an int32 oracle dtype gap.
+    name, fn, oracle, _doc = entry
+    sdf = fn(spark, sf_dir).toPandas()
+    con = duck_connection(sf_dir)
+    try:
+        odf = con.execute(oracle).fetchdf()
+    finally:
+        con.close()
+    problems = compare(name, sdf, odf)
+    assert not problems, f"{name}: {problems}"
+
+
+def _sp_consumers(plan: str) -> list[str]:
+    import re
+
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        if "REPARTITION_BY_NUM" in line:
+            continue
+        for j in range(i - 1, -1, -1):
+            m = re.match(r"\s*[:+\-\s]*([A-Za-z]+)", lines[j])
+            if m and m.group(1) != "Exchange":
+                out.append(m.group(1))
+                break
+    return out
+
+
+def test_queue_single_partition_only_feeds_final_aggregates(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.plans import physical_plan
+
+    offenders = {}
+    for name, fn, _oracle, _doc in roundeleven.QUEUE:
+        plan = physical_plan(fn(spark, sf_dir))
+        bad = [
+            c
+            for c in _sp_consumers(plan)
+            if c not in ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+def test_queue_no_cartesian_products(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.plans import assert_no_cartesian
+
+    offenders = []
+    for name, fn, _oracle, _doc in roundeleven.QUEUE:
+        try:
+            assert_no_cartesian(fn(spark, sf_dir))
+        except AssertionError:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_activate_registers_cleanly_in_subprocess():
+    """Prove now — in a subprocess, so the live registry stays clean —
+    that round-11 activation will register every queued name without
+    collisions."""
+    import subprocess
+    import sys
+
+    code = (
+        "from mysql_public_data_ingestor_spark import registry\n"
+        "registry._ensure_loaded()\n"
+        "from mysql_public_data_ingestor_spark.operators import roundeleven\n"
+        "roundeleven.activate()\n"
+        "roundeleven.activate()\n"  # idempotent
+        "names = set(registry._REGISTRY)\n"
+        "queued = {n for n, *_ in roundeleven.QUEUE}\n"
+        "missing = queued - names\n"
+        "assert not missing, f'not registered: {missing}'\n"
+        "no_oracle = {n for n in queued if registry._REGISTRY[n].oracle is None}\n"
+        "assert not no_oracle, f'registered without oracle: {no_oracle}'\n"
+        "print('OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd="/root/repo"
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout
+
+
+# --- Python replicas ------------------------------------------------------
+
+
+def _q(name, spark, sf_dir):
+    fn = {n: f for n, f, *_ in roundeleven.QUEUE}[name]
+    return fn(spark, sf_dir).toPandas()
+
+
+def _half_up(num: int, den: int, dp: int = 6) -> float:
+    s = 10**dp
+    mag = (2 * s * abs(num) + den) // (2 * den)
+    return (-mag if num < 0 else mag) / s
+
+
+def _halfup_int(num: int, den: int) -> int:
+    mag = (2 * abs(num) + den) // (2 * den)
+    return -mag if num < 0 else mag
+
+
+def _cramer3(rows):
+    """rows = [(y, x1, x2)] -> (n, dd, da, db, dc) exact ints."""
+    n = len(rows)
+    s1 = sum(r[1] for r in rows)
+    s2 = sum(r[2] for r in rows)
+    s11 = sum(r[1] * r[1] for r in rows)
+    s12 = sum(r[1] * r[2] for r in rows)
+    s22 = sum(r[2] * r[2] for r in rows)
+    sy = sum(r[0] for r in rows)
+    sy1 = sum(r[0] * r[1] for r in rows)
+    sy2 = sum(r[0] * r[2] for r in rows)
+    dd = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    da = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (sy1 * s22 - s12 * sy2)
+        + s2 * (sy1 * s12 - s11 * sy2)
+    )
+    db = (
+        n * (sy1 * s22 - sy2 * s12)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * sy2 - sy1 * s2)
+    )
+    dc = (
+        n * (s11 * sy2 - s12 * sy1)
+        - s1 * (s1 * sy2 - sy1 * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    return n, dd, da, db, dc, sy, sy1, sy2
+
+
+def test_bass_matches_python(spark, sf_dir):
+    got = _q("events_bass_diffusion_fit", spark, sf_dir).iloc[0]
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter("event_type = 'signup'").select("ts").toPandas()
+    from collections import Counter
+
+    daily = Counter(ts.date() for ts in ev["ts"])
+    ss = [daily[d] for d in sorted(daily)]
+    sh = roundeleven.BASS_SCALE_SHIFT
+    rows = []
+    nprev = 0
+    for i, s in enumerate(ss):
+        if i > 0:
+            x1 = nprev >> sh
+            rows.append((s, x1, x1 * x1))
+        nprev += s
+    n, dd, da, db, dc, *_ = _cramer3(rows)
+    assert dd != 0
+    assert int(got["n_days"]) == n
+    assert got["coef_a"] == _half_up(da, dd)
+    assert got["coef_b"] == _half_up(db, dd)
+    assert got["coef_c"] == _half_up(dc, dd)
+    # Bass shape on an adoption-like series: saturation term <= 0
+    # would hold for true S-curves; at fixture scale just pin the
+    # exact identity against numpy
+    import numpy as np
+
+    M = np.array(
+        [
+            [len(rows), sum(r[1] for r in rows), sum(r[2] for r in rows)],
+            [
+                sum(r[1] for r in rows),
+                sum(r[1] ** 2 for r in rows),
+                sum(r[1] * r[2] for r in rows),
+            ],
+            [
+                sum(r[2] for r in rows),
+                sum(r[1] * r[2] for r in rows),
+                sum(r[2] ** 2 for r in rows),
+            ],
+        ],
+        dtype=float,
+    )
+    v = np.array(
+        [
+            sum(r[0] for r in rows),
+            sum(r[0] * r[1] for r in rows),
+            sum(r[0] * r[2] for r in rows),
+        ],
+        dtype=float,
+    )
+    beta = np.linalg.solve(M, v)
+    assert abs(got["coef_a"] - beta[0]) < 1e-4
+    assert abs(got["coef_b"] - beta[1]) < 1e-4
+    assert abs(got["coef_c"] - beta[2]) < 1e-4
+
+
+def test_granger_matches_python(spark, sf_dir):
+    got = _q("events_granger_lag1_test", spark, sf_dir).iloc[0]
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("ts", "event_type").toPandas()
+    from collections import Counter
+
+    days = sorted({ts.date() for ts in ev["ts"]})
+    cv = Counter(ts.date() for ts, et in zip(ev["ts"], ev["event_type"]) if et == "view")
+    cp = Counter(
+        ts.date() for ts, et in zip(ev["ts"], ev["event_type"]) if et == "purchase"
+    )
+    xs = [cv.get(d, 0) for d in days]
+    ys = [cp.get(d, 0) for d in days]
+    rows = [(ys[i], ys[i - 1], xs[i - 1]) for i in range(1, len(days))]
+    n, dd, da, db, dc, sy, sy1, sy2 = _cramer3(rows)
+    syy = sum(r[0] * r[0] for r in rows)
+    s1 = sum(r[1] for r in rows)
+    s11 = sum(r[1] * r[1] for r in rows)
+    dr = n * s11 - s1 * s1
+    br_num = n * sy1 - s1 * sy
+    tss_n = n * syy - sy * sy
+    assert int(got["n_pairs"]) == n
+    assert got["r2_restricted"] == _half_up(br_num * br_num, tss_n * dr)
+    expl_u = n * (da * sy + db * sy1 + dc * sy2) - sy * sy * dd
+    assert got["r2_unrestricted"] == _half_up(expl_u, tss_n * dd)
+    # adding a regressor can only help (up to the shared quantization)
+    assert got["r2_unrestricted"] >= got["r2_restricted"] - 1e-6
+    assert 0.0 <= got["r2_unrestricted"] <= 1.0
+
+
+def test_tukey_matches_python(spark, sf_dir):
+    got = _q("stats_tukey_hsd_priority", spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_quantity").toPandas()
+    od = t.orders.select("o_orderkey", "o_orderpriority").toPandas()
+    pr = dict(zip(od["o_orderkey"], od["o_orderpriority"]))
+    from collections import defaultdict
+
+    acc: dict = defaultdict(lambda: [0, 0, 0])
+    for ok, qv in zip(li["l_orderkey"], li["l_quantity"]):
+        g = pr[ok]
+        q = int(qv)
+        a = acc[g]
+        a[0] += 1
+        a[1] += q
+        a[2] += q * q
+    gq = {
+        g: (
+            n,
+            _halfup_int(10**4 * s, n),
+            _halfup_int(10**4 * (n * qq - s * s), n),
+        )
+        for g, (n, s, qq) in acc.items()
+    }
+    nn = sum(n for n, _, _ in gq.values())
+    kk = len(gq)
+    ssw = sum(w for _, _, w in gq.values())
+    assert len(got) == kk * (kk - 1) // 2
+    for _, row in got.iterrows():
+        na, mqa, _ = gq[row["prio_a"]]
+        nb, mqb, _ = gq[row["prio_b"]]
+        dm = mqa - mqb
+        assert int(row["n_a"]) == na and int(row["n_b"]) == nb
+        assert row["mean_diff"] == dm / 1e4
+        sign = -1 if dm < 0 else 1
+        assert row["q_signed_sq"] == _half_up(
+            sign * dm * dm * 2 * na * nb * (nn - kk),
+            10**4 * ssw * (na + nb),
+        ), (row["prio_a"], row["prio_b"])
+
+
+def test_ngram_entropy_matches_python(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.functions.detmath import ref_det_ln_q
+
+    got = _q("text_ngram_entropy_curve", spark, sf_dir).sort_values("ngram_n")
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("text").toPandas()
+    from collections import Counter
+
+    cnts = {1: Counter(), 2: Counter(), 3: Counter()}
+    for r in docs.itertuples():
+        toks = " ".join(r.text.lower().split()).split(" ")
+        cnts[1].update(toks)
+        cnts[2].update(
+            "\x01".join(p) for p in zip(toks, toks[1:])
+        )
+        cnts[3].update(
+            "\x01".join(p) for p in zip(toks, toks[1:], toks[2:])
+        )
+    assert list(got["ngram_n"]) == [1, 2, 3]
+    prev_h = None
+    for _, row in got.iterrows():
+        cc = cnts[int(row["ngram_n"])]
+        total = sum(cc.values())
+        clc = sum(c * ref_det_ln_q(float(c)) for c in cc.values())
+        hq = _halfup_int(total * ref_det_ln_q(float(total)) - clc, total)
+        assert int(row["n_grams"]) == total
+        assert int(row["vocab"]) == len(cc)
+        assert row["entropy_nats"] == hq / 1e6
+        if prev_h is not None:
+            # joint entropy grows with n
+            assert row["entropy_nats"] >= prev_h - 1e-6
+        prev_h = row["entropy_nats"]
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+
+def test_kmv_union_matches_python(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.operators.roundnine import (
+        KMV_INT_DOMAIN,
+        KMV_INT_K,
+    )
+
+    # column access, not a row slice: .iloc[0] on the mixed-dtype row
+    # upcasts the >2^53 int64 theta to float64 and silently rounds it
+    # (the round-10 batch-4 replica lesson, SCALE §5i.7)
+    gdf = _q("sketch_kmv_union_users", spark, sf_dir)
+    got = {c: gdf[c].iloc[0] for c in gdf.columns}
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type").toPandas()
+    from collections import Counter
+
+    nv: Counter = Counter()
+    np_: Counter = Counter()
+    for u, et in zip(ev["user_id"], ev["event_type"]):
+        if et == "view":
+            nv[int(u)] += 1
+        elif et == "purchase":
+            np_[int(u)] += 1
+    thr = roundeleven.KMV_UNION_MIN
+    aset = {u for u, c in nv.items() if c >= thr}
+    bset = {u for u, c in np_.items() if c >= thr}
+    hv = {u: _h60(str(u)) % KMV_INT_DOMAIN for u in aset | bset}
+    ska = sorted(hv[u] for u in aset)[: KMV_INT_K]
+    skb = sorted(hv[u] for u in bset)[: KMV_INT_K]
+    bottom = sorted(set(ska) | set(skb))[: KMV_INT_K]
+    k_eff = len(bottom)
+    theta = max(bottom) if bottom else None
+    d_true = len(aset | bset)
+    if k_eff == KMV_INT_K:
+        d_est = (KMV_INT_K - 1) * KMV_INT_DOMAIN // theta
+    else:
+        d_est = k_eff
+    assert int(got["k_eff"]) == k_eff
+    assert int(got["theta"]) == theta
+    assert int(got["d_est"]) == d_est
+    assert int(got["d_true"]) == d_true
+    if d_true:
+        assert got["rel_error"] == _half_up(abs(d_est - d_true), d_true)
+
+
+def test_degree_gini_matches_python(spark, sf_dir):
+    got = _q("graph_degree_gini", spark, sf_dir).iloc[0]
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey").toPandas()
+    from collections import Counter, defaultdict
+
+    parts: dict = defaultdict(set)
+    for ok, pk in zip(li["l_orderkey"], li["l_partkey"]):
+        parts[int(ok)].add(int(pk))
+    edges = set()
+    for ps in parts.values():
+        sl = sorted(ps)
+        for i, a in enumerate(sl):
+            for b in sl[i + 1 :]:
+                edges.add((a, b))
+    deg: Counter = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    degs = sorted(deg.values())
+    n = len(degs)
+    sx = sum(degs)
+    two_ri = 2 * sum((i + 1) * x for i, x in enumerate(degs))
+    gini = _half_up(two_ri - (n + 1) * sx, n * sx)
+    assert int(got["n_nodes"]) == n
+    assert int(got["sum_degree"]) == sx
+    assert got["mean_degree"] == _half_up(sx, n)
+    assert got["gini"] == gini
+    assert 0.0 <= got["gini"] < 1.0
+
+
+def test_expmech_matches_python(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.functions.detmath import ref_det_ln_q
+
+    got = _q("privacy_exponential_mechanism_segment", spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    cust = t.customer.select("c_nationkey", "c_mktsegment").toPandas()
+    from collections import Counter, defaultdict
+
+    cells = Counter(zip(cust["c_nationkey"], cust["c_mktsegment"]))
+    per_nation: dict = defaultdict(list)
+    for (nk, seg), c in cells.items():
+        h = _h60(f"expmech|{nk}|{seg}") % (1 << 52)
+        u = (2 * h + 1) / float(1 << 53)
+        lnu = ref_det_ln_q(u)
+        vln = float(-lnu) * 0.000001
+        sq = roundeleven.EXPMECH_EPS_MICRO_HALF * c - ref_det_ln_q(vln)
+        per_nation[int(nk)].append((seg, c, sq))
+    assert len(got) == len(per_nation)
+    for _, row in got.iterrows():
+        entries = per_nation[int(row["nationkey"])]
+        chosen = min(entries, key=lambda e: (-e[2], e[0]))
+        best = min(entries, key=lambda e: (-e[1], e[0]))
+        assert row["chosen_segment"] == chosen[0]
+        assert int(row["chosen_count"]) == chosen[1]
+        assert row["true_segment"] == best[0]
+        assert int(row["true_count"]) == best[1]
+        assert bool(row["utility_hit"]) == (chosen[0] == best[0])
+
+
+def test_digit_preference_matches_python(spark, sf_dir):
+    got = _q("dq_digit_preference_audit", spark, sf_dir).sort_values("digit")
+    t = Tables(spark, sf_dir)
+    od = t.orders.select("o_totalprice").toPandas()
+    from collections import Counter
+
+    cnt = Counter(
+        int(math.floor(v * 100 + 0.5)) % 10
+        for v in od["o_totalprice"]
+        if v is not None
+    )
+    n = sum(cnt.values())
+    num = sum((10 * c - n) ** 2 for c in cnt.values())
+    assert len(got) == len(cnt)
+    for _, row in got.iterrows():
+        d = int(row["digit"])
+        assert int(row["n_orders"]) == cnt[d]
+        assert row["share"] == _half_up(cnt[d], n)
+        assert row["chi2_over_n"] == _half_up(num, 10 * n * n)

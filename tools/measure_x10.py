@@ -100,9 +100,17 @@ def main() -> int:
 
     # banked-but-unregistered queue ops resolve by name too, so the
     # pre-registration recipe is one command for queued ops
-    from mysql_public_data_ingestor_spark.operators import roundnine, roundten
+    from mysql_public_data_ingestor_spark.operators import (
+        roundeleven,
+        roundnine,
+        roundten,
+    )
 
-    for qname, qfn, _oracle, _doc in [*roundnine.QUEUE, *roundten.QUEUE]:
+    for qname, qfn, _oracle, _doc in [
+        *roundnine.QUEUE,
+        *roundten.QUEUE,
+        *roundeleven.QUEUE,
+    ]:
         specs.setdefault(qname, _QSpec(qfn))
     missing = [n for n in names if n not in specs]
     if missing:
