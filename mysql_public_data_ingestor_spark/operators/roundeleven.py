@@ -1112,3 +1112,662 @@ def dq_digit_preference_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(10).cast("decimal(38,0)") * _dec(F.col("n")) * _dec(F.col("n")),
         ).alias("chi2_over_n"),
     )
+
+
+# ===========================================================================
+# Queue batch B (round-10 second bank — same-commit gates)
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# 9. Coarse periodogram at fixed calendar periods
+# ---------------------------------------------------------------------------
+
+# cos/sin(2*pi*i/P) quantized at 1e-3 for P in (7, 30, 91) — shared
+# integer literals in both engines (the Rayleigh-op convention; the
+# coarser 1e-3 grid keeps Sc^2 inside decimal(38) at sf1x10)
+PGRAM_PERIODS = (7, 30, 91)
+PGRAM_COSQ = {7: [1000, 623, -223, -901, -901, -223, 623], 30: [1000, 978, 914, 809, 669, 500, 309, 105, -105, -309, -500, -669, -809, -914, -978, -1000, -978, -914, -809, -669, -500, -309, -105, 105, 309, 500, 669, 809, 914, 978], 91: [1000, 998, 990, 979, 962, 941, 915, 885, 851, 813, 771, 725, 676, 623, 568, 510, 449, 387, 322, 256, 189, 121, 52, -17, -86, -155, -223, -289, -355, -418, -480, -539, -596, -650, -701, -749, -792, -833, -869, -901, -929, -952, -971, -985, -995, -999, -999, -995, -985, -971, -952, -929, -901, -869, -833, -792, -749, -701, -650, -596, -539, -480, -418, -355, -289, -223, -155, -86, -17, 52, 121, 189, 256, 322, 387, 449, 510, 568, 623, 676, 725, 771, 813, 851, 885, 915, 941, 962, 979, 990, 998]}
+PGRAM_SINQ = {7: [0, 782, 975, 434, -434, -975, -782], 30: [0, 208, 407, 588, 743, 866, 951, 995, 995, 951, 866, 743, 588, 407, 208, 0, -208, -407, -588, -743, -866, -951, -995, -995, -951, -866, -743, -588, -407, -208], 91: [0, 69, 138, 206, 273, 338, 403, 465, 525, 582, 637, 689, 737, 782, 823, 860, 893, 922, 947, 967, 982, 993, 999, 1000, 996, 988, 975, 957, 935, 908, 877, 842, 803, 760, 713, 663, 610, 554, 495, 434, 371, 306, 239, 172, 103, 35, -35, -103, -172, -239, -306, -371, -434, -495, -554, -610, -663, -713, -760, -803, -842, -877, -908, -935, -957, -975, -988, -996, -1000, -999, -993, -982, -967, -947, -922, -893, -860, -823, -782, -737, -689, -637, -582, -525, -465, -403, -338, -273, -206, -138, -69]}
+
+
+def _pgram_oracle() -> str:
+    from ..functions.exact import sql_round_big_int_ratio
+
+    per_p = []
+    for p in PGRAM_PERIODS:
+        cosl = ", ".join(str(v) for v in PGRAM_COSQ[p])
+        sinl = ", ".join(str(v) for v in PGRAM_SINQ[p])
+        per_p.append(
+            f"""
+      SELECT {p}::BIGINT AS period,
+             CAST(sum(z * ([{cosl}])[((k - 1) % {p}) + 1]) AS HUGEINT) AS sc,
+             CAST(sum(z * ([{sinl}])[((k - 1) % {p}) + 1]) AS HUGEINT) AS ss
+      FROM cent"""
+        )
+    unions = " UNION ALL ".join(per_p)
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), idx AS (
+      SELECT a.day, a.y, CAST(count(*) AS BIGINT) AS k
+      FROM daily a JOIN daily b ON b.day <= a.day
+      GROUP BY a.day, a.y
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+      FROM idx
+    ), cent AS (
+      SELECT i.k, t.n, (t.n * i.y - t.s) AS z FROM idx i, tot t
+    ), zz AS (
+      SELECT CAST(sum(z::HUGEINT * z) AS HUGEINT) AS zyy,
+             CAST(max(n) AS HUGEINT) AS n
+      FROM cent
+    ), vecs AS ({unions})
+    SELECT v.period, CAST(zz.n AS BIGINT) AS n_days,
+           CASE WHEN zz.zyy > 0 THEN
+             {sql_round_big_int_ratio(
+                 '2::HUGEINT * (v.sc * v.sc + v.ss * v.ss)',
+                 'zz.n * zz.zyy * 1000000')}
+           END AS variance_share
+    FROM vecs v, zz
+    """
+
+
+@_queued("events_periodogram_fixed_periods", _pgram_oracle())
+def events_periodogram_fixed_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse periodogram of the daily order-count series at fixed
+    calendar periods (weekly / monthly / quarterly): the share of
+    series variance carried by the Fourier pair at each period,
+    2*(Sc^2 + Ss^2)/(n * Szz) — the SPECTRAL member of the series
+    family (ACF sees correlation at a lag; the periodogram prices a
+    named seasonal cycle, and 'is there weekly seasonality and how
+    much' is the planner's first question).
+
+    Phases come from the day RANK mod P (house broadcast non-equi
+    rank join over the calendar-bounded aggregate), angles from
+    1e-3-quantized cos/sin integer literal tables shared verbatim by
+    both engines (the Rayleigh convention; 1e-3 keeps Sc^2 <=
+    ~1e34 at sf1x10 inside decimal(38)/HUGEINT — quantizing the
+    BASIS shifts the share by <1e-3 relative, identically on both
+    sides). Centered values z = n*y - S are exact ints; one
+    round_big_int_ratio per period.
+    """
+    from ..functions.exact import round_big_int_ratio
+
+    t = Tables(spark, sf_dir)
+    daily = t.orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    b0 = daily.select(F.col("day").alias("day_b"))
+    idx = (
+        daily.join(F.broadcast(b0), F.col("day_b") <= F.col("day"))
+        .groupBy("day", "y")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    tot = idx.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"))
+    cent = idx.crossJoin(F.broadcast(tot)).select(
+        "k", "n", (F.col("n") * F.col("y") - F.col("s")).alias("z")
+    )
+    zz = cent.agg(
+        F.sum(_dec(F.col("z")) * _dec(F.col("z"))).alias("zyy"),
+        _dec(F.max("n")).alias("n"),
+    )
+    vec_frames = []
+    for p in PGRAM_PERIODS:
+        cos_arr = F.array(*[F.lit(v).cast("long") for v in PGRAM_COSQ[p]])
+        sin_arr = F.array(*[F.lit(v).cast("long") for v in PGRAM_SINQ[p]])
+        ph = ((F.col("k") - 1) % p + 1).cast("int")
+        vec_frames.append(
+            cent.agg(
+                F.lit(p).cast("long").alias("period"),
+                F.sum(_dec(F.col("z") * F.element_at(cos_arr, ph))).alias("sc"),
+                F.sum(_dec(F.col("z") * F.element_at(sin_arr, ph))).alias("ss"),
+            )
+        )
+    vecs = vec_frames[0]
+    for fr in vec_frames[1:]:
+        vecs = vecs.unionByName(fr)
+    num = F.lit(2).cast("decimal(38,0)") * (
+        F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")
+    )
+    return vecs.crossJoin(F.broadcast(zz)).select(
+        "period",
+        F.col("n").cast("long").alias("n_days"),
+        F.when(
+            F.col("zyy") > 0,
+            round_big_int_ratio(
+                num, F.col("n") * F.col("zyy") * F.lit(10**6).cast("decimal(38,0)")
+            ),
+        ).alias("variance_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 10. Paired sign test on the daily view/purchase series
+# ---------------------------------------------------------------------------
+
+
+def _sign_test_oracle() -> str:
+    from ..functions.exact import sql_round_big_int_ratio
+
+    return f"""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+    ), cx AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), cy AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), paired AS (
+      SELECT coalesce(cx.c, 0) AS x, coalesce(cy.c, 0) AS y
+      FROM days LEFT JOIN cx ON cx.d = days.d LEFT JOIN cy ON cy.d = days.d
+    ), agg AS (
+      SELECT CAST(sum(CASE WHEN x <> y THEN 1 ELSE 0 END) AS BIGINT) AS m,
+             CAST(sum(CASE WHEN x > y THEN 1 ELSE 0 END) AS BIGINT) AS b_plus,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM paired
+    )
+    SELECT n_days, m AS n_informative, b_plus,
+           CASE WHEN m > 0 THEN
+             {sql_round_big_int_ratio(
+                 '(CASE WHEN 2 * b_plus < m THEN -1 ELSE 1 END)'
+                 ' * (2 * b_plus - m) * (2 * b_plus - m)',
+                 'm')}
+           END AS z_signed_sq
+    FROM agg
+    """
+
+
+@_queued("stats_sign_test_daily_pair", _sign_test_oracle())
+def stats_sign_test_daily_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test of the daily view vs purchase counts: on each
+    calendar day the pair (views, purchases) gives one sign; under
+    exchangeability B+ ~ Binomial(m, 1/2) over the m informative
+    (non-tied) days, and sign(Z)*Z^2 = sign * (2B - m)^2 / m is the
+    house exact form of the normal approximation. The DISTRIBUTION-
+    FREE paired-location member beside the Wilcoxon signed-rank
+    (which already covers magnitudes): the sign test is the one that
+    survives arbitrary per-day scale differences.
+
+    Calendar-bounded throughout: per-(type, day) partial aggregation,
+    zero-filled spine, one scalar aggregate, one exact ratio.
+    """
+    from ..functions.exact import round_big_int_ratio
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(F.to_date("ts").alias("d"), "event_type")
+    days = ev.select("d").distinct()
+    cx = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("cx"))
+    )
+    cy = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("cy"))
+    )
+    paired = (
+        days.join(cx, "d", "left")
+        .join(cy, "d", "left")
+        .select(
+            F.coalesce(F.col("cx"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("cy"), F.lit(0)).alias("y"),
+        )
+    )
+    agg = paired.agg(
+        F.sum(F.when(F.col("x") != F.col("y"), 1).otherwise(0)).alias("m"),
+        F.sum(F.when(F.col("x") > F.col("y"), 1).otherwise(0)).alias("b_plus"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    dev = F.lit(2) * F.col("b_plus") - F.col("m")
+    sign = F.when(dev < 0, F.lit(-1)).otherwise(F.lit(1)).cast("decimal(38,0)")
+    return agg.select(
+        "n_days",
+        F.col("m").alias("n_informative"),
+        "b_plus",
+        F.when(
+            F.col("m") > 0,
+            round_big_int_ratio(sign * _dec(dev) * _dec(dev), _dec(F.col("m"))),
+        ).alias("z_signed_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 11. Duplication x quality quadrant with lift
+# ---------------------------------------------------------------------------
+
+
+def _dup_quality_oracle() -> str:
+    from .ml import _scored_labeled_sql
+    from ..functions.exact import sql_round_int_ratio
+
+    return (
+        _scored_labeled_sql()
+        + f"""
+    , clus AS (
+      SELECT doc_id, CAST(count(*) OVER (PARTITION BY sha256(text)) AS BIGINT)
+               AS csize
+      FROM documents
+    ), cells AS (
+      SELECT (c.csize > 1) AS is_dup, (s.label = 1) AS is_quality,
+             CAST(count(*) AS BIGINT) AS n
+      FROM scored s JOIN clus c ON c.doc_id = s.doc_id
+      GROUP BY 1, 2
+    ), margins AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN is_quality THEN n ELSE 0 END) AS BIGINT)
+               AS n_quality
+      FROM cells
+    ), dup_m AS (
+      SELECT is_dup, CAST(sum(n) AS BIGINT) AS n_dupclass
+      FROM cells GROUP BY is_dup
+    )
+    SELECT c.is_dup, c.is_quality, c.n,
+           {sql_round_int_ratio('c.n', 'm.total')} AS share,
+           CASE WHEN c.is_quality AND m.n_quality > 0 THEN
+             {sql_round_int_ratio('c.n * m.total',
+                                  'd.n_dupclass * m.n_quality')}
+           END AS quality_lift
+    FROM cells c
+    JOIN dup_m d ON d.is_dup = c.is_dup
+    CROSS JOIN margins m
+    """
+    )
+
+
+@_queued("corpus_dup_quality_quadrant", _dup_quality_oracle())
+def corpus_dup_quality_quadrant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication x quality 2x2: does duplicated content pass the
+    quality gate more or less often than unique content? Reports the
+    four cell counts/shares plus the quality LIFT within each dup
+    class (P(quality | dup class)/P(quality)) — the interaction audit
+    the dedup and quality families each assume away (boilerplate is
+    often BOTH duplicated AND 'clean-looking'; a corpus plan that
+    filters then dedups in the wrong order double-counts exactly this
+    cell).
+
+    One scored scan (shared hashed-classifier machinery) joined to
+    the sha256 exact-dup cluster sizes on doc_id; everything after is
+    a 4-cell grid with exact round_int_ratio shares and lifts. The
+    per-cluster size rides a hash-partitioned window over the cluster
+    key (never SinglePartition).
+    """
+    from .ml import _scored_labeled
+    from ..functions.exact import round_int_ratio
+
+    t = Tables(spark, sf_dir)
+    s = _scored_labeled(t).select("doc_id", "label")
+    clus = t.documents.select(
+        "doc_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy(F.sha2(F.col("text"), 256)))
+        .cast("long")
+        .alias("csize"),
+    )
+    cells = (
+        s.join(clus, "doc_id")
+        .groupBy(
+            (F.col("csize") > 1).alias("is_dup"),
+            (F.col("label") == 1).alias("is_quality"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    margins = cells.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.when(F.col("is_quality"), F.col("n")).otherwise(0)).alias(
+            "n_quality"
+        ),
+    )
+    dup_m = cells.groupBy("is_dup").agg(F.sum("n").alias("n_dupclass"))
+    return (
+        cells.join(F.broadcast(dup_m), "is_dup")
+        .crossJoin(F.broadcast(margins))
+        .select(
+            "is_dup",
+            "is_quality",
+            "n",
+            round_int_ratio(F.col("n"), F.col("total")).alias("share"),
+            F.when(
+                F.col("is_quality") & (F.col("n_quality") > 0),
+                round_int_ratio(
+                    F.col("n") * F.col("total"),
+                    F.col("n_dupclass") * F.col("n_quality"),
+                ),
+            ).alias("quality_lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 12. Membership-inference audit of the quality classifier
+# ---------------------------------------------------------------------------
+
+MIA_SPLIT_MOD = 5  # hash % 5 < 4 -> "train", else holdout
+
+
+def _mia_oracle() -> str:
+    from .ml import _scored_labeled_sql
+    from ..functions.exact import sql_round_int_ratio
+
+    m = MIA_SPLIT_MOD
+    return (
+        _scored_labeled_sql()
+        + f"""
+    , lab AS (
+      SELECT score_q,
+             CASE WHEN (('0x' || substr(sha256('miasplit|' ||
+               CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {m}) < {m - 1}
+             THEN 1 ELSE 0 END AS in_train
+      FROM scored
+    ), by_val AS (
+      SELECT score_q, CAST(count(*) AS HUGEINT) AS cnt,
+             CAST(sum(in_train) AS HUGEINT) AS cpos
+      FROM lab GROUP BY score_q
+    ), ranked AS (
+      SELECT cnt, cpos,
+             coalesce(sum(cnt) OVER (ORDER BY score_q
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+      FROM by_val
+    ), agg AS (
+      SELECT sum(cpos) AS n_train, sum(cnt - cpos) AS n_holdout,
+             sum(cpos * (2 * cum + cnt + 1)) AS r2
+      FROM ranked
+    )
+    SELECT CAST(n_train AS BIGINT) AS n_train,
+           CAST(n_holdout AS BIGINT) AS n_holdout,
+           CASE WHEN n_train > 0 AND n_holdout > 0 THEN
+             {sql_round_int_ratio('(r2 - n_train * (n_train + 1))',
+                                  '(2 * n_train * n_holdout)')}
+           END AS mia_auc,
+           CASE WHEN n_train > 0 AND n_holdout > 0 THEN
+             abs({sql_round_int_ratio('(r2 - n_train * (n_train + 1))',
+                                      '(2 * n_train * n_holdout)')} - 0.5)
+           END AS auc_gap
+    FROM agg
+    """
+    )
+
+
+@_queued("privacy_membership_inference_audit", _mia_oracle())
+def privacy_membership_inference_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership-inference audit: can the quality classifier's score
+    DISTINGUISH a deterministic hash-split "train" subset from the
+    holdout? Reported as the Mann-Whitney AUC of score vs membership
+    plus its gap from 0.5 — the standard score-based MIA screen
+    (Shokri et al. shape): a model whose scores separate members from
+    non-members leaks membership. For this registry's hash-weighted
+    classifier the expected gap is ~0 (nothing was fit to the split),
+    which is exactly what the audit certifies; the operator IS the
+    harness a trained filter would be dropped into.
+
+    Machinery is the ml_auc_by_lang exact path: scores pre-aggregated
+    to the <= 10001-value grid, midrank ties, one exact ratio.
+    auc_gap = |auc - 0.5| is a derived column of the SAME quantized
+    value on both engines (abs of a quantized double — no re-rounding).
+    """
+    from .ml import _scored_labeled
+    from ..functions.exact import round_int_ratio
+    from ..functions.textnorm import sha256_prefix_i64
+
+    m = MIA_SPLIT_MOD
+    t = Tables(spark, sf_dir)
+    s = _scored_labeled(t)
+    lab = s.select(
+        "score_q",
+        F.when(
+            sha256_prefix_i64(
+                F.concat(F.lit("miasplit|"), F.col("doc_id").cast("string"))
+            )
+            % m
+            < m - 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("in_train"),
+    )
+    g = lab.groupBy("score_q").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("in_train").alias("cpos")
+    )
+    w = Window.orderBy("score_q").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        _dec(F.col("cnt")).alias("cnt"),
+        _dec(F.col("cpos")).alias("cpos"),
+        _dec(F.coalesce(F.sum("cnt").over(w), F.lit(0))).alias("cum"),
+    )
+    agg = r.agg(
+        F.sum("cpos").alias("n_train"),
+        F.sum(F.col("cnt") - F.col("cpos")).alias("n_holdout"),
+        F.sum(
+            F.col("cpos") * (F.lit(2).cast("decimal(38,0)") * F.col("cum") + F.col("cnt") + F.lit(1).cast("decimal(38,0)"))
+        ).alias("r2"),
+    )
+    auc = round_int_ratio(
+        (F.col("r2") - F.col("n_train") * (F.col("n_train") + F.lit(1).cast("decimal(38,0)"))).cast("long"),
+        (F.lit(2).cast("decimal(38,0)") * F.col("n_train") * F.col("n_holdout")).cast("long"),
+    )
+    ok = (F.col("n_train") > 0) & (F.col("n_holdout") > 0)
+    return agg.select(
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_holdout").cast("long").alias("n_holdout"),
+        F.when(ok, auc).alias("mia_auc"),
+        F.when(ok, F.abs(auc - F.lit(0.5))).alias("auc_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 13. Brier skill score vs the climatology reference, per language
+# ---------------------------------------------------------------------------
+
+
+def _bss_oracle() -> str:
+    from .ml import _scored_labeled_sql
+    from ..functions.exact import sql_round_big_int_ratio
+
+    return (
+        _scored_labeled_sql()
+        + f"""
+    , terms AS (
+      SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(label) AS HUGEINT) AS pos,
+             CAST(sum((score_q - 10000 * label)::HUGEINT
+                      * (score_q - 10000 * label)) AS HUGEINT) AS sd2
+      FROM scored GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS n_pos,
+           {sql_round_big_int_ratio('sd2', '100000000::HUGEINT * n')}
+             AS brier,
+           CASE WHEN pos > 0 AND pos < n THEN
+             {sql_round_big_int_ratio(
+                 '100000000::HUGEINT * pos * (n - pos) - n * sd2',
+                 '100000000::HUGEINT * pos * (n - pos)')}
+           END AS brier_skill
+    FROM terms
+    """
+    )
+
+
+@_queued("ml_brier_skill_score", _bss_oracle())
+def ml_brier_skill_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier skill score of the classifier against the per-language
+    climatology reference: BSS = 1 − BS/BS_ref with BS_ref =
+    p̄(1−p̄) (always-predict-the-base-rate) — the SKILL normalization
+    the raw Brier score (ml_brier_score_by_lang) and its
+    decomposition lack: BS is incomparable across groups with
+    different base rates, BSS > 0 means the model beats knowing the
+    base rate at all.
+
+    With p = score_q/10⁴, 10⁸·BS·n = Σ(score_q − 10⁴y)² and
+    10⁸·BS_ref·n² = 10⁸·pos·(n−pos), so BSS =
+    (10⁸·pos·(n−pos) − n·Σd²)/(10⁸·pos·(n−pos)) — exact 128-bit
+    integers, one round_big_int_ratio per language; one-class groups
+    (pos ∈ {0, n}) yield NULL identically. One partial-aggregated
+    scan to ≤ 5 rows.
+    """
+    from .ml import _scored_labeled
+    from ..functions.exact import round_big_int_ratio
+
+    t = Tables(spark, sf_dir)
+    s = _scored_labeled(t)
+    d = F.col("score_q") - F.lit(10000) * F.col("label")
+    terms = s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").alias("pos"),
+        F.sum(_dec(d) * _dec(d)).alias("sd2"),
+    )
+    e8 = F.lit(10**8).cast("decimal(38,0)")
+    ref = e8 * _dec(F.col("pos")) * _dec(F.col("n") - F.col("pos"))
+    return terms.select(
+        "lang",
+        "n",
+        F.col("pos").alias("n_pos"),
+        round_big_int_ratio(F.col("sd2"), e8 * _dec(F.col("n"))).alias("brier"),
+        F.when(
+            (F.col("pos") > 0) & (F.col("pos") < F.col("n")),
+            round_big_int_ratio(ref - _dec(F.col("n")) * F.col("sd2"), ref),
+        ).alias("brier_skill"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 14. Diameter lower bound via the double-sweep heuristic
+# ---------------------------------------------------------------------------
+
+DSWEEP_HOPS = 6
+
+
+def _dsweep_bfs_sql(tag: str, seed_sql: str) -> str:
+    """Unrolled depth-DSWEEP_HOPS BFS from a scalar seed: emits CTEs
+    ``{tag}_f{k}`` (new nodes at hop k) / ``{tag}_v{k}`` (visited) and
+    ``{tag}_dist`` (node, d = first-reach hop)."""
+    h = DSWEEP_HOPS
+    parts = [
+        f"""
+    , {tag}_f0 AS MATERIALIZED (SELECT ({seed_sql}) AS node),
+    {tag}_v0 AS MATERIALIZED (SELECT node FROM {tag}_f0)"""
+    ]
+    for k in range(1, h + 1):
+        parts.append(
+            f"""
+    , {tag}_f{k} AS MATERIALIZED (
+      SELECT DISTINCT a.v AS node
+      FROM adj a JOIN {tag}_f{k - 1} f ON a.u = f.node
+      WHERE a.v NOT IN (SELECT node FROM {tag}_v{k - 1})
+    ), {tag}_v{k} AS MATERIALIZED (
+      SELECT node FROM {tag}_v{k - 1} UNION SELECT node FROM {tag}_f{k}
+    )"""
+        )
+    dists = " UNION ALL ".join(
+        f"SELECT node, CAST({k} AS BIGINT) AS d FROM {tag}_f{k}"
+        for k in range(h + 1)
+    )
+    parts.append(f", {tag}_dist AS MATERIALIZED ({dists})")
+    return "".join(parts)
+
+
+def _dsweep_oracle() -> str:
+    from .graph import _SQL_EDGES
+
+    far_sql = (
+        "SELECT node FROM s1_dist ORDER BY d DESC, node LIMIT 1"
+    )
+    return (
+        _SQL_EDGES
+        + """
+    , adj AS MATERIALIZED (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ), seed0 AS (SELECT min(u) AS node FROM adj)
+    """
+        + _dsweep_bfs_sql("s1", "SELECT node FROM seed0")
+        + _dsweep_bfs_sql("s2", far_sql)
+        + f"""
+    SELECT (SELECT node FROM seed0) AS seed_node,
+           (SELECT max(d) FROM s1_dist) AS sweep1_ecc,
+           ({far_sql}) AS far_node,
+           (SELECT max(d) FROM s2_dist) AS diameter_lb,
+           (SELECT CAST(count(*) AS BIGINT) FROM s2_dist) AS n_reached,
+           CAST({DSWEEP_HOPS} AS BIGINT) AS hop_cap
+    """
+    )
+
+
+@_queued("graph_diameter_double_sweep", _dsweep_oracle())
+def graph_diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diameter lower bound of the co-purchase graph via the
+    double-sweep heuristic (Magnien/Latapy/Habib): BFS from a
+    deterministic seed (minimum node id), take the farthest node
+    (max hop, min-id tie-break), BFS again — the second eccentricity
+    is a lower bound on the diameter that is exact on trees and
+    near-tight on real-world graphs at 2 BFS costs instead of n. The
+    graph family's missing EXTENT measure (k-hop reach and harmonic
+    closeness are per-seed; this bounds the whole graph's span).
+    Both sweeps are hop-capped at {DSWEEP_HOPS} (documented: the
+    bound reported is min(diameter_lb, cap)), keeping the unrolled
+    oracle and the BSP loop fixed-depth.
+
+    Scale shape: the textbook frontier BFS twice (one adjacency
+    equi-join + one visited anti-join per hop, lineage-cut via
+    iter_checkpoint) — identical machinery to
+    graph_bfs_frontier_hops, off the shared warehouse edge table; the
+    farthest-node pick is a 1-row TakeOrdered on the hop-distance
+    table.
+    """
+    from ..functions.partitioning import iter_checkpoint
+    from .graph import edge_table
+
+    t = Tables(spark, sf_dir)
+    edges = edge_table(spark, t, sf_dir)
+    adj = iter_checkpoint(
+        edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+
+    def sweep(seed_df):
+        frontier = iter_checkpoint(seed_df.select("node"))
+        visited = frontier
+        dist_frames = [frontier.select("node", F.lit(0).cast("long").alias("d"))]
+        for k in range(1, DSWEEP_HOPS + 1):
+            frontier = iter_checkpoint(
+                adj.join(frontier.select(F.col("node").alias("u")), "u")
+                .select(F.col("v").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+            )
+            visited = iter_checkpoint(visited.unionAll(frontier))
+            dist_frames.append(
+                frontier.select("node", F.lit(k).cast("long").alias("d"))
+            )
+        dist = dist_frames[0]
+        for fr in dist_frames[1:]:
+            dist = dist.unionByName(fr)
+        return dist
+
+    seed0 = adj.agg(F.min("u").alias("node"))
+    d1 = sweep(seed0)
+    far = d1.orderBy(F.col("d").desc(), F.col("node").asc()).limit(1)
+    ecc1 = d1.agg(F.max("d").alias("sweep1_ecc"))
+    d2 = sweep(far.select("node"))
+    out = (
+        seed0.select(F.col("node").alias("seed_node"))
+        .crossJoin(F.broadcast(ecc1))
+        .crossJoin(F.broadcast(far.select(F.col("node").alias("far_node"))))
+        .crossJoin(
+            F.broadcast(
+                d2.agg(
+                    F.max("d").alias("diameter_lb"),
+                    F.count(F.lit(1)).alias("n_reached"),
+                )
+            )
+        )
+        .select(
+            "seed_node",
+            "sweep1_ecc",
+            "far_node",
+            "diameter_lb",
+            "n_reached",
+            F.lit(DSWEEP_HOPS).cast("long").alias("hop_cap"),
+        )
+    )
+    return out

@@ -438,6 +438,12 @@ SINGLE_PARTITION_ALLOWLIST = {
     # so it rejoins the swept set. VERDICT r9 item 3.)
     # share window over the 8-row per-shard aggregate output.
     "layout_serpentine_shard_balance",
+    # round-11 banked queue (gated pre-activation in
+    # tests/test_roundeleven.py): ROC cumulative over the
+    # <= 10001-value POST-AGGREGATION score grid — the same bounded
+    # domain as ml_youden_optimal_threshold above (scores group to
+    # the quantized grid before anything ordered runs).
+    "privacy_membership_inference_audit",
     # round-9 direct registrations (roundnine2.py):
     # merged-summary cumulative over <= 32 shards x 256 rank samples
     # (the sketch's size is fixed by mechanism regardless of rows —

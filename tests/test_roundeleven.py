@@ -27,7 +27,7 @@ def test_queue_is_banked_not_registered():
 
     registry._ensure_loaded()
     queued = {name for name, *_ in roundeleven.QUEUE}
-    assert len(queued) == 8
+    assert len(queued) == 14
     leaked = queued & set(registry._REGISTRY)
     assert not leaked, f"queued names leaked into the live registry: {leaked}"
 
@@ -77,11 +77,21 @@ def _sp_consumers(plan: str) -> list[str]:
     return out
 
 
+# privacy_membership_inference_audit runs its ROC cumulative window
+# over the <= 10001-value POST-AGGREGATION score grid — the same
+# bounded-domain class as ml_youden_optimal_threshold; it carries the
+# matching entry in tests/test_plans.py::SINGLE_PARTITION_ALLOWLIST so
+# the registry-wide sweep stays green after round-11 activation.
+QUEUE_SP_ALLOWLIST = {"privacy_membership_inference_audit"}
+
+
 def test_queue_single_partition_only_feeds_final_aggregates(spark, sf_dir):
     from mysql_public_data_ingestor_spark.plans import physical_plan
 
     offenders = {}
     for name, fn, _oracle, _doc in roundeleven.QUEUE:
+        if name in QUEUE_SP_ALLOWLIST:
+            continue
         plan = physical_plan(fn(spark, sf_dir))
         bad = [
             c
@@ -91,6 +101,15 @@ def test_queue_single_partition_only_feeds_final_aggregates(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_queue_allowlist_mirrored_in_registry_sweep():
+    """The queue's one bounded-domain window exception must already be
+    present in the registry-wide allowlist, so activation cannot turn
+    a green queue into a red registry sweep."""
+    from tests.test_plans import SINGLE_PARTITION_ALLOWLIST
+
+    assert QUEUE_SP_ALLOWLIST <= SINGLE_PARTITION_ALLOWLIST
 
 
 def test_queue_no_cartesian_products(spark, sf_dir):
@@ -475,3 +494,191 @@ def test_digit_preference_matches_python(spark, sf_dir):
         assert int(row["n_orders"]) == cnt[d]
         assert row["share"] == _half_up(cnt[d], n)
         assert row["chi2_over_n"] == _half_up(num, 10 * n * n)
+
+
+# --- Batch B replicas ------------------------------------------------------
+
+
+def test_periodogram_matches_python(spark, sf_dir):
+    got = _q("events_periodogram_fixed_periods", spark, sf_dir).sort_values(
+        "period"
+    )
+    t = Tables(spark, sf_dir)
+    od = t.orders.select("o_orderdate").toPandas()
+    from collections import Counter
+
+    daily = Counter(d.date() for d in od["o_orderdate"])
+    ys = [daily[d] for d in sorted(daily)]
+    n = len(ys)
+    s = sum(ys)
+    zs = [n * y - s for y in ys]
+    zyy = sum(z * z for z in zs)
+    assert list(got["period"]) == sorted(roundeleven.PGRAM_PERIODS)
+    for _, row in got.iterrows():
+        p = int(row["period"])
+        sc = sum(
+            z * roundeleven.PGRAM_COSQ[p][k % p] for k, z in enumerate(zs)
+        )
+        ss = sum(
+            z * roundeleven.PGRAM_SINQ[p][k % p] for k, z in enumerate(zs)
+        )
+        assert int(row["n_days"]) == n
+        assert row["variance_share"] == _half_up(
+            2 * (sc * sc + ss * ss), n * zyy * 10**6
+        ), p
+        # a variance share (2/n * sum over the basis pair): tiny
+        # quantization drift aside it lives in [0, ~1]
+        assert -1e-3 <= row["variance_share"] <= 1.1
+
+
+def test_sign_test_matches_python(spark, sf_dir):
+    got = _q("stats_sign_test_daily_pair", spark, sf_dir).iloc[0]
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("ts", "event_type").toPandas()
+    from collections import Counter
+
+    days = sorted({ts.date() for ts in ev["ts"]})
+    cv = Counter(ts.date() for ts, et in zip(ev["ts"], ev["event_type"]) if et == "view")
+    cp = Counter(
+        ts.date() for ts, et in zip(ev["ts"], ev["event_type"]) if et == "purchase"
+    )
+    m = sum(1 for d in days if cv.get(d, 0) != cp.get(d, 0))
+    b = sum(1 for d in days if cv.get(d, 0) > cp.get(d, 0))
+    assert int(got["n_days"]) == len(days)
+    assert int(got["n_informative"]) == m
+    assert int(got["b_plus"]) == b
+    dev = 2 * b - m
+    sign = -1 if dev < 0 else 1
+    assert got["z_signed_sq"] == _half_up(sign * dev * dev, m)
+
+
+def test_dup_quality_quadrant_matches_python(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.operators.ml import _scored_labeled
+
+    got = _q("corpus_dup_quality_quadrant", spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text").toPandas()
+    sc = _scored_labeled(t).select("doc_id", "label").toPandas()
+    lab = dict(zip(sc["doc_id"], sc["label"]))
+    from collections import Counter
+
+    tc = Counter(docs["text"])
+    cells: Counter = Counter()
+    for did, tx in zip(docs["doc_id"], docs["text"]):
+        cells[(tc[tx] > 1, lab[did] == 1)] += 1
+    total = sum(cells.values())
+    n_q = sum(v for (d, q), v in cells.items() if q)
+    dup_m = Counter()
+    for (d, q), v in cells.items():
+        dup_m[d] += v
+    assert len(got) == len(cells)
+    for _, row in got.iterrows():
+        key = (bool(row["is_dup"]), bool(row["is_quality"]))
+        n = cells[key]
+        assert int(row["n"]) == n
+        assert row["share"] == _half_up(n, total)
+        if key[1] and n_q:
+            assert row["quality_lift"] == _half_up(
+                n * total, dup_m[key[0]] * n_q
+            )
+
+
+def test_mia_matches_python(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.operators.ml import _scored_labeled
+
+    gdf = _q("privacy_membership_inference_audit", spark, sf_dir)
+    got = {c: gdf[c].iloc[0] for c in gdf.columns}
+    t = Tables(spark, sf_dir)
+    sc = _scored_labeled(t).select("doc_id", "score_q").toPandas()
+    m = roundeleven.MIA_SPLIT_MOD
+    from collections import defaultdict
+
+    grid: dict = defaultdict(lambda: [0, 0])
+    for did, q in zip(sc["doc_id"], sc["score_q"]):
+        tr = 1 if _h60(f"miasplit|{int(did)}") % m < m - 1 else 0
+        g = grid[int(q)]
+        g[0] += 1
+        g[1] += tr
+    cum = 0
+    r2 = n_tr = n_ho = 0
+    for q in sorted(grid):
+        cnt, cpos = grid[q]
+        r2 += cpos * (2 * cum + cnt + 1)
+        n_tr += cpos
+        n_ho += cnt - cpos
+        cum += cnt
+    assert int(got["n_train"]) == n_tr
+    assert int(got["n_holdout"]) == n_ho
+    auc = _half_up(r2 - n_tr * (n_tr + 1), 2 * n_tr * n_ho)
+    assert got["mia_auc"] == auc
+    assert got["auc_gap"] == abs(auc - 0.5)
+    # nothing was fit to the split: the score must NOT separate it
+    assert got["auc_gap"] < 0.2
+
+
+def test_bss_matches_python(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.operators.ml import _scored_labeled
+
+    got = _q("ml_brier_skill_score", spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    sc = _scored_labeled(t).select("lang", "score_q", "label").toPandas()
+    from collections import defaultdict
+
+    acc: dict = defaultdict(lambda: [0, 0, 0])
+    for lg, q, y in zip(sc["lang"], sc["score_q"], sc["label"]):
+        a = acc[lg]
+        a[0] += 1
+        a[1] += int(y)
+        a[2] += (int(q) - 10000 * int(y)) ** 2
+    for _, row in got.iterrows():
+        n, pos, sd2 = acc[row["lang"]]
+        assert int(row["n"]) == n and int(row["n_pos"]) == pos
+        assert row["brier"] == _half_up(sd2, 10**8 * n)
+        if 0 < pos < n:
+            ref = 10**8 * pos * (n - pos)
+            assert row["brier_skill"] == _half_up(ref - n * sd2, ref)
+            assert row["brier_skill"] <= 1.0
+
+
+def test_dsweep_matches_python(spark, sf_dir):
+    gdf = _q("graph_diameter_double_sweep", spark, sf_dir)
+    got = {c: gdf[c].iloc[0] for c in gdf.columns}
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey").toPandas()
+    from collections import defaultdict
+
+    parts: dict = defaultdict(set)
+    for ok, pk in zip(li["l_orderkey"], li["l_partkey"]):
+        parts[int(ok)].add(int(pk))
+    adj: dict = defaultdict(set)
+    for ps in parts.values():
+        sl = sorted(ps)
+        for i, a in enumerate(sl):
+            for b in sl[i + 1 :]:
+                adj[a].add(b)
+                adj[b].add(a)
+    h = roundeleven.DSWEEP_HOPS
+
+    def bfs(seed):
+        dist = {seed: 0}
+        frontier = {seed}
+        for k in range(1, h + 1):
+            frontier = {
+                v for u in frontier for v in adj[u] if v not in dist
+            }
+            for v in frontier:
+                dist[v] = k
+        return dist
+
+    seed0 = min(adj)
+    d1 = bfs(seed0)
+    ecc1 = max(d1.values())
+    far = min(n for n, d in d1.items() if d == ecc1)
+    d2 = bfs(far)
+    assert int(got["seed_node"]) == seed0
+    assert int(got["sweep1_ecc"]) == ecc1
+    assert int(got["far_node"]) == far
+    assert int(got["diameter_lb"]) == max(d2.values())
+    assert int(got["n_reached"]) == len(d2)
+    # the double-sweep bound can only improve on the first sweep
+    assert int(got["diameter_lb"]) >= ecc1 or int(got["diameter_lb"]) == roundeleven.DSWEEP_HOPS

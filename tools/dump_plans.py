@@ -139,6 +139,24 @@ PLAN_QUERIES = [
     "ml_uplift_by_engagement_tier",
     "dq_candidate_key_discovery",
     "sketch_linear_counting_users",
+    # round-10 representatives (one per new thread: relative-error
+    # quantile sketch, cohort triangle, truncated stress centrality,
+    # LSH banding curve, residual-diagnostic OLS with bounded-domain
+    # rank join, closed-form isotonic fit, det-ln keyword scoring,
+    # dyadic decay ladder, circular statistics, IVF tuning curve,
+    # theta-union-adjacent audience overlap, Markov entropy rate)
+    "sketch_ddsketch_quantiles",
+    "events_cohort_retention_matrix",
+    "graph_stress_centrality_seeds",
+    "dedup_lsh_band_tuning_curve",
+    "stats_durbin_watson_daily",
+    "ml_isotonic_calibration_pav",
+    "text_keyword_log_odds",
+    "events_decayed_value_halflife",
+    "stats_rayleigh_hour_uniformity",
+    "similarity_ivf_nprobe_recall_curve",
+    "events_type_audience_jaccard",
+    "events_markov_entropy_rate",
 ]
 
 
