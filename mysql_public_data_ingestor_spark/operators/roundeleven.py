@@ -1771,3 +1771,510 @@ def graph_diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# 15. Absorbing-Markov expected steps to purchase
+# ---------------------------------------------------------------------------
+
+ABSORB_STATE = "purchase"
+TRANSIENT_STATES = ("click", "error", "signup", "view")
+
+
+def _perm_terms():
+    """(sign, permutation) pairs for the 4x4 determinant expansion —
+    the SAME 24 terms drive the Spark expression and the SQL twin."""
+    from itertools import permutations as _perms
+
+    out = []
+    for p in _perms(range(4)):
+        s, q = 1, list(p)
+        for i in range(4):
+            for j in range(i + 1, 4):
+                if q[i] > q[j]:
+                    s = -s
+        out.append((s, p))
+    return out
+
+
+def _absorb_oracle() -> str:
+    from ..functions.exact import sql_round_big_int_ratio
+
+    ts = TRANSIENT_STATES
+
+    def a(r, c):
+        # A_rc = cf_r * [r == c] - c_rc  (transient-to-transient)
+        base = f"c{r}{c}"
+        return f"(cf{r} - {base})" if r == c else f"(- {base} + 0)"
+
+    def a_rhs(col):
+        def e(r, c):
+            return f"cf{r}" if c == col else a(r, c)
+
+        return e
+
+    def det(entry):
+        terms = []
+        for s, p in _perm_terms():
+            prod = " * ".join(entry(r, p[r]) for r in range(4))
+            terms.append(("+ " if s > 0 else "- ") + prod)
+        return "(" + " ".join(terms) + ")"
+
+    cell_defs = []
+    for r, fr in enumerate(ts):
+        cell_defs.append(
+            f"CAST(sum(CASE WHEN from_type = '{fr}' THEN c ELSE 0 END) AS HUGEINT) AS cf{r}"
+        )
+        for c, to in enumerate(ts):
+            cell_defs.append(
+                f"CAST(sum(CASE WHEN from_type = '{fr}' AND to_type = '{to}' "
+                f"THEN c ELSE 0 END) AS HUGEINT) AS c{r}{c}"
+            )
+    selects = []
+    for j, st in enumerate(ts):
+        selects.append(
+            f"""SELECT '{st}' AS state, CAST(cf{j} AS BIGINT) AS n_out,
+               CASE WHEN {det(a)} <> 0 THEN
+                 {sql_round_big_int_ratio(det(a_rhs(j)), det(a))}
+               END AS expected_steps
+        FROM m WHERE {det(a)} <> 0"""
+        )
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), trans AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT {", ".join(cell_defs)}
+      FROM trans
+    )
+    {" UNION ALL ".join(selects)}
+    """
+
+
+@_queued("events_absorbing_markov_steps", _absorb_oracle())
+def events_absorbing_markov_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected steps to absorption in the user-path Markov chain with
+    PURCHASE as the absorbing state: t = (I − Q)⁻¹·1 over the four
+    transient event types — "how many more actions until this user
+    converts, given where they are now", the absorbing-chain member
+    completing the Markov family (stationary mix, entropy rate, and
+    now the fundamental-matrix statistic that funnels approximate).
+
+    Exact path: clearing each row's denominator turns (I − Q)t = 1
+    into the INTEGER system A t = cf with A = diag(cf) − C (raw
+    transition counts), solved per component by Cramer — two 4×4
+    determinants per state, each expanded into the same 24
+    permutation terms in the Spark plan and the SQL twin (generated
+    from one shared _perm_terms table, so a sign error cannot hit
+    only one engine — the round-10 Cramer lesson institutionalized).
+    det ≤ 24·cf⁴ ≈ 10²⁸ at sf1×10 — inside decimal(38)/HUGEINT; a
+    singular system (a closed transient class) empties the output
+    identically on both engines.
+
+    One user-keyed lag exchange; everything after lives on a 1-row
+    25-cell aggregate.
+    """
+    from ..functions.exact import round_big_int_ratio
+
+    ts = TRANSIENT_STATES
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    aggs = []
+    for r, fr in enumerate(ts):
+        aggs.append(
+            _dec(
+                F.sum(F.when(F.col("from_type") == fr, F.col("c")).otherwise(0))
+            ).alias(f"cf{r}")
+        )
+        for c, to in enumerate(ts):
+            aggs.append(
+                _dec(
+                    F.sum(
+                        F.when(
+                            (F.col("from_type") == fr) & (F.col("to_type") == to),
+                            F.col("c"),
+                        ).otherwise(0)
+                    )
+                ).alias(f"c{r}{c}")
+            )
+    m = trans.agg(*aggs)
+
+    def a(r, c):
+        if r == c:
+            return F.col(f"cf{r}") - F.col(f"c{r}{c}")
+        return -F.col(f"c{r}{c}")
+
+    def det(entry):
+        total = None
+        for s, p in _perm_terms():
+            prod = entry(0, p[0])
+            for r in range(1, 4):
+                prod = prod * entry(r, p[r])
+            term = prod if s > 0 else -prod
+            total = term if total is None else total + term
+        return total
+
+    rows = []
+    for j, st in enumerate(ts):
+
+        def entry_j(r, c, _j=j):
+            return F.col(f"cf{r}") if c == _j else a(r, c)
+
+        dd = det(a)
+        dj = det(entry_j)
+        rows.append(
+            m.select(
+                F.lit(st).alias("state"),
+                F.col(f"cf{j}").cast("long").alias("n_out"),
+                F.when(dd != 0, round_big_int_ratio(dj, dd)).alias(
+                    "expected_steps"
+                ),
+                dd.alias("_dd"),
+            ).filter(F.col("_dd") != 0).drop("_dd")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 16. Brown-Forsythe (median-centered Levene) on quantity by priority
+# ---------------------------------------------------------------------------
+
+
+def _brown_forsythe_oracle() -> str:
+    from ..functions.exact import sql_round_big_int_ratio, sql_round_int_ratio
+
+    return f"""
+    WITH jn AS (
+      SELECT o.o_orderpriority AS g, CAST(l.l_quantity AS BIGINT) AS q
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), grid AS (
+      SELECT g, q, CAST(count(*) AS BIGINT) AS cnt FROM jn GROUP BY g, q
+    ), cum AS (
+      SELECT a.g, a.q, a.cnt,
+             CAST(sum(b.cnt) AS BIGINT) AS cle
+      FROM grid a JOIN grid b ON b.g = a.g AND b.q <= a.q
+      GROUP BY a.g, a.q, a.cnt
+    ), gn AS (
+      SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM grid GROUP BY g
+    ), med AS (
+      SELECT c.g, CAST(min(c.q) AS BIGINT) AS med
+      FROM cum c JOIN gn ON gn.g = c.g
+      WHERE c.cle >= (gn.n + 1) // 2
+      GROUP BY c.g
+    ), zrows AS (
+      SELECT gr.g, gr.cnt, abs(gr.q - med.med) AS z
+      FROM grid gr JOIN med ON med.g = gr.g
+    ), per_g AS (
+      SELECT g, CAST(sum(cnt) AS HUGEINT) AS n,
+             CAST(sum(cnt * z) AS HUGEINT) AS sz,
+             CAST(sum(cnt * z * z) AS HUGEINT) AS szz
+      FROM zrows GROUP BY g
+    ), tq AS (
+      SELECT g, n, sz, szz,
+             {_sql_halfup_div('10000::HUGEINT * sz * sz', 'n')} AS t_g
+      FROM per_g
+    ), tot AS (
+      SELECT CAST(sum(n) AS HUGEINT) AS nn,
+             CAST(count(*) AS HUGEINT) AS kk,
+             CAST(sum(sz) AS HUGEINT) AS sz_all,
+             CAST(sum(szz) AS HUGEINT) AS szz_all,
+             CAST(sum(t_g) AS HUGEINT) AS t_sum
+      FROM tq
+    ), stat AS (
+      SELECT nn, kk,
+             t_sum - {_sql_halfup_div('10000::HUGEINT * sz_all * sz_all',
+                                      'nn')} AS b_q,
+             10000::HUGEINT * szz_all - t_sum AS d_q
+      FROM tot
+    )
+    SELECT t.g AS priority, CAST(t.n AS BIGINT) AS n,
+           CAST(m.med AS BIGINT) AS group_median,
+           {sql_round_int_ratio('CAST(t.sz AS BIGINT)', 'CAST(t.n AS BIGINT)')}
+             AS mean_absdev,
+           CASE WHEN s.d_q > 0 AND s.kk > 1 AND s.nn > s.kk THEN
+             {sql_round_big_int_ratio('s.b_q * (s.nn - s.kk)',
+                                      's.d_q * (s.kk - 1)')}
+           END AS w_stat
+    FROM tq t JOIN med m ON m.g = t.g CROSS JOIN stat s
+    """
+
+
+@_queued("stats_brown_forsythe_quantity", _brown_forsythe_oracle())
+def stats_brown_forsythe_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (median-centered Levene) for homogeneity of
+    l_quantity spread across order priorities — the ROBUST member of
+    the variance-test family: stats_levene_priority centers on the
+    MEAN (power against normal-ish alternatives, fragile under
+    skew/outliers), Bartlett assumes normality outright; BF's
+    median-centered deviations keep the test's size under heavy
+    tails, which is why it is the default in most stats packages.
+
+    Exactness beats the Levene op's: the group median over the
+    ≤50-value quantity domain is an exact integer (nearest-rank via
+    the bounded-grid cumulative), so z = |q − med| is an exact int
+    per grid cell and EVERY sum is integer-weighted by cell counts —
+    no per-row float deviation anywhere. The two quadratic forms
+    quantize once per group at 1e-4 by the shared half-up idiom and W
+    assembles as one round_big_int_ratio. All heavy work is the
+    lineitem⋈orders scan partial-aggregated to the (priority,
+    quantity) grid (≤ 250 cells); medians, sums and W live on that
+    grid.
+    """
+    from ..functions.exact import round_big_int_ratio, round_int_ratio
+
+    t = Tables(spark, sf_dir)
+    jn = t.lineitem.join(
+        t.orders.select("o_orderkey", "o_orderpriority"),
+        t.lineitem.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    grid = jn.groupBy("g", "q").agg(F.count(F.lit(1)).alias("cnt"))
+    gb = grid.select(
+        F.col("g").alias("g_b"), F.col("q").alias("q_b"), F.col("cnt").alias("cnt_b")
+    )
+    cum = (
+        grid.join(
+            F.broadcast(gb),
+            (F.col("g_b") == F.col("g")) & (F.col("q_b") <= F.col("q")),
+        )
+        .groupBy("g", "q", "cnt")
+        .agg(F.sum("cnt_b").alias("cle"))
+    )
+    gn = grid.groupBy("g").agg(F.sum("cnt").alias("n"))
+    med = (
+        cum.join(F.broadcast(gn), "g")
+        .filter(F.col("cle") >= ((F.col("n") + 1) - (F.col("n") + 1) % 2) / 2)
+        .groupBy("g")
+        .agg(F.min("q").alias("med"))
+    )
+    zrows = grid.join(F.broadcast(med), "g").select(
+        "g", "cnt", F.abs(F.col("q") - F.col("med")).alias("z")
+    )
+    per_g = zrows.groupBy("g").agg(
+        _dec(F.sum("cnt")).alias("n"),
+        _dec(F.sum(F.col("cnt") * F.col("z"))).alias("sz"),
+        _dec(F.sum(F.col("cnt") * F.col("z") * F.col("z"))).alias("szz"),
+    )
+    e4 = F.lit(10000).cast("decimal(38,0)")
+    tq = per_g.select(
+        "g",
+        "n",
+        "sz",
+        "szz",
+        _halfup_div(e4 * F.col("sz") * F.col("sz"), F.col("n")).alias("t_g"),
+    )
+    tot = tq.agg(
+        F.sum("n").alias("nn"),
+        _dec(F.count(F.lit(1))).alias("kk"),
+        F.sum("sz").alias("sz_all"),
+        F.sum("szz").alias("szz_all"),
+        F.sum("t_g").alias("t_sum"),
+    )
+    stat = tot.select(
+        "nn",
+        "kk",
+        (
+            F.col("t_sum")
+            - _halfup_div(e4 * F.col("sz_all") * F.col("sz_all"), F.col("nn"))
+        ).alias("b_q"),
+        (e4 * F.col("szz_all") - F.col("t_sum")).alias("d_q"),
+    )
+    one = F.lit(1).cast("decimal(38,0)")
+    return (
+        tq.join(F.broadcast(med.select(F.col("g"), F.col("med"))), "g")
+        .crossJoin(F.broadcast(stat))
+        .select(
+            F.col("g").alias("priority"),
+            F.col("n").cast("long").alias("n"),
+            F.col("med").cast("long").alias("group_median"),
+            round_int_ratio(
+                F.col("sz").cast("long"), F.col("n").cast("long")
+            ).alias("mean_absdev"),
+            F.when(
+                (F.col("d_q") > 0) & (F.col("kk") > 1) & (F.col("nn") > F.col("kk")),
+                round_big_int_ratio(
+                    F.col("b_q") * (F.col("nn") - F.col("kk")),
+                    F.col("d_q") * (F.col("kk") - one),
+                ),
+            ).alias("w_stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 17. Fligner-Policello robust rank-order test (quantity by linestatus)
+# ---------------------------------------------------------------------------
+
+
+def _fp_oracle() -> str:
+    from ..functions.exact import sql_round_big_int_ratio
+
+    return f"""
+    WITH rows_ AS (
+      SELECT l_linestatus AS s, CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem WHERE l_linestatus IN ('F', 'O')
+    ), grid AS (
+      SELECT s, q, CAST(count(*) AS BIGINT) AS cnt FROM rows_ GROUP BY s, q
+    ), a AS (SELECT q, cnt FROM grid WHERE s = 'F'),
+    b AS (SELECT q, cnt FROM grid WHERE s = 'O'),
+    pa AS (
+      SELECT a.q, a.cnt,
+             CAST(2 * coalesce(sum(CASE WHEN b.q < a.q THEN b.cnt END), 0)
+                  + coalesce(sum(CASE WHEN b.q = a.q THEN b.cnt END), 0)
+                  AS BIGINT) AS p2
+      FROM a LEFT JOIN b ON b.q <= a.q
+      GROUP BY a.q, a.cnt
+    ), pb AS (
+      SELECT b.q, b.cnt,
+             CAST(2 * coalesce(sum(CASE WHEN a.q < b.q THEN a.cnt END), 0)
+                  + coalesce(sum(CASE WHEN a.q = b.q THEN a.cnt END), 0)
+                  AS BIGINT) AS p2
+      FROM b LEFT JOIN a ON a.q <= b.q
+      GROUP BY b.q, b.cnt
+    ), sums AS (
+      SELECT (SELECT CAST(sum(cnt) AS HUGEINT) FROM pa) AS m,
+             (SELECT CAST(sum(cnt) AS HUGEINT) FROM pb) AS n,
+             (SELECT CAST(sum(cnt * p2) AS HUGEINT) FROM pa) AS sp2,
+             (SELECT CAST(sum(cnt * p2) AS HUGEINT) FROM pb) AS sq2,
+             (SELECT CAST(sum(cnt * p2 * p2) AS HUGEINT) FROM pa) AS s2p2,
+             (SELECT CAST(sum(cnt * p2 * p2) AS HUGEINT) FROM pb) AS s2q2
+    ), bq AS (
+      SELECT m, n, sp2, sq2,
+             {_sql_halfup_div('100::HUGEINT * (m * s2p2 - sp2 * sp2)', 'm')}
+               AS b1,
+             {_sql_halfup_div('100::HUGEINT * (n * s2q2 - sq2 * sq2)', 'n')}
+               AS b2,
+             {_sql_halfup_div('100::HUGEINT * sp2 * sq2', 'm * n')} AS b3
+      FROM sums
+    )
+    SELECT CAST(m AS BIGINT) AS n_f, CAST(n AS BIGINT) AS n_o,
+           CASE WHEN b1 + b2 + b3 > 0 THEN
+             {sql_round_big_int_ratio(
+                 '(CASE WHEN sp2 < sq2 THEN -1 ELSE 1 END)'
+                 ' * 25 * (sp2 - sq2) * (sp2 - sq2)',
+                 'b1 + b2 + b3')}
+           END AS u_signed_sq
+    FROM bq
+    """
+
+
+@_queued("stats_fligner_policello_status", _fp_oracle())
+def stats_fligner_policello_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fligner-Policello robust rank-order test of l_quantity between
+    the two line statuses: U = (ΣP − ΣQ)/(2√(V₁+V₂+P̄Q̄)) built from
+    PLACEMENTS (P_i = #{y < x_i} + ½#{y = x_i}) — the
+    Behrens-Fisher-robust two-sample location test: Mann-Whitney
+    assumes equal shapes, the t-test equal-ish variances; FP stays
+    valid when the groups differ in BOTH spread and shape, which is
+    the actual situation after any non-random split.
+
+    House exact form sign(U)·U²: doubled placements 2P are exact
+    integers computed on the ≤50-value quantity grid (count-weighted
+    — never per-row ranks), the three variance addends quantize once
+    at 1e-2 via the shared half-up idiom (4·[V₁+V₂+P̄Q̄] =
+    (b₁+b₂+b₃)/100), and sign·25·(ΣP₂−ΣQ₂)²/(b₁+b₂+b₃) is one
+    round_big_int_ratio — numerator ≲ 10³⁴ at sf1×10, inside
+    decimal(38)/HUGEINT. One fact scan to the bounded grid;
+    placements are grid×grid non-equi joins over ≤50 distinct values.
+    """
+    from ..functions.exact import round_big_int_ratio
+
+    t = Tables(spark, sf_dir)
+    rows = t.lineitem.filter(F.col("l_linestatus").isin("F", "O")).select(
+        F.col("l_linestatus").alias("s"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    grid = rows.groupBy("s", "q").agg(F.count(F.lit(1)).alias("cnt"))
+    a = grid.filter(F.col("s") == "F").select("q", "cnt")
+    b = grid.filter(F.col("s") == "O").select(
+        F.col("q").alias("qb"), F.col("cnt").alias("cntb")
+    )
+
+    def placements(x, y, qx, qy, cx, cy):
+        j = x.join(F.broadcast(y), F.col(qy) <= F.col(qx), "left")
+        return j.groupBy(qx, cx).agg(
+            (
+                F.lit(2)
+                * F.coalesce(
+                    F.sum(F.when(F.col(qy) < F.col(qx), F.col(cy))), F.lit(0)
+                )
+                + F.coalesce(
+                    F.sum(F.when(F.col(qy) == F.col(qx), F.col(cy))), F.lit(0)
+                )
+            ).alias("p2")
+        )
+
+    pa = placements(a, b, "q", "qb", "cnt", "cntb")
+    pb = placements(
+        b.select(F.col("qb").alias("q"), F.col("cntb").alias("cnt")),
+        a.select(F.col("q").alias("qb"), F.col("cnt").alias("cntb")),
+        "q",
+        "qb",
+        "cnt",
+        "cntb",
+    )
+
+    def sums(p, pre):
+        return p.agg(
+            _dec(F.sum("cnt")).alias(f"{pre}n"),
+            _dec(F.sum(F.col("cnt") * F.col("p2"))).alias(f"{pre}s"),
+            F.sum(_dec(F.col("cnt")) * _dec(F.col("p2")) * _dec(F.col("p2"))).alias(
+                f"{pre}ss"
+            ),
+        )
+
+    s = sums(pa, "a_").crossJoin(F.broadcast(sums(pb, "b_")))
+    h = F.lit(100).cast("decimal(38,0)")
+    bq = s.select(
+        F.col("a_n").alias("m"),
+        F.col("b_n").alias("n"),
+        F.col("a_s").alias("sp2"),
+        F.col("b_s").alias("sq2"),
+        _halfup_div(
+            h * (F.col("a_n") * F.col("a_ss") - F.col("a_s") * F.col("a_s")),
+            F.col("a_n"),
+        ).alias("b1"),
+        _halfup_div(
+            h * (F.col("b_n") * F.col("b_ss") - F.col("b_s") * F.col("b_s")),
+            F.col("b_n"),
+        ).alias("b2"),
+        _halfup_div(h * F.col("a_s") * F.col("b_s"), F.col("a_n") * F.col("b_n")).alias(
+            "b3"
+        ),
+    )
+    diff = F.col("sp2") - F.col("sq2")
+    sign = F.when(diff < 0, F.lit(-1)).otherwise(F.lit(1)).cast("decimal(38,0)")
+    den = F.col("b1") + F.col("b2") + F.col("b3")
+    return bq.select(
+        F.col("m").cast("long").alias("n_f"),
+        F.col("n").cast("long").alias("n_o"),
+        F.when(
+            den > 0,
+            round_big_int_ratio(
+                sign * F.lit(25).cast("decimal(38,0)") * diff * diff, den
+            ),
+        ).alias("u_signed_sq"),
+    )

@@ -27,7 +27,7 @@ def test_queue_is_banked_not_registered():
 
     registry._ensure_loaded()
     queued = {name for name, *_ in roundeleven.QUEUE}
-    assert len(queued) == 14
+    assert len(queued) == 17
     leaked = queued & set(registry._REGISTRY)
     assert not leaked, f"queued names leaked into the live registry: {leaked}"
 
@@ -682,3 +682,131 @@ def test_dsweep_matches_python(spark, sf_dir):
     assert int(got["n_reached"]) == len(d2)
     # the double-sweep bound can only improve on the first sweep
     assert int(got["diameter_lb"]) >= ecc1 or int(got["diameter_lb"]) == roundeleven.DSWEEP_HOPS
+
+
+# --- Batch C replicas ------------------------------------------------------
+
+
+def test_absorbing_markov_matches_python(spark, sf_dir):
+    got = _q("events_absorbing_markov_steps", spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "ts", "event_id", "event_type").toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    from collections import Counter
+
+    trans: Counter = Counter()
+    prev: dict = {}
+    for r in ev.itertuples():
+        u = int(r.user_id)
+        if u in prev:
+            trans[(prev[u], r.event_type)] += 1
+        prev[u] = r.event_type
+    ts = roundeleven.TRANSIENT_STATES
+    cf = {r: sum(c for (a, _b), c in trans.items() if a == r) for r in ts}
+    C = [[trans.get((a, b), 0) for b in ts] for a in ts]
+
+    def a_entry(r, c):
+        return cf[ts[r]] - C[r][c] if r == c else -C[r][c]
+
+    def det(entry):
+        tot = 0
+        for s, p in roundeleven._perm_terms():
+            prod = 1
+            for r in range(4):
+                prod *= entry(r, p[r])
+            tot += s * prod
+        return tot
+
+    dd = det(a_entry)
+    assert dd != 0
+    assert len(got) == 4
+    for _, row in got.iterrows():
+        j = ts.index(row["state"])
+
+        def ej(r, c, _j=j):
+            return cf[ts[r]] if c == _j else a_entry(r, c)
+
+        assert int(row["n_out"]) == cf[row["state"]]
+        assert row["expected_steps"] == _half_up(det(ej), dd), row["state"]
+    # cross-check the whole linear system against numpy
+    import numpy as np
+
+    A = np.array([[a_entry(r, c) for c in range(4)] for r in range(4)], float)
+    b = np.array([cf[s] for s in ts], float)
+    tvec = np.linalg.solve(A, b)
+    for _, row in got.iterrows():
+        assert abs(row["expected_steps"] - tvec[ts.index(row["state"])]) < 1e-4
+    # geometric sanity: with everything feeding purchase, steps >= 1
+    assert (got["expected_steps"] >= 1.0).all()
+
+
+def test_brown_forsythe_matches_python(spark, sf_dir):
+    got = _q("stats_brown_forsythe_quantity", spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_quantity").toPandas()
+    od = t.orders.select("o_orderkey", "o_orderpriority").toPandas()
+    pr = dict(zip(od["o_orderkey"], od["o_orderpriority"]))
+    from collections import defaultdict
+
+    vals: dict = defaultdict(list)
+    for ok, q in zip(li["l_orderkey"], li["l_quantity"]):
+        vals[pr[ok]].append(int(q))
+    med = {}
+    stats = {}
+    for g, vs in vals.items():
+        vs.sort()
+        m = vs[(len(vs) + 1) // 2 - 1]
+        med[g] = m
+        zs = [abs(v - m) for v in vs]
+        stats[g] = (len(zs), sum(zs), sum(z * z for z in zs))
+    tsum = sum(_halfup_int(10**4 * s * s, n) for n, s, _ in stats.values())
+    nn = sum(n for n, _, _ in stats.values())
+    kk = len(stats)
+    sz_all = sum(s for _, s, _ in stats.values())
+    szz_all = sum(zz for _, _, zz in stats.values())
+    b_q = tsum - _halfup_int(10**4 * sz_all * sz_all, nn)
+    d_q = 10**4 * szz_all - tsum
+    w = _half_up(b_q * (nn - kk), d_q * (kk - 1))
+    assert len(got) == kk
+    for _, row in got.iterrows():
+        n, s, _zz = stats[row["priority"]]
+        assert int(row["n"]) == n
+        assert int(row["group_median"]) == med[row["priority"]]
+        assert row["mean_absdev"] == _half_up(s, n)
+        assert row["w_stat"] == w
+    assert w >= 0.0
+
+
+def test_fligner_policello_matches_python(spark, sf_dir):
+    gdf = _q("stats_fligner_policello_status", spark, sf_dir)
+    got = {c: gdf[c].iloc[0] for c in gdf.columns}
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_linestatus", "l_quantity").toPandas()
+    from collections import Counter
+
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for s, q in zip(li["l_linestatus"], li["l_quantity"]):
+        if s == "F":
+            ca[int(q)] += 1
+        elif s == "O":
+            cb[int(q)] += 1
+
+    def p2s(cx, cy):
+        sp2 = s2p2 = m = 0
+        for q, c in cx.items():
+            p2 = 2 * sum(v for k, v in cy.items() if k < q) + cy.get(q, 0)
+            m += c
+            sp2 += c * p2
+            s2p2 += c * p2 * p2
+        return m, sp2, s2p2
+
+    m, sp2, s2p2 = p2s(ca, cb)
+    n, sq2, s2q2 = p2s(cb, ca)
+    b1 = _halfup_int(100 * (m * s2p2 - sp2 * sp2), m)
+    b2 = _halfup_int(100 * (n * s2q2 - sq2 * sq2), n)
+    b3 = _halfup_int(100 * sp2 * sq2, m * n)
+    assert int(got["n_f"]) == m and int(got["n_o"]) == n
+    diff = sp2 - sq2
+    sign = -1 if diff < 0 else 1
+    assert got["u_signed_sq"] == _half_up(sign * 25 * diff * diff, b1 + b2 + b3)
