@@ -2278,3 +2278,399 @@ def stats_fligner_policello_status(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         ).alias("u_signed_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 18. k-sample median test (quantity by priority)
+# ---------------------------------------------------------------------------
+
+
+def _ksample_median_oracle() -> str:
+    from ..functions.exact import sql_round_int_ratio
+
+    return f"""
+    WITH jn AS (
+      SELECT o.o_orderpriority AS g, CAST(l.l_quantity AS BIGINT) AS q
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), grid AS (
+      SELECT g, q, CAST(count(*) AS BIGINT) AS cnt FROM jn GROUP BY g, q
+    ), vals AS (
+      SELECT q, CAST(sum(cnt) AS BIGINT) AS c FROM grid GROUP BY q
+    ), cum AS (
+      SELECT a.q, CAST(sum(b.c) AS BIGINT) AS cle
+      FROM vals a JOIN vals b ON b.q <= a.q GROUP BY a.q
+    ), nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vals),
+    med AS (
+      SELECT CAST(min(cum.q) AS BIGINT) AS med
+      FROM cum, nn WHERE cum.cle >= (nn.n + 1) // 2
+    ), cells AS (
+      SELECT g, CAST(sum(cnt) AS HUGEINT) AS n_g,
+             CAST(sum(CASE WHEN grid.q > med.med THEN cnt ELSE 0 END)
+                  AS HUGEINT) AS above
+      FROM grid, med GROUP BY g
+    ), marg AS (
+      SELECT CAST(sum(n_g) AS HUGEINT) AS n,
+             CAST(sum(above) AS HUGEINT) AS r_above
+      FROM cells
+    ), chi AS (
+      SELECT sum(
+        (CASE WHEN m.r_above > 0 THEN
+          ((2000000::HUGEINT * (c.above * m.n - c.n_g * m.r_above)
+            * (c.above * m.n - c.n_g * m.r_above)
+            + m.n * c.n_g * m.r_above)
+           // (2::HUGEINT * m.n * c.n_g * m.r_above)) ELSE 0 END)
+        + (CASE WHEN m.n - m.r_above > 0 THEN
+          ((2000000::HUGEINT * ((c.n_g - c.above) * m.n
+             - c.n_g * (m.n - m.r_above))
+            * ((c.n_g - c.above) * m.n - c.n_g * (m.n - m.r_above))
+            + m.n * c.n_g * (m.n - m.r_above))
+           // (2::HUGEINT * m.n * c.n_g * (m.n - m.r_above))) ELSE 0 END)
+        ) AS chi_q,
+        CAST(count(*) AS BIGINT) AS k
+      FROM cells c, marg m
+    )
+    SELECT c.g AS priority, CAST(c.n_g AS BIGINT) AS n,
+           CAST(c.above AS BIGINT) AS n_above,
+           {sql_round_int_ratio('CAST(c.above AS BIGINT)',
+                                'CAST(c.n_g AS BIGINT)')} AS frac_above,
+           m2.med AS grand_median,
+           ch.chi_q / 1000000.0 AS chi2_stat,
+           ch.k - 1 AS df
+    FROM cells c, med m2, chi ch
+    """
+
+
+@_queued("stats_k_sample_median_test", _ksample_median_oracle())
+def stats_k_sample_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-sample median test of l_quantity across the five order
+    priorities: dichotomize every observation at the GRAND median and
+    chi-square the resulting k×2 table — the k-group generalization
+    of stats_mood_median_discount (two groups) and the bluntest,
+    most assumption-free of the k-sample location tests (only the
+    dichotomy matters, so it survives arbitrary within-group shapes
+    where Kruskal-Wallis needs similar ones).
+
+    Exact path: the grand median is the nearest-rank value over the
+    ≤50-value quantity grid (bounded-domain cumulative); cell terms
+    (O·N − n_g·R)²/(N·n_g·R) quantize per cell at 1e-6 by half-up
+    integer division and SUM AS INT64 — one display division total.
+    The expected-count denominators use the exact margins, so the
+    statistic matches the textbook χ² on the dichotomized table.
+    Heavy work is the lineitem⋈orders scan to the (priority,
+    quantity) grid; everything after is ≤ 250 rows.
+    """
+    from ..functions.exact import round_int_ratio
+
+    t = Tables(spark, sf_dir)
+    jn = t.lineitem.join(
+        t.orders.select("o_orderkey", "o_orderpriority"),
+        t.lineitem.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    grid = jn.groupBy("g", "q").agg(F.count(F.lit(1)).alias("cnt"))
+    vals = grid.groupBy("q").agg(F.sum("cnt").alias("c"))
+    vb = vals.select(F.col("q").alias("q_b"), F.col("c").alias("c_b"))
+    cum = (
+        vals.join(F.broadcast(vb), F.col("q_b") <= F.col("q"))
+        .groupBy("q")
+        .agg(F.sum("c_b").alias("cle"))
+    )
+    nn = vals.agg(F.sum("c").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(nn))
+        .filter(F.col("cle") >= ((F.col("n") + 1) - (F.col("n") + 1) % 2) / 2)
+        .agg(F.min("q").alias("med"))
+    )
+    cells = (
+        grid.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            _dec(F.sum("cnt")).alias("n_g"),
+            _dec(
+                F.sum(F.when(F.col("q") > F.col("med"), F.col("cnt")).otherwise(0))
+            ).alias("above"),
+        )
+    )
+    marg = cells.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("above").alias("r_above"),
+        _dec(F.count(F.lit(1))).alias("k"),
+    )
+    wm = cells.crossJoin(F.broadcast(marg))
+
+    def cell_term(obs, rmarg):
+        dev = obs * F.col("n") - F.col("n_g") * rmarg
+        den = F.col("n") * F.col("n_g") * rmarg
+        a = F.lit(2000000).cast("decimal(38,0)") * dev * dev + den
+        b = F.lit(2).cast("decimal(38,0)") * den
+        return F.when(rmarg > 0, _dec((a - a % b) / b)).otherwise(
+            F.lit(0).cast("decimal(38,0)")
+        )
+
+    chi = wm.select(
+        (
+            cell_term(F.col("above"), F.col("r_above"))
+            + cell_term(
+                F.col("n_g") - F.col("above"), F.col("n") - F.col("r_above")
+            )
+        ).alias("t")
+    ).agg(F.sum("t").alias("chi_q"))
+    return (
+        cells.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(chi))
+        .crossJoin(F.broadcast(marg.select("k")))
+        .select(
+            F.col("g").alias("priority"),
+            F.col("n_g").cast("long").alias("n"),
+            F.col("above").cast("long").alias("n_above"),
+            round_int_ratio(
+                F.col("above").cast("long"), F.col("n_g").cast("long")
+            ).alias("frac_above"),
+            F.col("med").alias("grand_median"),
+            (F.col("chi_q").cast("long") / F.lit(1e6)).alias("chi2_stat"),
+            (F.col("k") - 1).cast("long").alias("df"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 19. Bottom-k (one-permutation) Jaccard sketch with exact audit
+# ---------------------------------------------------------------------------
+
+BKJ_MIN = 10
+
+
+def _bkj_oracle() -> str:
+    from .roundnine import KMV_INT_DOMAIN, KMV_INT_K
+    from ..functions.exact import sql_round_int_ratio
+
+    k, dom, thr = KMV_INT_K, KMV_INT_DOMAIN, BKJ_MIN
+    return f"""
+    WITH pv AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc
+      FROM events GROUP BY user_id
+    ), members AS (
+      SELECT nv >= {thr} AS in_a, nc >= {thr} AS in_b,
+             (('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % {dom}) AS hv
+      FROM pv WHERE nv >= {thr} OR nc >= {thr}
+    ), bottom AS (
+      SELECT hv, in_a, in_b FROM members ORDER BY hv LIMIT {k}
+    ), est AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_eff,
+             CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS matches
+      FROM bottom
+    ), tru AS (
+      SELECT CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inter,
+             CAST(count(*) AS BIGINT) AS n_union
+      FROM members
+    )
+    SELECT e.k_eff, e.matches, t.n_inter, t.n_union,
+           {sql_round_int_ratio('e.matches', 'e.k_eff')} AS j_est,
+           {sql_round_int_ratio('t.n_inter', 't.n_union')} AS j_true,
+           abs({sql_round_int_ratio('e.matches', 'e.k_eff')}
+               - {sql_round_int_ratio('t.n_inter', 't.n_union')}) AS abs_err
+    FROM est e, tru t WHERE e.k_eff > 0 AND t.n_union > 0
+    """
+
+
+@_queued("sketch_bottomk_jaccard_users", _bkj_oracle())
+def sketch_bottomk_jaccard_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (one-permutation) Jaccard estimator between the heavy
+    VIEWER and heavy CLICKER audiences: take the k = 256 smallest
+    portable hashes over the UNION and estimate J as the fraction of
+    those sample points belonging to both sets — the bottom-k sketch
+    identity (Cohen & Kaplan): the k smallest of A∪B are a uniform
+    sample of the union, so membership frequency estimates any set
+    ratio. Audited against the exact Jaccard. Completes the sketch
+    family's similarity corner (MinHash-LSH estimates PER-PAIR doc
+    similarity from signatures; this estimates ONE audience-pair
+    Jaccard from composable bottom-k state — the cheap first question
+    before any per-pair work).
+
+    Deterministic bottom-k machinery shared with the KMV siblings:
+    one user-keyed aggregate, one 256-row TakeOrdered carrying the
+    two membership flags, exact integer ratios everywhere.
+    """
+    from .roundnine import KMV_INT_DOMAIN, KMV_INT_K
+    from ..functions.exact import round_int_ratio
+    from ..functions.textnorm import sha256_prefix_i64
+
+    k, dom, thr = KMV_INT_K, KMV_INT_DOMAIN, BKJ_MIN
+    t = Tables(spark, sf_dir)
+    pv = t.events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("nv"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("nc"),
+    )
+    members = pv.filter((F.col("nv") >= thr) | (F.col("nc") >= thr)).select(
+        (F.col("nv") >= thr).alias("in_a"),
+        (F.col("nc") >= thr).alias("in_b"),
+        (sha256_prefix_i64(F.col("user_id").cast("string")) % dom).alias("hv"),
+    )
+    bottom = members.orderBy("hv").limit(k)
+    est = bottom.agg(
+        F.count(F.lit(1)).alias("k_eff"),
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)).alias(
+            "matches"
+        ),
+    )
+    tru = members.agg(
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)).alias(
+            "n_inter"
+        ),
+        F.count(F.lit(1)).alias("n_union"),
+    )
+    j_est = round_int_ratio(F.col("matches"), F.col("k_eff"))
+    j_true = round_int_ratio(F.col("n_inter"), F.col("n_union"))
+    return (
+        est.crossJoin(F.broadcast(tru))
+        .filter((F.col("k_eff") > 0) & (F.col("n_union") > 0))
+        .select(
+            "k_eff",
+            "matches",
+            "n_inter",
+            "n_union",
+            j_est.alias("j_est"),
+            j_true.alias("j_true"),
+            F.abs(j_est - j_true).alias("abs_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 20. One-way ANOVA of embedding squared norms across labels
+# ---------------------------------------------------------------------------
+
+
+def _norm2_anova_oracle() -> str:
+    from ..functions.exact import sql_round_big_int_ratio, sql_round_int_ratio
+
+    return f"""
+    WITH n2 AS (
+      SELECT label,
+             {_sql_halfup_div(
+                 "CAST(list_sum(list_transform(embedding::DOUBLE[], "
+                 "x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) "
+                 "* CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))) AS HUGEINT)",
+                 "1000000::HUGEINT")} AS v
+      FROM embeddings
+    ), per_g AS (
+      SELECT label, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(v) AS HUGEINT) AS s,
+             CAST(sum(v * v) AS HUGEINT) AS ss
+      FROM n2 GROUP BY label
+    ), tq AS (
+      SELECT label, n, s, ss,
+             {_sql_halfup_div('10000::HUGEINT * s * s', 'n')} AS t_g
+      FROM per_g
+    ), tot AS (
+      SELECT CAST(sum(n) AS HUGEINT) AS nn,
+             CAST(count(*) AS HUGEINT) AS kk,
+             CAST(sum(s) AS HUGEINT) AS s_all,
+             CAST(sum(ss) AS HUGEINT) AS ss_all,
+             CAST(sum(t_g) AS HUGEINT) AS t_sum
+      FROM tq
+    ), stat AS (
+      SELECT nn, kk,
+             t_sum - {_sql_halfup_div('10000::HUGEINT * s_all * s_all', 'nn')}
+               AS b_q,
+             10000::HUGEINT * ss_all - t_sum AS w_q
+      FROM tot
+    )
+    SELECT t.label, CAST(t.n AS BIGINT) AS n,
+           {sql_round_int_ratio('CAST(t.s AS BIGINT)',
+                                '1000000 * CAST(t.n AS BIGINT)')}
+             AS mean_norm2,
+           CASE WHEN s.w_q > 0 AND s.kk > 1 AND s.nn > s.kk THEN
+             {sql_round_big_int_ratio('s.b_q * (s.nn - s.kk)',
+                                      's.w_q * (s.kk - 1)')}
+           END AS f_stat
+    FROM tq t CROSS JOIN stat s
+    """
+
+
+@_queued("embedding_norm2_anova_by_label", _norm2_anova_oracle())
+def embedding_norm2_anova_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of embedding SQUARED NORMS across class labels —
+    the norm-calibration diagnostic the embedding family lacked: if
+    ‖x‖² differs systematically by class, cosine and dot-product
+    retrieval disagree, quantizers allocate range unevenly, and any
+    norm-based pruning is class-biased (the dim-stats op profiles
+    dimensions; this tests the one scalar every index actually uses).
+
+    Exactness: per-vector ‖x‖² from the house 1e-6-quantized
+    components is an exact int64, re-quantized to 1e-6-norm² units by
+    the shared half-up idiom (headroom: group Σv² then fits
+    decimal(38) through sf1×10); the F statistic assembles exactly
+    like the Brown-Forsythe W — per-group 1e-4 half-up quadratic
+    terms, one round_big_int_ratio. One scan to ≤ 10 label rows.
+    """
+    from ..functions.exact import round_big_int_ratio, round_int_ratio
+
+    t = Tables(spark, sf_dir)
+    xq = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+    )
+    raw = t.embeddings.select(
+        "label",
+        F.aggregate(
+            xq, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("n2raw"),
+    )
+    n2 = raw.select(
+        "label",
+        _halfup_div(
+            _dec(F.col("n2raw")), F.lit(1000000).cast("decimal(38,0)")
+        ).alias("v"),
+    )
+    per_g = n2.groupBy("label").agg(
+        _dec(F.count(F.lit(1))).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    e4 = F.lit(10000).cast("decimal(38,0)")
+    tq = per_g.select(
+        "label",
+        "n",
+        "s",
+        "ss",
+        _halfup_div(e4 * F.col("s") * F.col("s"), F.col("n")).alias("t_g"),
+    )
+    tot = tq.agg(
+        F.sum("n").alias("nn"),
+        _dec(F.count(F.lit(1))).alias("kk"),
+        F.sum("s").alias("s_all"),
+        F.sum("ss").alias("ss_all"),
+        F.sum("t_g").alias("t_sum"),
+    )
+    stat = tot.select(
+        "nn",
+        "kk",
+        (
+            F.col("t_sum")
+            - _halfup_div(e4 * F.col("s_all") * F.col("s_all"), F.col("nn"))
+        ).alias("b_q"),
+        (e4 * F.col("ss_all") - F.col("t_sum")).alias("w_q"),
+    )
+    one = F.lit(1).cast("decimal(38,0)")
+    return tq.crossJoin(F.broadcast(stat)).select(
+        "label",
+        F.col("n").cast("long").alias("n"),
+        round_int_ratio(
+            F.col("s").cast("long"), F.lit(1000000) * F.col("n").cast("long")
+        ).alias("mean_norm2"),
+        F.when(
+            (F.col("w_q") > 0) & (F.col("kk") > 1) & (F.col("nn") > F.col("kk")),
+            round_big_int_ratio(
+                F.col("b_q") * (F.col("nn") - F.col("kk")),
+                F.col("w_q") * (F.col("kk") - one),
+            ),
+        ).alias("f_stat"),
+    )

@@ -27,7 +27,7 @@ def test_queue_is_banked_not_registered():
 
     registry._ensure_loaded()
     queued = {name for name, *_ in roundeleven.QUEUE}
-    assert len(queued) == 17
+    assert len(queued) == 20
     leaked = queued & set(registry._REGISTRY)
     assert not leaked, f"queued names leaked into the live registry: {leaked}"
 
@@ -810,3 +810,110 @@ def test_fligner_policello_matches_python(spark, sf_dir):
     diff = sp2 - sq2
     sign = -1 if diff < 0 else 1
     assert got["u_signed_sq"] == _half_up(sign * 25 * diff * diff, b1 + b2 + b3)
+
+
+# --- Batch D replicas ------------------------------------------------------
+
+
+def test_k_sample_median_matches_python(spark, sf_dir):
+    got = _q("stats_k_sample_median_test", spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_quantity").toPandas()
+    od = t.orders.select("o_orderkey", "o_orderpriority").toPandas()
+    pr = dict(zip(od["o_orderkey"], od["o_orderpriority"]))
+    from collections import defaultdict
+
+    vals: dict = defaultdict(list)
+    allq = []
+    for ok, q in zip(li["l_orderkey"], li["l_quantity"]):
+        vals[pr[ok]].append(int(q))
+        allq.append(int(q))
+    allq.sort()
+    med = allq[(len(allq) + 1) // 2 - 1]
+    cells = {g: (len(v), sum(1 for x in v if x > med)) for g, v in vals.items()}
+    n = len(allq)
+    r_above = sum(a for _, a in cells.values())
+    chi_q = 0
+    for g, (ng, ab) in cells.items():
+        for obs, rm in ((ab, r_above), (ng - ab, n - r_above)):
+            if rm > 0:
+                dev = obs * n - ng * rm
+                chi_q += _halfup_int(10**6 * dev * dev, n * ng * rm)
+    assert len(got) == len(cells)
+    for _, row in got.iterrows():
+        ng, ab = cells[row["priority"]]
+        assert int(row["n"]) == ng
+        assert int(row["n_above"]) == ab
+        assert row["frac_above"] == _half_up(ab, ng)
+        assert int(row["grand_median"]) == med
+        assert row["chi2_stat"] == chi_q / 1e6
+        assert int(row["df"]) == len(cells) - 1
+    assert chi_q >= 0
+
+
+def test_bottomk_jaccard_matches_python(spark, sf_dir):
+    from mysql_public_data_ingestor_spark.operators.roundnine import (
+        KMV_INT_DOMAIN,
+        KMV_INT_K,
+    )
+
+    gdf = _q("sketch_bottomk_jaccard_users", spark, sf_dir)
+    got = {c: gdf[c].iloc[0] for c in gdf.columns}
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type").toPandas()
+    from collections import Counter
+
+    nv: Counter = Counter()
+    nc: Counter = Counter()
+    for u, et in zip(ev["user_id"], ev["event_type"]):
+        if et == "view":
+            nv[int(u)] += 1
+        elif et == "click":
+            nc[int(u)] += 1
+    thr = roundeleven.BKJ_MIN
+    aset = {u for u, c in nv.items() if c >= thr}
+    bset = {u for u, c in nc.items() if c >= thr}
+    uni = aset | bset
+    mem = sorted(
+        (_h60(str(u)) % KMV_INT_DOMAIN, u in aset, u in bset) for u in uni
+    )[: KMV_INT_K]
+    k_eff = len(mem)
+    matches = sum(1 for _, a, b in mem if a and b)
+    n_inter = len(aset & bset)
+    assert int(got["k_eff"]) == k_eff
+    assert int(got["matches"]) == matches
+    assert int(got["n_inter"]) == n_inter
+    assert int(got["n_union"]) == len(uni)
+    assert got["j_est"] == _half_up(matches, k_eff)
+    assert got["j_true"] == _half_up(n_inter, len(uni))
+
+
+def test_norm2_anova_matches_python(spark, sf_dir):
+    got = _q("embedding_norm2_anova_by_label", spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("label", "embedding").toPandas()
+    from collections import defaultdict
+
+    acc: dict = defaultdict(list)
+    for lb, vec in zip(emb["label"], emb["embedding"]):
+        n2raw = sum(
+            int(math.floor(x * 1e6 + 0.5)) ** 2 for x in vec
+        )
+        acc[int(lb)].append(_halfup_int(n2raw, 10**6))
+    stats = {
+        g: (len(v), sum(v), sum(x * x for x in v)) for g, v in acc.items()
+    }
+    tsum = sum(_halfup_int(10**4 * s * s, n) for n, s, _ in stats.values())
+    nn = sum(n for n, _, _ in stats.values())
+    kk = len(stats)
+    s_all = sum(s for _, s, _ in stats.values())
+    ss_all = sum(ss for _, _, ss in stats.values())
+    b_q = tsum - _halfup_int(10**4 * s_all * s_all, nn)
+    w_q = 10**4 * ss_all - tsum
+    f = _half_up(b_q * (nn - kk), w_q * (kk - 1))
+    assert len(got) == kk
+    for _, row in got.iterrows():
+        n, s, _ss = stats[int(row["label"])]
+        assert int(row["n"]) == n
+        assert row["mean_norm2"] == _half_up(s, 10**6 * n)
+        assert row["f_stat"] == f
