@@ -625,3 +625,145 @@ def retention_ols_tracker_tws(points: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Shewhart c-chart monitor (round-10 addition): the ONLINE twin of the
+# batch dq_control_chart_daily retrospective audit
+# ---------------------------------------------------------------------------
+
+_CC_SCHEMA = (
+    "event_type string, n_days long, n_high long, n_low long,"
+    " last_flag long, n_late long"
+)
+_CC_STATE = "n long, s long, n_high long, n_low long, last_day long"
+
+
+def cchart_monitor_per_type(daily: DataFrame) -> DataFrame:
+    """Streaming Shewhart c-chart per event type: as each day's count
+    closes, fold it into the running (N, S) sufficient statistics and
+    flag the day if it breaches the RUNNING Poisson 3σ limits —
+    exactly the cross-multiplied integer test of the batch audit,
+    (N·c − S)² > 9·S·N, with the day included in its own limits
+    (prequential form; the batch ``dq_control_chart_daily`` is the
+    retrospective twin that re-judges every day against the FINAL
+    mean, so their violation counts agree in the limit but not day
+    by day — that difference IS the online/offline distinction, not
+    a bug).
+
+    State is 4 longs + the last closed day; the fold is pure int64
+    so the stream equals a single-pass batch recursion bit-for-bit.
+    Out-of-order micro-batch rows are dropped and surfaced via
+    ``n_late`` (the standing CUSUM/Holt/PH guard). last_flag is the
+    most recent day's verdict (+1 high, −1 low, 0 in-control).
+    """
+
+    def fn(key, pdfs, state: GroupState):
+        (event_type,) = key
+        n, s, n_high, n_low, last_day = (
+            state.get if state.exists else (0, 0, 0, 0, -1)
+        )
+        rows = pd.concat(list(pdfs)).sort_values("day")
+        n_late = 0
+        last_flag = 0
+        for day, x in zip(rows["day"], rows["x"]):
+            dk = _day_key(day)
+            if dk <= last_day:
+                n_late += 1
+                continue
+            last_day = dk
+            n += 1
+            s += int(x)
+            dev = n * int(x) - s
+            if dev * dev > 9 * s * n:
+                if dev > 0:
+                    n_high += 1
+                    last_flag = 1
+                else:
+                    n_low += 1
+                    last_flag = -1
+            else:
+                last_flag = 0
+        state.update((n, s, n_high, n_low, last_day))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n_days": [n],
+                "n_high": [n_high],
+                "n_low": [n_low],
+                "last_flag": [last_flag],
+                "n_late": [n_late],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=_CC_SCHEMA,
+        stateStructType=_CC_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def cchart_monitor_per_type_tws(daily: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of ``cchart_monitor_per_type``
+    — identical int64 fold and out-of-order guard through the Spark 4
+    StatefulProcessor API on the RocksDB store (the PH/OLS twin
+    pattern). Requires google.protobuf at runtime; tests skip where
+    absent.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class CChart(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("cc", _CC_STATE)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            prior = self._state.get() if self._state.exists() else None
+            n, s, n_high, n_low, last_day = (
+                tuple(prior) if prior else (0, 0, 0, 0, -1)
+            )
+            (event_type,) = key
+            pdf = pd.concat(list(rows)).sort_values("day")
+            n_late = 0
+            last_flag = 0
+            for day, x in zip(pdf["day"], pdf["x"]):
+                dk = _day_key(day)
+                if dk <= last_day:
+                    n_late += 1
+                    continue
+                last_day = dk
+                n += 1
+                s += int(x)
+                dev = n * int(x) - s
+                if dev * dev > 9 * s * n:
+                    if dev > 0:
+                        n_high += 1
+                        last_flag = 1
+                    else:
+                        n_low += 1
+                        last_flag = -1
+                else:
+                    last_flag = 0
+            self._state.update((n, s, n_high, n_low, last_day))
+            yield pd.DataFrame(
+                {
+                    "event_type": [event_type],
+                    "n_days": [n],
+                    "n_high": [n_high],
+                    "n_low": [n_low],
+                    "last_flag": [last_flag],
+                    "n_late": [n_late],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    _rocksdb(daily)
+    return daily.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=CChart(),
+        outputStructType=_CC_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -889,3 +889,121 @@ def test_streaming_retention_ols_tws_equals_closed_form(spark, tmp_path):
             half_up(sy * den - num * sx, m * den),
         ), metric
     assert spark.sql("SELECT sum(n_late) FROM ols_tws_out").collect()[0][0] == 0
+
+
+def _cchart_fold(series):
+    """Single-pass int64 reference of the c-chart monitor recursion."""
+    n = s = n_high = n_low = 0
+    last_flag = 0
+    for _, x in sorted(series):
+        n += 1
+        s += int(x)
+        dev = n * int(x) - s
+        if dev * dev > 9 * s * n:
+            if dev > 0:
+                n_high += 1
+                last_flag = 1
+            else:
+                n_low += 1
+                last_flag = -1
+        else:
+            last_flag = 0
+    return n, n_high, n_low, last_flag
+
+
+def test_streaming_cchart_equals_batch_recursion(spark, sf_dir, tmp_path):
+    """Stateful streaming Shewhart c-chart across two ordered
+    micro-batches == the single-pass integer recursion over the same
+    day-ordered per-type daily count series (running 3-sigma limits,
+    cross-multiplied integer test — no float anywhere)."""
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "event_type", F.to_date(F.col("ts")).cast("string").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    series: dict = {}
+    for r in daily.collect():
+        series.setdefault(r.event_type, []).append((r.day, int(r.x)))
+    stream = _two_batch_stream(spark, tmp_path, daily)
+    run_to_memory(sw.cchart_monitor_per_type(stream), "cc_out", "update")
+    got = {
+        r.event_type: (r.n_days, r.n_high, r.n_low, r.last_flag)
+        for r in spark.sql(
+            "SELECT event_type, max_by(n_days, n_days) AS n_days,"
+            " max_by(n_high, n_days) AS n_high,"
+            " max_by(n_low, n_days) AS n_low,"
+            " max_by(last_flag, n_days) AS last_flag FROM cc_out GROUP BY 1"
+        ).collect()
+    }
+    for et, sr in series.items():
+        n, n_high, n_low, last_flag = _cchart_fold(sr)
+        assert got[et] == (n, n_high, n_low, last_flag), et
+    assert spark.sql("SELECT sum(n_late) FROM cc_out").collect()[0][0] == 0
+
+
+def test_streaming_cchart_out_of_order_batch_flagged(spark, sf_dir, tmp_path):
+    """Out-of-order guard: when the later half of the days arrives
+    first, the earlier half is dropped and surfaced via n_late, and
+    the fold reflects only the in-order prefix."""
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "event_type", F.to_date(F.col("ts")).cast("string").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    series: dict = {}
+    for r in daily.collect():
+        series.setdefault(r.event_type, []).append((r.day, int(r.x)))
+    stream, cut = _out_of_order_stream(spark, tmp_path, daily)
+    run_to_memory(sw.cchart_monitor_per_type(stream), "cc_ooo_out", "update")
+    got = {
+        r.event_type: (r.n_days, r.n_high, r.n_low, r.n_late)
+        for r in spark.sql(
+            "SELECT event_type, max_by(n_days, n_days) AS n_days,"
+            " max_by(n_high, n_days) AS n_high,"
+            " max_by(n_low, n_days) AS n_low,"
+            " sum(n_late) AS n_late FROM cc_ooo_out GROUP BY 1"
+        ).collect()
+    }
+    for et, sr in series.items():
+        later = [(d, x) for d, x in sr if d >= cut]
+        n, n_high, n_low, _ = _cchart_fold(later)
+        assert got[et] == (n, n_high, n_low, len(sr) - len(later)), et
+
+
+def test_streaming_cchart_tws_twin_matches(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas twin == the applyInPandasWithState
+    c-chart fold on the same two ordered micro-batches (identical
+    int64 state machine through a different state API). Requires
+    google.protobuf; skipped where absent."""
+    pytest.importorskip("google.protobuf")
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "event_type", F.to_date(F.col("ts")).cast("string").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    series: dict = {}
+    for r in daily.collect():
+        series.setdefault(r.event_type, []).append((r.day, int(r.x)))
+    stream = _two_batch_stream(spark, tmp_path, daily)
+    run_to_memory(sw.cchart_monitor_per_type_tws(stream), "cc_tws_out", "update")
+    got = {
+        r.event_type: (r.n_days, r.n_high, r.n_low, r.last_flag)
+        for r in spark.sql(
+            "SELECT event_type, max_by(n_days, n_days) AS n_days,"
+            " max_by(n_high, n_days) AS n_high,"
+            " max_by(n_low, n_days) AS n_low,"
+            " max_by(last_flag, n_days) AS last_flag FROM cc_tws_out GROUP BY 1"
+        ).collect()
+    }
+    for et, sr in series.items():
+        n, n_high, n_low, last_flag = _cchart_fold(sr)
+        assert got[et] == (n, n_high, n_low, last_flag), et
