@@ -153,10 +153,21 @@ def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" * shiftleft(CAST(1 AS BIGINT), CAST(bucket div {s} AS INT)))"
         f" div 32 AS BIGINT) AS est_cents",
     ).filter(F.col("n") > 0)
-    ach = (
+    # Left join from rep so a quantile row survives with achieved_rank 0
+    # even when NO value is <= its bucket midpoint (possible when the
+    # lowest occupied bucket's values all exceed the midpoint) — mirrors
+    # the oracle's scalar-count semantics (ADVICE r10).
+    ranks = (
         rws.join(F.broadcast(rep), rws.v <= F.col("est_cents"))
-        .groupBy("q", "bucket", "est_cents", "n")
-        .agg(F.count(F.lit(1)).alias("achieved_rank"))
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("ar"))
+    )
+    ach = rep.join(F.broadcast(ranks), "q", "left").select(
+        "q",
+        "bucket",
+        "est_cents",
+        "n",
+        F.coalesce(F.col("ar"), F.lit(0).cast("long")).alias("achieved_rank"),
     )
     return ach.select(
         "q",

@@ -76,16 +76,28 @@ _EVIDENCE_MIN_ROUND: dict[str, int] = {
     # CORRECTNESS_r09 green evidence after the truth-side block cap
     # (authoring rule: entries auto-clear once fresh evidence lands;
     # prune inert ones at the start of the next round).
+    #
+    # round-11: achieved_rank edge-case fix (ADVICE r10 — inner join
+    # dropped a quantile row when no value <= the bucket midpoint; now
+    # a left join coalescing to 0, matching the oracle's scalar-count
+    # semantics). Identical output on the standard fixtures, but the
+    # semantics changed, so r10 evidence is invalidated.
+    "sketch_ddsketch_quantiles": 11,
 }
 
 
-def _verified_names() -> tuple[set[str], set[str]]:
+def _verified_names(max_round: Optional[int] = None) -> tuple[set[str], set[str]]:
     """(hash_verified, rows_verified) query names across all prior
     rounds' CORRECTNESS_r*.json. Used to rotate the evaluation window:
     once a query has external evidence, it yields its slot to queries
     that have none. Missing/unreadable files mean no evidence.
     Evidence older than ``_EVIDENCE_MIN_ROUND[name]`` is ignored — a
-    semantic change invalidates earlier hash rows."""
+    semantic change invalidates earlier hash rows.
+
+    ``max_round`` caps the evidence considered (inclusive): tests that
+    snapshot a historical window composition pass the round the
+    snapshot was taken at, so future driver evidence can never redden
+    them (VERDICT r10 item 1)."""
     import glob
     import json
     import os
@@ -97,6 +109,8 @@ def _verified_names() -> tuple[set[str], set[str]]:
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
+        if max_round is not None and rnd > max_round:
+            continue
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -210,5 +224,12 @@ def _ensure_loaded() -> None:
     from .operators import roundtenb
 
     roundtenb.activate()
+
+    # round-11 activation of the round-10-banked queue (VERDICT r10
+    # item 3: 20 ops, gates + 46 tests + SCALE §§5i.11–5i.15 landed in
+    # the same commits as the code)
+    from .operators import roundeleven
+
+    roundeleven.activate()
 
     _LOADED = True

@@ -173,11 +173,6 @@ def running_totals_per_user_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    spark = events.sparkSession
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
     return (
         events.groupBy("user_id")
         .transformWithStateInPandas(
@@ -489,11 +484,42 @@ def retention_ols_tracker(points: DataFrame) -> DataFrame:
 # --- VERDICT r9 item 5's "wire transformWithState twins") -----------------
 
 
-def _rocksdb(df: DataFrame) -> None:
-    df.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+class rocksdb_state_store:
+    """Context manager: set the RocksDB state-store provider for the
+    duration of STARTING a transformWithStateInPandas query, then
+    restore the prior session value.
+
+    transformWithState requires the RocksDB provider; the provider is
+    captured per-query at ``.start()`` time, so the conf only needs to
+    hold while the query starts. Plan builders below do NOT mutate
+    session conf (ADVICE r10: a builder-time ``conf.set`` silently
+    switched every later streaming query in the session — including the
+    applyInPandasWithState monitors — to RocksDB). Callers wrap the
+    ``writeStream...start()`` call:
+
+        with rocksdb_state_store(spark):
+            q = tws_df.writeStream...start()
+    """
+
+    def __init__(self, spark) -> None:
+        self._spark = spark
+        self._prior: str | None = None
+
+    def __enter__(self) -> None:
+        self._prior = self._spark.conf.get(_PROVIDER_KEY, None)
+        self._spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
+
+    def __exit__(self, *exc) -> None:
+        if self._prior is None:
+            self._spark.conf.unset(_PROVIDER_KEY)
+        else:
+            self._spark.conf.set(_PROVIDER_KEY, self._prior)
 
 
 def page_hinkley_monitor_per_type_tws(
@@ -553,7 +579,6 @@ def page_hinkley_monitor_per_type_tws(
         def close(self) -> None:
             pass
 
-    _rocksdb(daily)
     return daily.groupBy("event_type").transformWithStateInPandas(
         statefulProcessor=PageHinkley(),
         outputStructType=_PH_SCHEMA,
@@ -618,7 +643,6 @@ def retention_ols_tracker_tws(points: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    _rocksdb(points)
     return points.groupBy("metric").transformWithStateInPandas(
         statefulProcessor=RetentionOLS(),
         outputStructType=_OLS_SCHEMA,
@@ -760,7 +784,6 @@ def cchart_monitor_per_type_tws(daily: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    _rocksdb(daily)
     return daily.groupBy("event_type").transformWithStateInPandas(
         statefulProcessor=CChart(),
         outputStructType=_CC_SCHEMA,

@@ -19,17 +19,24 @@ from mysql_public_data_ingestor_spark.tables import Tables
 from tools.check_correctness import compare, duck_connection
 
 
-def test_queue_is_banked_not_registered():
-    """Isolation contract: the round-10 driver window is exactly full,
-    so importing the queue module must NOT touch the live registry —
-    activation is round 11's move."""
+def test_queue_is_activated_and_inside_window():
+    """Activation contract (round 11, VERDICT r10 item 3): all 20
+    banked names are registered, and every one still lacking external
+    evidence sits inside the 50-slot driver window (no stranded
+    queries). Evidence-relative, so the test stays green after the
+    window rotates."""
     from mysql_public_data_ingestor_spark import registry
 
-    registry._ensure_loaded()
     queued = {name for name, *_ in roundeleven.QUEUE}
     assert len(queued) == 20
-    leaked = queued & set(registry._REGISTRY)
-    assert not leaked, f"queued names leaked into the live registry: {leaked}"
+    qs = list(registry.all_queries())
+    missing = queued - set(qs)
+    assert not missing, f"queued names not registered: {missing}"
+    hash_verified, _rows = registry._verified_names()
+    unverified = [n for n in queued if n not in hash_verified]
+    window = set(qs[:50])
+    stranded = set(unverified) - window
+    assert not stranded, f"unverified batch names outside the window: {stranded}"
 
 
 def test_queue_entries_well_formed():

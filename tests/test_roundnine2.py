@@ -341,6 +341,15 @@ def test_partial_correlation_matches_python(spark, sf_dir, lineitem_pdf):
 
     rxy, rxz, ryz = r(x, y), r(x, z), r(y, z)
 
+    # Independent-solver anchor (VERDICT r10 item 6): the hand-typed
+    # Pearson formula above could replicate a derivation bug into all
+    # three engines; numpy's corrcoef cannot share it.
+    import numpy as np
+
+    assert abs(rxy - np.corrcoef(x, y)[0, 1]) < 1e-9
+    assert abs(rxz - np.corrcoef(x, z)[0, 1]) < 1e-9
+    assert abs(ryz - np.corrcoef(y, z)[0, 1]) < 1e-9
+
     def q6(v):
         return math.floor(v * 1e6 + 0.5) / 1e6
 
@@ -439,6 +448,16 @@ def test_heaps_matches_python(spark, sf_dir, docs_pdf):
     sxy = sum(p[0] * p[1] for p in pts)
     sxx = sum(p[0] * p[0] for p in pts)
     beta = float(m * sxy - sx * sy) / float(m * sxx - sx * sx)
+
+    # Independent-solver anchor (VERDICT r10 item 6): pin the hand-typed
+    # log-log OLS slope against numpy's least-squares fit.
+    import numpy as np
+
+    np_beta, np_lnk = np.polyfit([p[0] for p in pts], [p[1] for p in pts], 1)
+    assert abs(beta - np_beta) < 1e-9 * max(1.0, abs(np_beta))
+    assert abs((float(sy) - beta * float(sx)) / m - np_lnk) < 1e-6 * max(
+        1.0, abs(np_lnk)
+    )
 
     def q6(v):
         return math.floor(v * 1e6 + 0.5) / 1e6

@@ -35,13 +35,22 @@ def events_stream(spark, sf_dir):
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def run_to_memory(df, name: str, output_mode: str):
-    q = (
+def run_to_memory(df, name: str, output_mode: str, rocksdb: bool = False):
+    """Drain ``df`` into an in-memory sink. ``rocksdb=True`` starts the
+    query under ``sw.rocksdb_state_store`` (required for
+    transformWithStateInPandas) and restores the session's prior
+    state-store provider afterwards — builders no longer mutate session
+    conf (ADVICE r10)."""
+    writer = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .start()
     )
+    if rocksdb:
+        with sw.rocksdb_state_store(df.sparkSession):
+            q = writer.start()
+    else:
+        q = writer.start()
     try:
         q.processAllAvailable()
     finally:
@@ -333,7 +342,10 @@ def test_stateful_running_totals_tws(spark, sf_dir, events_stream):
     skipped where the dependency is absent — environment-imposed, the
     operator itself is complete."""
     pytest.importorskip("google.protobuf")
-    run_to_memory(sw.running_totals_per_user_tws(events_stream), "tws_out", "update")
+    run_to_memory(
+        sw.running_totals_per_user_tws(events_stream), "tws_out", "update",
+        rocksdb=True,
+    )
     got = spark.sql(
         "SELECT user_id, max_by(n_events, n_events) AS n FROM tws_out GROUP BY user_id"
     )
@@ -808,6 +820,7 @@ def test_streaming_page_hinkley_tws_equals_apws(spark, sf_dir, tmp_path):
         sw.page_hinkley_monitor_per_type_tws(stream, baselines, delta, h),
         "ph_tws_out",
         "update",
+        rocksdb=True,
     )
     got = {
         r.event_type: (r.n_days, r.ph_t, r.ph_max, r.n_alarms)
@@ -860,7 +873,9 @@ def test_streaming_retention_ols_tws_equals_closed_form(spark, tmp_path):
         .option("recursiveFileLookup", "true")
         .load(src)
     )
-    run_to_memory(sw.retention_ols_tracker_tws(stream), "ols_tws_out", "update")
+    run_to_memory(
+        sw.retention_ols_tracker_tws(stream), "ols_tws_out", "update", rocksdb=True
+    )
     got = {
         r.metric: (r.m, r.slope_micro, r.intercept_micro)
         for r in spark.sql(
@@ -994,7 +1009,9 @@ def test_streaming_cchart_tws_twin_matches(spark, sf_dir, tmp_path):
     for r in daily.collect():
         series.setdefault(r.event_type, []).append((r.day, int(r.x)))
     stream = _two_batch_stream(spark, tmp_path, daily)
-    run_to_memory(sw.cchart_monitor_per_type_tws(stream), "cc_tws_out", "update")
+    run_to_memory(
+        sw.cchart_monitor_per_type_tws(stream), "cc_tws_out", "update", rocksdb=True
+    )
     got = {
         r.event_type: (r.n_days, r.n_high, r.n_low, r.last_flag)
         for r in spark.sql(
