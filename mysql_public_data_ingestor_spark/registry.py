@@ -185,6 +185,8 @@ def _ensure_loaded() -> None:
         roundeight,
         roundeight2,
         roundeight3,
+        roundeleven2,
+        roundeleven3,
         roundnine2,
         roundten2,
         roundten3,
