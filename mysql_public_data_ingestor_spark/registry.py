@@ -187,6 +187,9 @@ def _ensure_loaded() -> None:
         roundeight3,
         roundeleven2,
         roundeleven3,
+        roundeleven4,
+        roundeleven5,
+        roundeleven6,
         roundnine2,
         roundten2,
         roundten3,
