@@ -1,0 +1,185 @@
+"""Round-11 direct registration, batch F (warehouse statistics).
+
+One completion filling the round-11 driver window's last slot (the
+other 49: the 20-op roundeleven bank, batches A-E, and the re-entering
+``sketch_ddsketch_quantiles``), oracle-paired, replica-pinned and
+plan-barred in ``tests/test_roundeleven7.py`` (same-commit gate rule):
+the Breusch–Pagan heteroscedasticity test on the daily-counts OLS fit
+— the missing member of the residual-diagnostic suite
+(``stats_durbin_watson_daily`` tests residual AUTOCORRELATION,
+``stats_chow_test_break`` a STRUCTURAL BREAK, ``stats_ols_influence_
+daily`` LEVERAGE; this one tests whether residual VARIANCE drifts with
+time, which decides between plain OLS standard errors and
+robust/weighted ones for every trend read off the series).
+
+An earlier draft of this slot re-implemented the n-gram novelty curve
+before the round-8 inventory check caught ``corpus_ngram_novelty_
+deciles`` already covering it — replaced pre-commit (the inventory
+check is now part of the authoring rule).
+
+Reference parity note: the reference (Go ingestion pipeline) has no
+analytics; this extends SURVEY §2.C warehouse statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import Tables
+from .roundeleven import _dec, _halfup_div, _sql_halfup_div
+
+# Residuals quantize at centi resolution: daily-count residuals are
+# O(sqrt(y)) ~ tens at sf0.1, so 0.01 resolution keeps the per-value
+# quantization error < 1e-3 relative, while the downstream products
+# (q1 * C below) stay ~4 orders of magnitude inside decimal(38,0) even
+# at the x10 replica's 10x residual scale.
+BP_RES_SCALE = 100
+
+
+def _bp_oracle() -> str:
+    hd = _sql_halfup_div
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS HUGEINT) AS y
+      FROM orders GROUP BY 1
+    ), idx AS (
+      SELECT a.day, a.y, CAST(count(*) AS HUGEINT) AS k
+      FROM daily a JOIN daily b ON b.day <= a.day
+      GROUP BY a.day, a.y
+    ), s1 AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(k) AS HUGEINT) AS sk,
+             CAST(sum(k * k) AS HUGEINT) AS skk,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(k * y) AS HUGEINT) AS sky
+      FROM idx
+    ), coef AS (
+      SELECT n, sk, sy,
+             (n * skk - sk * sk) AS d,
+             (n * sky - sk * sy) AS b
+      FROM s1
+    ), resid AS (
+      SELECT i.k,
+             {hd(f'{BP_RES_SCALE}::HUGEINT * '
+                 '(c.n * c.d * i.y - c.d * c.sy + c.b * c.sk - c.n * c.b * i.k)',
+                 'c.n * c.d')} AS u
+      FROM idx i, coef c
+    ), s2 AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(k) AS HUGEINT) AS sk,
+             CAST(sum(u * u) AS HUGEINT) AS sz,
+             CAST(sum(k * u * u) AS HUGEINT) AS skz,
+             CAST(sum(u * u * u * u) AS HUGEINT) AS szz
+      FROM resid
+    ), parts AS (
+      SELECT s2.n, c.d, c.b,
+             (s2.n * s2.skz - s2.sk * s2.sz) AS cc,
+             (s2.n * s2.szz - s2.sz * s2.sz) AS vz
+      FROM s2, coef c
+    ), q AS (
+      SELECT n, d, b, cc, vz,
+             {hd('1000000000::HUGEINT * cc', 'd')} AS q1
+      FROM parts
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST({hd('1000000::HUGEINT * b', 'd')} AS BIGINT) AS ols_slope_micro,
+           CASE WHEN vz > 0 THEN
+             CAST({hd('q1 * cc', '1000::HUGEINT * vz')} AS BIGINT)
+           END AS bp_r2_micro,
+           CASE WHEN vz > 0 THEN
+             CAST(n * {hd('q1 * cc', '1000::HUGEINT * vz')} AS BIGINT)
+           END AS bp_lm_micro
+    FROM q
+    """
+
+
+@register("stats_breusch_pagan_daily", oracle=_bp_oracle())
+def stats_breusch_pagan_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch–Pagan heteroscedasticity test on the daily order-count
+    OLS trend fit: regress the squared residuals on the day index and
+    report R^2 of that auxiliary regression plus the LM statistic
+    n*R^2 (chi-square, df=1 under homoscedasticity). Completes the
+    residual-diagnostic suite — ``stats_durbin_watson_daily`` tests
+    residual autocorrelation, ``stats_chow_test_break`` a structural
+    break, this tests variance drift over time: a significant LM means
+    every OLS confidence interval on the series trend is mis-scaled
+    and robust (HC) errors or WLS are required.
+
+    Exactness: residuals are exact rationals R_k/(nD) with integer
+    numerator R_k = nD y_k - D Sy + B Sk - nB k (D = n*Skk - Sk^2,
+    B = n*Sky - Sk*Sy), quantized ONCE at centi resolution
+    (``BP_RES_SCALE`` — per-value error < 1e-3 relative at fixture
+    scales, anchored in the replica); the auxiliary R^2 =
+    C^2/(D*Vz) is evaluated as the STAGED half-up product
+    (1e9 C / D) * C / (1e3 Vz) because the direct 1e6*C^2 numerator
+    exceeds decimal(38,0) at the x10 replica's residual scale — both
+    engines run the identical two-step rounding, and the replica pins
+    the staged value against the float formula.
+
+    Scale shape: one fact scan to the ~2.4k-day table, the calendar-
+    bounded <=-rank self-join, then two 5-number sufficient-sum
+    aggregates — nothing downstream scales with data.
+    """
+    t = Tables(spark, sf_dir)
+    daily = t.orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        _dec(F.count(F.lit(1))).alias("y")
+    )
+    b0 = daily.select(F.col("day").alias("day_b"))
+    idx = (
+        daily.join(F.broadcast(b0), F.col("day_b") <= F.col("day"))
+        .groupBy("day", "y")
+        .agg(_dec(F.count(F.lit(1))).alias("k"))
+    )
+    s1 = idx.agg(
+        _dec(F.count(F.lit(1))).alias("n"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("k") * F.col("y")).alias("sky"),
+    )
+    coef = s1.select(
+        "n",
+        "sk",
+        "sy",
+        (F.col("n") * F.col("skk") - F.col("sk") * F.col("sk")).alias("d"),
+        (F.col("n") * F.col("sky") - F.col("sk") * F.col("sy")).alias("b"),
+    )
+    rnum = (
+        F.col("n") * F.col("d") * F.col("y")
+        - F.col("d") * F.col("sy")
+        + F.col("b") * F.col("sk")
+        - F.col("n") * F.col("b") * F.col("k")
+    )
+    resid = idx.crossJoin(F.broadcast(coef)).select(
+        "k",
+        _halfup_div(
+            F.lit(BP_RES_SCALE).cast("decimal(38,0)") * rnum, F.col("n") * F.col("d")
+        ).alias("u"),
+    )
+    z = F.col("u") * F.col("u")
+    s2 = resid.agg(
+        _dec(F.count(F.lit(1))).alias("n"),
+        F.sum("k").alias("sk"),
+        F.sum(z).alias("sz"),
+        F.sum(F.col("k") * z).alias("skz"),
+        F.sum(z * z).alias("szz"),
+    )
+    parts = s2.crossJoin(F.broadcast(coef.select("d", "b"))).select(
+        "n",
+        "d",
+        "b",
+        (F.col("n") * F.col("skz") - F.col("sk") * F.col("sz")).alias("cc"),
+        (F.col("n") * F.col("szz") - F.col("sz") * F.col("sz")).alias("vz"),
+    )
+    q1 = _halfup_div(F.lit(10**9).cast("decimal(38,0)") * F.col("cc"), F.col("d"))
+    r2 = _halfup_div(q1 * F.col("cc"), F.lit(1000).cast("decimal(38,0)") * F.col("vz"))
+    return parts.select(
+        F.col("n").cast("long").alias("n_days"),
+        _halfup_div(F.lit(1_000_000).cast("decimal(38,0)") * F.col("b"), F.col("d"))
+        .cast("long")
+        .alias("ols_slope_micro"),
+        F.when(F.col("vz") > 0, r2).cast("long").alias("bp_r2_micro"),
+        F.when(F.col("vz") > 0, F.col("n") * r2).cast("long").alias("bp_lm_micro"),
+    )

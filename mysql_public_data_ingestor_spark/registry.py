@@ -190,6 +190,7 @@ def _ensure_loaded() -> None:
         roundeleven4,
         roundeleven5,
         roundeleven6,
+        roundeleven7,
         roundnine2,
         roundten2,
         roundten3,

@@ -104,12 +104,16 @@ def main() -> int:
         roundeleven,
         roundnine,
         roundten,
+        roundtwelve,
+        roundtwelve2,
     )
 
     for qname, qfn, _oracle, _doc in [
         *roundnine.QUEUE,
         *roundten.QUEUE,
         *roundeleven.QUEUE,
+        *roundtwelve.QUEUE,
+        *roundtwelve2.QUEUE,
     ]:
         specs.setdefault(qname, _QSpec(qfn))
     missing = [n for n in names if n not in specs]
