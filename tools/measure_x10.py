@@ -106,6 +106,8 @@ def main() -> int:
         roundten,
         roundtwelve,
         roundtwelve2,
+        roundtwelve3,
+        roundtwelve4,
     )
 
     for qname, qfn, _oracle, _doc in [
@@ -114,6 +116,8 @@ def main() -> int:
         *roundeleven.QUEUE,
         *roundtwelve.QUEUE,
         *roundtwelve2.QUEUE,
+        *roundtwelve3.QUEUE,
+        *roundtwelve4.QUEUE,
     ]:
         specs.setdefault(qname, _QSpec(qfn))
     missing = [n for n in names if n not in specs]
