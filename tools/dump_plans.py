@@ -157,6 +157,23 @@ PLAN_QUERIES = [
     "similarity_ivf_nprobe_recall_curve",
     "events_type_audience_jaccard",
     "events_markov_entropy_rate",
+    # round-11 representatives (one per new thread: residual-suite
+    # heteroscedasticity with the staged half-up R^2, sampled
+    # betweenness off the layered-BFS scaffold, Arrow gram-hash
+    # contamination scan, calendar-bounded STL band join, anchor-
+    # bounded intrinsic-dimension pass, mergeable count-median grid,
+    # det-ln vocabulary-richness spectrum, Durbin-Levinson PACF,
+    # rank-grid Cucconi, scored-scan ROC hull)
+    "stats_breusch_pagan_daily",
+    "graph_betweenness_sampled",
+    "corpus_suffix_window_contamination",
+    "events_stl_dow_decomposition",
+    "embedding_intrinsic_dim_twonn",
+    "sketch_countmedian_topk_freq",
+    "text_yule_k_richness",
+    "events_pacf_durbin_levinson",
+    "stats_cucconi_halves",
+    "ml_roc_convex_hull",
 ]
 
 
