@@ -108,6 +108,7 @@ def main() -> int:
         roundtwelve2,
         roundtwelve3,
         roundtwelve4,
+        roundtwelve5,
     )
 
     for qname, qfn, _oracle, _doc in [
@@ -118,6 +119,7 @@ def main() -> int:
         *roundtwelve2.QUEUE,
         *roundtwelve3.QUEUE,
         *roundtwelve4.QUEUE,
+        *roundtwelve5.QUEUE,
     ]:
         specs.setdefault(qname, _QSpec(qfn))
     missing = [n for n in names if n not in specs]
