@@ -790,3 +790,154 @@ def cchart_monitor_per_type_tws(daily: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+_EW_SCHEMA = (
+    "event_type string, n_days long, ewma_micro long, n_high long,"
+    " n_low long, last_flag long, n_late long"
+)
+_EW_STATE = "n long, s long, z long, n_high long, n_low long, last_day long"
+
+
+def ewma_monitor_per_type(daily: DataFrame) -> DataFrame:
+    """Streaming EWMA control chart per event type — the SMALL-shift
+    detector beside the Shewhart c-chart (``cchart_monitor_per_type``
+    catches single large excursions; the EWMA accumulates a drifting
+    mean long before any one day breaches 3σ — the classic paired
+    deployment).
+
+    Exact dyadic recursion: λ = 1/8, so z_t = half-up((1e6·x_t + 7·z_
+    {t-1}) / 8) on int64 micro units (z_0 = 1e6·x_1) — a deterministic
+    integer state machine, no float anywhere. The flag test uses the
+    asymptotic Poisson EWMA limits |z − μ| > 3·sqrt(μ·λ/(2−λ)) with
+    the running mean μ = S/N as the center line, cross-multiplied to
+    the exact integer test 5·(N·z − 1e6·S)² > 3·10¹²·S·N (λ/(2−λ) =
+    1/15; the day is included in its own limits — the prequential
+    convention of the CUSUM/PH/c-chart monitors; asymptotic-width
+    limits slightly under-flag the first few days by design, the
+    standard steady-state EWMA-chart form).
+
+    State is 5 longs + the last closed day; out-of-order micro-batch
+    rows are dropped and surfaced via ``n_late`` (the standing guard).
+    """
+
+    def fn(key, pdfs, state: GroupState):
+        (event_type,) = key
+        n, s, z, n_high, n_low, last_day = (
+            state.get if state.exists else (0, 0, 0, 0, 0, -1)
+        )
+        rows = pd.concat(list(pdfs)).sort_values("day")
+        n_late = 0
+        last_flag = 0
+        for day, x in zip(rows["day"], rows["x"]):
+            dk = _day_key(day)
+            if dk <= last_day:
+                n_late += 1
+                continue
+            last_day = dk
+            n += 1
+            s += int(x)
+            if n == 1:
+                z = 1_000_000 * int(x)
+            else:
+                num = 1_000_000 * int(x) + 7 * z
+                z = (2 * num + 8) // 16  # half-up /8 (num >= 0)
+            dev = n * z - 1_000_000 * s
+            if 5 * dev * dev > 3 * 10**12 * s * n:
+                if dev > 0:
+                    n_high += 1
+                    last_flag = 1
+                else:
+                    n_low += 1
+                    last_flag = -1
+            else:
+                last_flag = 0
+        state.update((n, s, z, n_high, n_low, last_day))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n_days": [n],
+                "ewma_micro": [z],
+                "n_high": [n_high],
+                "n_low": [n_low],
+                "last_flag": [last_flag],
+                "n_late": [n_late],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=_EW_SCHEMA,
+        stateStructType=_EW_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def ewma_monitor_per_type_tws(daily: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of ``ewma_monitor_per_type`` —
+    identical int64 dyadic-EWMA state machine through the Spark 4
+    StatefulProcessor API on the RocksDB store (the PH/OLS/c-chart
+    twin pattern). Requires google.protobuf at runtime; tests skip
+    where absent.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class Ewma(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ew", _EW_STATE)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            prior = self._state.get() if self._state.exists() else None
+            n, s, z, n_high, n_low, last_day = (
+                tuple(prior) if prior else (0, 0, 0, 0, 0, -1)
+            )
+            (event_type,) = key
+            pdf = pd.concat(list(rows)).sort_values("day")
+            n_late = 0
+            last_flag = 0
+            for day, x in zip(pdf["day"], pdf["x"]):
+                dk = _day_key(day)
+                if dk <= last_day:
+                    n_late += 1
+                    continue
+                last_day = dk
+                n += 1
+                s += int(x)
+                if n == 1:
+                    z = 1_000_000 * int(x)
+                else:
+                    num = 1_000_000 * int(x) + 7 * z
+                    z = (2 * num + 8) // 16
+                dev = n * z - 1_000_000 * s
+                if 5 * dev * dev > 3 * 10**12 * s * n:
+                    if dev > 0:
+                        n_high += 1
+                        last_flag = 1
+                    else:
+                        n_low += 1
+                        last_flag = -1
+                else:
+                    last_flag = 0
+            self._state.update((n, s, z, n_high, n_low, last_day))
+            yield pd.DataFrame(
+                {
+                    "event_type": [event_type],
+                    "n_days": [n],
+                    "ewma_micro": [z],
+                    "n_high": [n_high],
+                    "n_low": [n_low],
+                    "last_flag": [last_flag],
+                    "n_late": [n_late],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return daily.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=Ewma(),
+        outputStructType=_EW_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

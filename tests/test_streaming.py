@@ -1024,3 +1024,136 @@ def test_streaming_cchart_tws_twin_matches(spark, sf_dir, tmp_path):
     for et, sr in series.items():
         n, n_high, n_low, last_flag = _cchart_fold(sr)
         assert got[et] == (n, n_high, n_low, last_flag), et
+
+
+def _ewma_fold(series):
+    """Single-pass int64 reference of the EWMA monitor recursion
+    (dyadic lambda = 1/8, prequential asymptotic Poisson limits)."""
+    n = s = z = n_high = n_low = 0
+    last_flag = 0
+    for _, x in sorted(series):
+        n += 1
+        s += int(x)
+        if n == 1:
+            z = 1_000_000 * int(x)
+        else:
+            num = 1_000_000 * int(x) + 7 * z
+            z = (2 * num + 8) // 16
+        dev = n * z - 1_000_000 * s
+        if 5 * dev * dev > 3 * 10**12 * s * n:
+            if dev > 0:
+                n_high += 1
+                last_flag = 1
+            else:
+                n_low += 1
+                last_flag = -1
+        else:
+            last_flag = 0
+    return n, z, n_high, n_low, last_flag
+
+
+def test_streaming_ewma_equals_batch_recursion(spark, sf_dir, tmp_path):
+    """Stateful streaming EWMA chart across two ordered micro-batches
+    == the single-pass integer recursion over the same day-ordered
+    per-type daily count series (dyadic lambda, cross-multiplied
+    integer limit test — no float anywhere). Float anchor: the integer
+    EWMA tracks the float EWMA within one micro-quantum per step."""
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "event_type", F.to_date(F.col("ts")).cast("string").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    series: dict = {}
+    for r in daily.collect():
+        series.setdefault(r.event_type, []).append((r.day, int(r.x)))
+    stream = _two_batch_stream(spark, tmp_path, daily)
+    run_to_memory(sw.ewma_monitor_per_type(stream), "ew_out", "update")
+    got = {
+        r.event_type: (r.n_days, r.ewma_micro, r.n_high, r.n_low, r.last_flag)
+        for r in spark.sql(
+            "SELECT event_type, max_by(n_days, n_days) AS n_days,"
+            " max_by(ewma_micro, n_days) AS ewma_micro,"
+            " max_by(n_high, n_days) AS n_high,"
+            " max_by(n_low, n_days) AS n_low,"
+            " max_by(last_flag, n_days) AS last_flag FROM ew_out GROUP BY 1"
+        ).collect()
+    }
+    for et, sr in series.items():
+        n, z, n_high, n_low, last_flag = _ewma_fold(sr)
+        assert got[et] == (n, z, n_high, n_low, last_flag), et
+        # float anchor: the quantized EWMA stays within n quanta of the
+        # float recursion (half-up error <= 0.5 micro per step)
+        zf = None
+        for _, x in sorted(sr):
+            zf = float(x) if zf is None else (float(x) + 7 * zf) / 8
+        assert abs(z / 1e6 - zf) <= max(1e-3, 1e-6 * len(sr))
+    assert spark.sql("SELECT sum(n_late) FROM ew_out").collect()[0][0] == 0
+
+
+def test_streaming_ewma_out_of_order_batch_flagged(spark, sf_dir, tmp_path):
+    """Out-of-order guard: when the later half of the days arrives
+    first, the earlier half is dropped and surfaced via n_late."""
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "event_type", F.to_date(F.col("ts")).cast("string").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    series: dict = {}
+    for r in daily.collect():
+        series.setdefault(r.event_type, []).append((r.day, int(r.x)))
+    stream, cut = _out_of_order_stream(spark, tmp_path, daily)
+    run_to_memory(sw.ewma_monitor_per_type(stream), "ew_ooo_out", "update")
+    got = {
+        r.event_type: (r.n_days, r.n_high, r.n_low, r.n_late)
+        for r in spark.sql(
+            "SELECT event_type, max_by(n_days, n_days) AS n_days,"
+            " max_by(n_high, n_days) AS n_high,"
+            " max_by(n_low, n_days) AS n_low,"
+            " sum(n_late) AS n_late FROM ew_ooo_out GROUP BY 1"
+        ).collect()
+    }
+    for et, sr in series.items():
+        later = [(d, x) for d, x in sr if d >= cut]
+        n, _, n_high, n_low, _ = _ewma_fold(later)
+        assert got[et] == (n, n_high, n_low, len(sr) - len(later)), et
+
+
+def test_streaming_ewma_tws_twin_matches(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas twin == the applyInPandasWithState
+    EWMA fold on the same two ordered micro-batches. Requires
+    google.protobuf; skipped where absent."""
+    pytest.importorskip("google.protobuf")
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "event_type", F.to_date(F.col("ts")).cast("string").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    series: dict = {}
+    for r in daily.collect():
+        series.setdefault(r.event_type, []).append((r.day, int(r.x)))
+    stream = _two_batch_stream(spark, tmp_path, daily)
+    run_to_memory(
+        sw.ewma_monitor_per_type_tws(stream), "ew_tws_out", "update", rocksdb=True
+    )
+    got = {
+        r.event_type: (r.n_days, r.ewma_micro, r.n_high, r.n_low, r.last_flag)
+        for r in spark.sql(
+            "SELECT event_type, max_by(n_days, n_days) AS n_days,"
+            " max_by(ewma_micro, n_days) AS ewma_micro,"
+            " max_by(n_high, n_days) AS n_high,"
+            " max_by(n_low, n_days) AS n_low,"
+            " max_by(last_flag, n_days) AS last_flag FROM ew_tws_out GROUP BY 1"
+        ).collect()
+    }
+    for et, sr in series.items():
+        n, z, n_high, n_low, last_flag = _ewma_fold(sr)
+        assert got[et] == (n, z, n_high, n_low, last_flag), et
