@@ -61,7 +61,7 @@ def activate() -> None:
 
 
 # ---------------------------------------------------------------------------
-# 3. Bipartite-projection inflation audit (order x part -> co-purchase)
+# 1. Bipartite-projection inflation audit (order x part -> co-purchase)
 # ---------------------------------------------------------------------------
 
 
@@ -163,7 +163,7 @@ def graph_bipartite_projection_audit(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # ---------------------------------------------------------------------------
-# 5. Mutual information between language and document-length bucket
+# 2. Mutual information between language and document-length bucket
 # ---------------------------------------------------------------------------
 
 MI_BUCKET_W = 50   # tokens per length bucket

@@ -194,6 +194,14 @@ def stats_dunn_posthoc_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnum",
         )
     )
+    # Cross-engine contract (ADVICE r11): a_ij is an exact integer that
+    # can exceed 2^53 at x10 replica scale, so Spark's decimal->double
+    # and DuckDB's HUGEINT->double casts must round identically. Both
+    # engines use IEEE-754 round-to-nearest-even for integer->double
+    # conversion (same precedent as the Kruskal-Wallis H path); the x10
+    # replica in tests/test_roundtwelve3.py anchors this — if either
+    # engine ever changes conversion rounding, that parity test is the
+    # tripwire.
     ad = F.col("a_ij").cast("double")
     z2 = F.floor(
         (((F.lit(3.0) * (F.col("n") - 1).cast("double")) * ad) * ad * F.lit(1000000.0))

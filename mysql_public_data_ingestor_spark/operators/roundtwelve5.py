@@ -297,8 +297,10 @@ def _attr_inference_oracle() -> str:
              AS attacker_acc_micro,
            CAST({hd('1000000::HUGEINT * m.gmaj', 'g.n')} AS BIGINT)
              AS marginal_acc_micro,
-           CAST({hd('1000000::HUGEINT * (g.hits - m.gmaj)', 'g.n - m.gmaj')}
-                AS BIGINT) AS inference_lift_micro
+           CASE WHEN g.n > m.gmaj THEN
+             CAST({hd('1000000::HUGEINT * (g.hits - m.gmaj)', 'g.n - m.gmaj')}
+                  AS BIGINT)
+           END AS inference_lift_micro
     FROM gsum g, marg m
     """
 
@@ -320,7 +322,9 @@ def privacy_attribute_inference_baseline(spark: SparkSession, sf_dir: str) -> Da
     Exactness: all counts exact integers; the three accuracies are
     single half-up 1e-6 divisions (the lift denominator n - gmaj is
     the residual error mass of the marginal guesser — Goodman-Kruskal
-    lambda's exact form).
+    lambda's exact form); when the marginal guesser is already perfect
+    (n == gmaj) the lift is NULL on both engines rather than a
+    divide-by-zero (ADVICE r11).
 
     Scale shape: one customer scan partial-aggregating to the
     (nation x balance-band x segment) grid (bounded by the QI domain,
@@ -354,9 +358,12 @@ def privacy_attribute_inference_baseline(spark: SparkSession, sf_dir: str) -> Da
         _halfup_div(m6 * F.col("gmaj"), F.col("n")).cast("long").alias(
             "marginal_acc_micro"
         ),
-        _halfup_div(m6 * (F.col("hits") - F.col("gmaj")), F.col("n") - F.col("gmaj"))
-        .cast("long")
-        .alias("inference_lift_micro"),
+        F.when(
+            F.col("n") > F.col("gmaj"),
+            _halfup_div(
+                m6 * (F.col("hits") - F.col("gmaj")), F.col("n") - F.col("gmaj")
+            ).cast("long"),
+        ).alias("inference_lift_micro"),
     )
 
 
