@@ -238,16 +238,15 @@ def _ensure_loaded() -> None:
 
     roundeleven.activate()
 
-    # ROUND-12 OPENER: the round-11-banked queue spans FIVE modules —
-    # operators/roundtwelve{,2,3,4,5} (6+5+5+4+3 = 23 ops; gates in
-    # tests/test_roundtwelve*.py, ×10 ladders in SCALE §§5j.6–5j.11).
-    # Flip them here together once CORRECTNESS_r11 lands:
-    #   from .operators import (roundtwelve, roundtwelve2, roundtwelve3,
-    #                           roundtwelve4, roundtwelve5)
-    #   for m in (roundtwelve, roundtwelve2, roundtwelve3,
-    #             roundtwelve4, roundtwelve5):
-    #       m.activate()
-    # Budget check first: 23 activations + new round-12 registrations
-    # must stay <= the 50-slot driver window (tests/test_entry.py).
+    # round-12 activation of the round-11-banked queue (VERDICT r11
+    # item 1: 23 ops across five modules; gates in
+    # tests/test_roundtwelve*.py, ×10 ladders in SCALE §§5j.6–5j.11;
+    # post-activation window budget asserted in tests/test_entry.py)
+    from .operators import (roundtwelve, roundtwelve2, roundtwelve3,
+                            roundtwelve4, roundtwelve5)
+
+    for m in (roundtwelve, roundtwelve2, roundtwelve3,
+              roundtwelve4, roundtwelve5):
+        m.activate()
 
     _LOADED = True

@@ -154,3 +154,26 @@ def test_stale_evidence_names_sort_into_window_head(monkeypatch):
     ]
     assert still_verified, "need at least two verified queries"
     assert names.index(victim) < min(names.index(n) for n in still_verified)
+
+
+def test_r12_post_activation_window_budget():
+    """Round-12 flip guard (VERDICT r11 item 7): activating the 23-op
+    round-11 bank must leave the driver's 50-slot window able to cover
+    every name lacking evidence. Pins the post-activation registry size
+    so any later registration this round consciously re-asserts the
+    budget in the same commit (493 = 470 r11-verified + 23 activated)."""
+    from mysql_public_data_ingestor_spark import registry
+    from mysql_public_data_ingestor_spark.registry import all_queries
+
+    specs = all_queries()
+    assert len(specs) >= 493, len(specs)
+    hash_verified, rows_verified = registry._verified_names()
+    unverified = [
+        n for n in specs
+        if n not in hash_verified
+        and not (specs[n].oracle is None and n in rows_verified)
+    ]
+    assert len(unverified) <= 50, (
+        f"{len(unverified)} unverified names exceed the driver's 50-slot "
+        f"window — the driver cannot cover all new work this round"
+    )

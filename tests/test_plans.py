@@ -460,6 +460,12 @@ SINGLE_PARTITION_ALLOWLIST = {
     # same bounded-domain class (and same upstream aggregate) as
     # ml_youden_optimal_threshold above.
     "ml_cost_optimal_threshold",
+    # round-12 activation (roundtwelve3.py): the pooled mid-rank
+    # cumulative runs over the POST-AGGREGATION <= 50-distinct-quantity
+    # value domain (same bounded domain as stats_cvm_two_sample /
+    # stats_ansari_bradley_quantity); the group-pair Sort feeds the
+    # final 10-row (5 choose 2) ordered output.
+    "stats_dunn_posthoc_quantity",
 }
 
 
