@@ -60,10 +60,12 @@ def activate() -> None:
 # ---------------------------------------------------------------------------
 
 
-def _dunn_oracle() -> str:
-    hd = _sql_halfup_div
-    return f"""
-    WITH q AS (
+# Shared CTE chain up to the per-pair table (g_i, g_j, n_i, n_j, a_ij,
+# n, cnum) — consumed by BOTH the Dunn oracle below and the Holm
+# step-down oracle in roundtwelve6.py (one derivation, two tests: the
+# r10 twin-sided-bug rule).
+_DUNN_PAIR_CTES = """
+    q AS (
       SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
       FROM lineitem WHERE l_quantity IS NOT NULL
     ), dv AS (
@@ -94,53 +96,41 @@ def _dunn_oracle() -> str:
              c.n, c.cnum
       FROM rg a JOIN rg b ON a.g < b.g, cn c
     )
-    SELECT g_i, g_j, CAST(n_i AS BIGINT) AS n_i, CAST(n_j AS BIGINT) AS n_j,
-           CAST({hd('1000000::HUGEINT * a_ij', '2 * n_i * n_j')} AS BIGINT)
-             AS rank_diff_micro,
-           -- z^2 in shape-matched IEEE double (the KW-oracle precedent:
-           -- *, / are correctly rounded identically in both engines; the
-           -- exact-integer A^2 path overflows decimal(38,0) at x10)
-           CAST(floor(
+"""
+
+# z^2 in shape-matched IEEE double (the KW-oracle precedent: *, / are
+# correctly rounded identically in both engines; the exact-integer A^2
+# path overflows decimal(38,0) at x10) — shared with roundtwelve6.
+_SQL_DUNN_Z2 = """CAST(floor(
              ((((3.0 * CAST(n - 1 AS DOUBLE)) * CAST(a_ij AS DOUBLE))
                * CAST(a_ij AS DOUBLE)) * 1000000.0)
              / CAST(n_i * n_j AS DOUBLE)
              / CAST(n_i + n_j AS DOUBLE)
              / CAST(cnum AS DOUBLE) + 0.5) AS BIGINT)
-             * (CASE WHEN a_ij < 0 THEN -1 ELSE 1 END)
+             * (CASE WHEN a_ij < 0 THEN -1 ELSE 1 END)"""
+
+
+def _dunn_oracle() -> str:
+    hd = _sql_halfup_div
+    return f"""
+    WITH {_DUNN_PAIR_CTES}
+    SELECT g_i, g_j, CAST(n_i AS BIGINT) AS n_i, CAST(n_j AS BIGINT) AS n_j,
+           CAST({hd('1000000::HUGEINT * a_ij', '2 * n_i * n_j')} AS BIGINT)
+             AS rank_diff_micro,
+           {_SQL_DUNN_Z2}
              AS dunn_z_sq_signed_micro
     FROM pairs ORDER BY g_i, g_j
     """
 
 
-@_queued("stats_dunn_posthoc_quantity", _dunn_oracle())
-def stats_dunn_posthoc_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dunn post-hoc pairwise rank test behind
-    ``stats_kruskal_wallis_quantity``: once KW rejects "all return-flag
-    groups share a quantity distribution", Dunn says WHICH pairs differ
-    — mean-rank difference per pair with the tie-corrected z statistic
-    (signed square, the convention that avoids square roots). The
-    nonparametric sibling of ``stats_tukey_hsd_priority`` (parametric
-    post-hoc), sharing KW's bounded-grid rank machinery.
-
-    Exactness: rank sums run in exact 2x-midrank units on the <= 50-row
-    quantity grid (the KW convention); A_ij = r2_i n_j - r2_j n_i and
-    the tie-corrected variance core Cn = N(N+1)(N-1) - sum(t^3 - t)
-    are exact integers; z^2 = 3(N-1) A^2 / (n_i n_j (n_i+n_j) Cn) is
-    evaluated in SHAPE-MATCHED IEEE double (the Kruskal-Wallis oracle
-    precedent: double *, / are correctly rounded, so two engines
-    evaluating the identical expression tree produce the identical
-    bits; the exact-integer 1e6 A^2 numerator overflows decimal(38,0)
-    at the x10 replica scale, and no integer staging balances the
-    factor magnitudes) — the replica re-runs the same double sequence
-    AND anchors against the textbook float formula.
-
-    Scale shape: one scan to the (group x quantity-value) grid; the
-    midrank cumulative is a window over <= 50 DISTINCT VALUES (domain-
-    bounded, never row-scaled); pairs are a 3-row self-join.
-    """
+def _dunn_pairs(t: Tables) -> DataFrame:
+    """Per-pair table (g_i, g_j, n_i, n_j, a_ij, n, cnum) of the Dunn
+    derivation — 2x-midrank sums on the <= 50-value quantity grid, the
+    exact pair numerator A_ij and the tie-corrected variance core.
+    Shared by ``stats_dunn_posthoc_quantity`` and the Holm step-down
+    wrapper in roundtwelve6.py (one derivation, two consumers)."""
     from pyspark.sql.window import Window
 
-    t = Tables(spark, sf_dir)
     q = t.lineitem.filter(F.col("l_quantity").isNotNull()).select(
         F.col("l_returnflag").alias("g"), F.col("l_quantity").cast("long").alias("v")
     )
@@ -194,6 +184,50 @@ def stats_dunn_posthoc_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnum",
         )
     )
+    return pairs
+
+
+def _dunn_z2_unsigned():
+    """Unsigned z^2 micro column over a ``_dunn_pairs`` row, in the
+    shape-matched IEEE double sequence twinned by ``_SQL_DUNN_Z2``."""
+    ad = F.col("a_ij").cast("double")
+    return F.floor(
+        (((F.lit(3.0) * (F.col("n") - 1).cast("double")) * ad) * ad * F.lit(1000000.0))
+        / (F.col("n_i") * F.col("n_j")).cast("double")
+        / (F.col("n_i") + F.col("n_j")).cast("double")
+        / F.col("cnum").cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+
+
+@_queued("stats_dunn_posthoc_quantity", _dunn_oracle())
+def stats_dunn_posthoc_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn post-hoc pairwise rank test behind
+    ``stats_kruskal_wallis_quantity``: once KW rejects "all return-flag
+    groups share a quantity distribution", Dunn says WHICH pairs differ
+    — mean-rank difference per pair with the tie-corrected z statistic
+    (signed square, the convention that avoids square roots). The
+    nonparametric sibling of ``stats_tukey_hsd_priority`` (parametric
+    post-hoc), sharing KW's bounded-grid rank machinery.
+
+    Exactness: rank sums run in exact 2x-midrank units on the <= 50-row
+    quantity grid (the KW convention); A_ij = r2_i n_j - r2_j n_i and
+    the tie-corrected variance core Cn = N(N+1)(N-1) - sum(t^3 - t)
+    are exact integers; z^2 = 3(N-1) A^2 / (n_i n_j (n_i+n_j) Cn) is
+    evaluated in SHAPE-MATCHED IEEE double (the Kruskal-Wallis oracle
+    precedent: double *, / are correctly rounded, so two engines
+    evaluating the identical expression tree produce the identical
+    bits; the exact-integer 1e6 A^2 numerator overflows decimal(38,0)
+    at the x10 replica scale, and no integer staging balances the
+    factor magnitudes) — the replica re-runs the same double sequence
+    AND anchors against the textbook float formula.
+
+    Scale shape: one scan to the (group x quantity-value) grid; the
+    midrank cumulative is a window over <= 50 DISTINCT VALUES (domain-
+    bounded, never row-scaled); pairs are a 3-row self-join.
+    """
+    t = Tables(spark, sf_dir)
+    pairs = _dunn_pairs(t)
     # Cross-engine contract (ADVICE r11): a_ij is an exact integer that
     # can exceed 2^53 at x10 replica scale, so Spark's decimal->double
     # and DuckDB's HUGEINT->double casts must round identically. Both
@@ -202,14 +236,7 @@ def stats_dunn_posthoc_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replica in tests/test_roundtwelve3.py anchors this — if either
     # engine ever changes conversion rounding, that parity test is the
     # tripwire.
-    ad = F.col("a_ij").cast("double")
-    z2 = F.floor(
-        (((F.lit(3.0) * (F.col("n") - 1).cast("double")) * ad) * ad * F.lit(1000000.0))
-        / (F.col("n_i") * F.col("n_j")).cast("double")
-        / (F.col("n_i") + F.col("n_j")).cast("double")
-        / F.col("cnum").cast("double")
-        + F.lit(0.5)
-    ).cast("long")
+    z2 = _dunn_z2_unsigned()
     m6 = F.lit(1_000_000).cast("decimal(38,0)")
     return pairs.select(
         "g_i",

@@ -194,6 +194,7 @@ def _ensure_loaded() -> None:
         roundnine2,
         roundten2,
         roundten3,
+        roundtwelve6,
         roundsix,
         roundsix2,
         similarity,

@@ -466,6 +466,16 @@ SINGLE_PARTITION_ALLOWLIST = {
     # stats_ansari_bradley_quantity); the group-pair Sort feeds the
     # final 10-row (5 choose 2) ordered output.
     "stats_dunn_posthoc_quantity",
+    # round-12 batch K (roundtwelve6.py): shares the Dunn <= 50-value
+    # rank grid above (same bounded cumulative, 3-row tail).
+    "stats_holm_stepdown_dunn",
+    # pooled extreme-alternating rank cumulative over the <= 50
+    # distinct-quantity POST-AGGREGATION domain (the cvm/ansari class).
+    "stats_siegel_tukey_scale",
+    # pooled squared-rank cumulative over the <= 150-value scaled
+    # deviation domain (50 quantity values x 3 group scalings) —
+    # bounded by the value domain, never by rows.
+    "stats_conover_squared_ranks",
 }
 
 
