@@ -27,10 +27,13 @@ from .roundeleven2 import _SQL_DAILY_COUNTS_IDX, _daily_counts_idx
 # ---------------------------------------------------------------------------
 
 
-def _stl_oracle() -> str:
-    hd = _sql_halfup_div
-    return f"""
-    WITH {_SQL_DAILY_COUNTS_IDX}
+# Shared STL-lite CTE chain through the per-day detrended series
+# (day, k, dow, d) and the per-weekday seasonal index — consumed by
+# the STL op below AND the residual periodogram in roundtwelve7.py
+# (one derivation, two consumers).
+_SQL_STL_DET_CTES = (
+    _SQL_DAILY_COUNTS_IDX
+    + f"""
     , nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM idx),
     tr AS (
       -- centered 7-day moving average, full windows only
@@ -41,16 +44,29 @@ def _stl_oracle() -> str:
       WHERE a.k >= 4 AND a.k <= nn.n - 3
       GROUP BY a.day, a.y, a.k
     ), det AS (
-      SELECT day, dow, {hd('1000000::HUGEINT * (7 * y - s7)', '7::HUGEINT')} AS d
+      SELECT day, k, dow,
+             {_sql_halfup_div('1000000::HUGEINT * (7 * y - s7)', '7::HUGEINT')} AS d
       FROM tr
-    ), seas AS (
+    ), seas0 AS (
       SELECT dow, CAST(count(*) AS HUGEINT) AS n_d,
-             CAST({hd('CAST(sum(d) AS HUGEINT)', 'CAST(count(*) AS HUGEINT)')}
+             CAST({_sql_halfup_div('CAST(sum(d) AS HUGEINT)',
+                                   'CAST(count(*) AS HUGEINT)')}
                   AS BIGINT) AS s_micro
       FROM det GROUP BY dow
-    ), rem AS (
-      SELECT d.dow, d.d, (d.d - s.s_micro) AS r
-      FROM det d JOIN seas s ON s.dow = d.dow
+    ), rem0 AS (
+      SELECT d.day, d.k, d.dow, d.d, (d.d - s.s_micro) AS r
+      FROM det d JOIN seas0 s ON s.dow = d.dow
+    )
+"""
+)
+
+
+def _stl_oracle() -> str:
+    hd = _sql_halfup_div
+    return f"""
+    WITH {_SQL_STL_DET_CTES}
+    , seas AS (SELECT * FROM seas0), rem AS (
+      SELECT dow, d, r FROM rem0
     ), v AS (
       SELECT CAST(count(*) AS HUGEINT) AS m,
              CAST(sum(d) AS HUGEINT) AS sd, CAST(sum(d*d) AS HUGEINT) AS sdd,
@@ -66,6 +82,56 @@ def _stl_oracle() -> str:
            st.seasonal_strength_micro
     FROM seas s, strength st ORDER BY s.dow
     """
+
+
+def _stl_det(t: Tables) -> DataFrame:
+    """STL-lite detrended series (day, k, dow, d) — centered 7-day
+    moving-average detrend, full windows only, micro-quantized once.
+    Shared by ``events_stl_dow_decomposition`` and the residual
+    periodogram in roundtwelve7.py (one derivation, two consumers;
+    SQL twin ``_SQL_STL_DET_CTES``)."""
+    idx = _daily_counts_idx(t)
+    nn = idx.agg(F.max("k").alias("n"))
+    b = idx.select(F.col("k").alias("kb"), F.col("y").alias("yb"))
+    tr = (
+        idx.crossJoin(F.broadcast(nn))
+        .filter((F.col("k") >= 4) & (F.col("k") <= F.col("n") - 3))
+        .join(
+            F.broadcast(b),
+            (F.col("kb") >= F.col("k") - 3) & (F.col("kb") <= F.col("k") + 3),
+        )
+        .groupBy("day", "y", "k")
+        .agg(F.sum("yb").alias("s7"))
+        .select(
+            "day",
+            "k",
+            (F.weekday(F.col("day")) + 1).cast("long").alias("dow"),
+            "y",
+            "s7",
+        )
+    )
+    m6 = F.lit(1_000_000).cast("decimal(38,0)")
+    return tr.select(
+        "day",
+        "k",
+        "dow",
+        _halfup_div(
+            m6 * (7 * F.col("y") - F.col("s7")), F.lit(7).cast("decimal(38,0)")
+        ).alias("d"),
+    )
+
+
+def _stl_rem(t: Tables) -> DataFrame:
+    """STL-lite remainder series (day, k, dow, d, r) — the detrended
+    series minus the per-weekday seasonal index (SQL twin: ``rem0`` in
+    ``_SQL_STL_DET_CTES``)."""
+    det = _stl_det(t)
+    seas = det.groupBy("dow").agg(
+        _halfup_div(F.sum("d"), _dec(F.count(F.lit(1)))).cast("long").alias("s_micro")
+    )
+    return det.join(F.broadcast(seas), "dow").select(
+        "day", "k", "dow", "d", (F.col("d") - _dec(F.col("s_micro"))).alias("r")
+    )
 
 
 @register("events_stl_dow_decomposition", oracle=_stl_oracle())
@@ -89,34 +155,12 @@ def events_stl_dow_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is calendar-bounded; everything after is 7-row algebra.
     """
     t = Tables(spark, sf_dir)
-    idx = _daily_counts_idx(t)
-    nn = idx.agg(F.max("k").alias("n"))
-    b = idx.select(F.col("k").alias("kb"), F.col("y").alias("yb"))
-    tr = (
-        idx.crossJoin(F.broadcast(nn))
-        .filter((F.col("k") >= 4) & (F.col("k") <= F.col("n") - 3))
-        .join(
-            F.broadcast(b),
-            (F.col("kb") >= F.col("k") - 3) & (F.col("kb") <= F.col("k") + 3),
-        )
-        .groupBy("day", "y", "k")
-        .agg(F.sum("yb").alias("s7"))
-        .select(
-            "day",
-            (F.weekday(F.col("day")) + 1).cast("long").alias("dow"),
-            "y",
-            "s7",
-        )
-    )
-    m6 = F.lit(1_000_000).cast("decimal(38,0)")
-    det = tr.select(
-        "dow",
-        _halfup_div(m6 * (7 * F.col("y") - F.col("s7")), F.lit(7).cast("decimal(38,0)")).alias("d"),
-    )
+    det = _stl_det(t)
     seas = det.groupBy("dow").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
         _halfup_div(F.sum("d"), _dec(F.count(F.lit(1)))).cast("long").alias("seasonal_micro"),
     )
+    m6 = F.lit(1_000_000).cast("decimal(38,0)")
     rem = det.join(F.broadcast(seas.select("dow", "seasonal_micro")), "dow").select(
         "d", (F.col("d") - _dec(F.col("seasonal_micro"))).alias("r")
     )

@@ -38,10 +38,12 @@ from .roundeleven import _dec, _halfup_div, _sql_halfup_div
 BP_RES_SCALE = 100
 
 
-def _bp_oracle() -> str:
-    hd = _sql_halfup_div
-    return f"""
-    WITH daily AS (
+# Shared CTE chain through the centi-quantized OLS residuals
+# (k, u) of the daily-count trend fit — consumed by the Breusch–Pagan
+# op below AND the ARCH LM test in roundtwelve7.py (one derivation,
+# two consumers).
+_SQL_BP_RESID_CTES = f"""
+    daily AS (
       SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS HUGEINT) AS y
       FROM orders GROUP BY 1
     ), idx AS (
@@ -62,11 +64,18 @@ def _bp_oracle() -> str:
       FROM s1
     ), resid AS (
       SELECT i.k,
-             {hd(f'{BP_RES_SCALE}::HUGEINT * '
+             {_sql_halfup_div(f'{BP_RES_SCALE}::HUGEINT * '
                  '(c.n * c.d * i.y - c.d * c.sy + c.b * c.sk - c.n * c.b * i.k)',
                  'c.n * c.d')} AS u
       FROM idx i, coef c
-    ), s2 AS (
+    )
+"""
+
+
+def _bp_oracle() -> str:
+    hd = _sql_halfup_div
+    return f"""
+    WITH {_SQL_BP_RESID_CTES}, s2 AS (
       SELECT CAST(count(*) AS HUGEINT) AS n,
              CAST(sum(k) AS HUGEINT) AS sk,
              CAST(sum(u * u) AS HUGEINT) AS sz,
@@ -93,6 +102,59 @@ def _bp_oracle() -> str:
            END AS bp_lm_micro
     FROM q
     """
+
+
+def _bp_coef(t: Tables) -> DataFrame:
+    """1-row OLS sufficient-sum/coefficient table (n, sk, sy, d, b) of
+    the daily-count trend fit (SQL twin: ``coef`` in
+    ``_SQL_BP_RESID_CTES``)."""
+    idx = _bp_idx(t)
+    s1 = idx.agg(
+        _dec(F.count(F.lit(1))).alias("n"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("k") * F.col("y")).alias("sky"),
+    )
+    return s1.select(
+        "n",
+        "sk",
+        "sy",
+        (F.col("n") * F.col("skk") - F.col("sk") * F.col("sk")).alias("d"),
+        (F.col("n") * F.col("sky") - F.col("sk") * F.col("sy")).alias("b"),
+    )
+
+
+def _bp_idx(t: Tables) -> DataFrame:
+    daily = t.orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        _dec(F.count(F.lit(1))).alias("y")
+    )
+    b0 = daily.select(F.col("day").alias("day_b"))
+    return (
+        daily.join(F.broadcast(b0), F.col("day_b") <= F.col("day"))
+        .groupBy("day", "y")
+        .agg(_dec(F.count(F.lit(1))).alias("k"))
+    )
+
+
+def _bp_resid(t: Tables) -> DataFrame:
+    """Centi-quantized exact OLS residuals (k, u) of the daily-count
+    trend fit — shared by ``stats_breusch_pagan_daily`` and the ARCH
+    LM test in roundtwelve7.py (SQL twin: ``resid`` in
+    ``_SQL_BP_RESID_CTES``)."""
+    coef = _bp_coef(t)
+    rnum = (
+        F.col("n") * F.col("d") * F.col("y")
+        - F.col("d") * F.col("sy")
+        + F.col("b") * F.col("sk")
+        - F.col("n") * F.col("b") * F.col("k")
+    )
+    return _bp_idx(t).crossJoin(F.broadcast(coef)).select(
+        "k",
+        _halfup_div(
+            F.lit(BP_RES_SCALE).cast("decimal(38,0)") * rnum, F.col("n") * F.col("d")
+        ).alias("u"),
+    )
 
 
 @register("stats_breusch_pagan_daily", oracle=_bp_oracle())
@@ -123,41 +185,8 @@ def stats_breusch_pagan_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates — nothing downstream scales with data.
     """
     t = Tables(spark, sf_dir)
-    daily = t.orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        _dec(F.count(F.lit(1))).alias("y")
-    )
-    b0 = daily.select(F.col("day").alias("day_b"))
-    idx = (
-        daily.join(F.broadcast(b0), F.col("day_b") <= F.col("day"))
-        .groupBy("day", "y")
-        .agg(_dec(F.count(F.lit(1))).alias("k"))
-    )
-    s1 = idx.agg(
-        _dec(F.count(F.lit(1))).alias("n"),
-        F.sum("k").alias("sk"),
-        F.sum(F.col("k") * F.col("k")).alias("skk"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("k") * F.col("y")).alias("sky"),
-    )
-    coef = s1.select(
-        "n",
-        "sk",
-        "sy",
-        (F.col("n") * F.col("skk") - F.col("sk") * F.col("sk")).alias("d"),
-        (F.col("n") * F.col("sky") - F.col("sk") * F.col("sy")).alias("b"),
-    )
-    rnum = (
-        F.col("n") * F.col("d") * F.col("y")
-        - F.col("d") * F.col("sy")
-        + F.col("b") * F.col("sk")
-        - F.col("n") * F.col("b") * F.col("k")
-    )
-    resid = idx.crossJoin(F.broadcast(coef)).select(
-        "k",
-        _halfup_div(
-            F.lit(BP_RES_SCALE).cast("decimal(38,0)") * rnum, F.col("n") * F.col("d")
-        ).alias("u"),
-    )
+    coef = _bp_coef(t)
+    resid = _bp_resid(t)
     z = F.col("u") * F.col("u")
     s2 = resid.agg(
         _dec(F.count(F.lit(1))).alias("n"),

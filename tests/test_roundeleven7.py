@@ -45,12 +45,16 @@ def test_heads_driver_window():
 
 
 def test_window_budget_holds():
-    """The round-11 registration budget: every unverified name must fit
-    the 50-slot driver window (evidence capped at r10, so later driver
-    evidence can never redden this — the VERDICT r10 item-1 rule)."""
+    """Round-11 registration budget, reshaped at round 12 to the
+    roundten3 self-expiring pattern (the VERDICT r10 item-1 rule):
+    the LIVE invariant — every currently-unverified name fits the
+    50-slot window — must hold under any evidence state, while the
+    HISTORICAL snapshot (batch F entered the round-11 window) pins
+    evidence at r10 so neither later success nor later registrations
+    can redden it."""
     from mysql_public_data_ingestor_spark import registry
 
-    hash_verified, rows_verified = registry._verified_names(max_round=10)
+    hash_verified, rows_verified = registry._verified_names()
     specs = registry.all_queries()
     unverified = [
         n
@@ -59,6 +63,11 @@ def test_window_budget_holds():
         and not (specs[n].oracle is None and n in rows_verified)
     ]
     assert len(unverified) <= 50, f"window overflow: {len(unverified)} unverified"
+    window = set(list(specs)[:50])
+    assert not set(unverified) - window
+
+    h10, r10 = registry._verified_names(max_round=10)
+    assert NAME not in h10 and NAME not in r10
 
 
 def test_query_matches_oracle(spark, sf_dir):

@@ -55,12 +55,15 @@ def test_heads_driver_window():
 
 
 def test_window_budget_holds():
-    """Round-12 registration budget: every unverified name must fit the
-    50-slot driver window (evidence capped at r11 so later driver
-    artifacts can never redden this — the VERDICT r10 item-1 rule)."""
+    """Round-12 registration budget (the roundten3 self-expiring
+    pattern): the LIVE invariant — every currently-unverified name
+    fits the 50-slot driver window — holds under any evidence state;
+    the HISTORICAL snapshot (batch K entered the round-12 window) pins
+    evidence at r11 so neither later success nor later registrations
+    can redden it."""
     from mysql_public_data_ingestor_spark import registry
 
-    hash_verified, rows_verified = registry._verified_names(max_round=11)
+    hash_verified, rows_verified = registry._verified_names()
     specs = registry.all_queries()
     unverified = [
         n
@@ -69,6 +72,12 @@ def test_window_budget_holds():
         and not (specs[n].oracle is None and n in rows_verified)
     ]
     assert len(unverified) <= 50, f"window overflow: {len(unverified)} unverified"
+    window = set(list(specs)[:50])
+    assert not set(unverified) - window
+
+    h11, r11 = registry._verified_names(max_round=11)
+    for n in NAMES:
+        assert n not in h11 and n not in r11, n
 
 
 @pytest.mark.parametrize("name", NAMES)
