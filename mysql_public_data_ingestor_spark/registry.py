@@ -195,6 +195,7 @@ def _ensure_loaded() -> None:
         roundten2,
         roundten3,
         roundtwelve6,
+        roundtwelve7,
         roundsix,
         roundsix2,
         similarity,
