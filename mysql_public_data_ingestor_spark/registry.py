@@ -196,6 +196,7 @@ def _ensure_loaded() -> None:
         roundten3,
         roundtwelve6,
         roundtwelve7,
+        roundtwelve8,
         roundsix,
         roundsix2,
         similarity,
