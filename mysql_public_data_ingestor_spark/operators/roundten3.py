@@ -538,15 +538,14 @@ def events_ccf_types_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
 ISO_BINS = 20
 
 
-def _iso_oracle() -> str:
-    from .ml import _scored_labeled_sql
-    from ..functions.exact import sql_round_int_ratio
-
+# Shared CTE chain from the scored corpus to the PAV minimax fit
+# (bins/pre/segs/inner_min/fit) — consumed by the isotonic op below
+# AND the PAV-vs-ROC-hull audit in roundtwelve9.py (one derivation,
+# two consumers). Append after _scored_labeled_sql().
+def _sql_iso_fit_ctes() -> str:
     b = ISO_BINS
-    return (
-        _scored_labeled_sql()
-        + f"""
-    , bins AS (
+    return f"""
+    bins AS (
       SELECT CAST(least(score_q // {10000 // b}, {b - 1}) AS BIGINT) AS bin,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(label) AS BIGINT) AS pos
@@ -571,6 +570,18 @@ def _iso_oracle() -> str:
       SELECT bin, n, pos, max(mn) AS v
       FROM inner_min GROUP BY bin, n, pos
     )
+    """
+
+
+def _iso_oracle() -> str:
+    from .ml import _scored_labeled_sql
+    from ..functions.exact import sql_round_int_ratio
+
+    return (
+        _scored_labeled_sql()
+        + ", "
+        + _sql_iso_fit_ctes()
+        + f"""
     SELECT bin, n, pos,
            {sql_round_int_ratio('pos', 'n')} AS raw_rate,
            CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS iso_rate
@@ -600,17 +611,40 @@ def ml_isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
     ambiguity); the output quantizes once at 1e-6. The replica test
     asserts the fitted curve is monotone and matches a reference PAV.
     """
-    from .ml import _scored_labeled
     from ..functions.exact import round_int_ratio
 
-    b = ISO_BINS
     t = Tables(spark, sf_dir)
+    fit = _iso_fit(_iso_bins(t))
+    return fit.select(
+        "bin",
+        "n",
+        "pos",
+        round_int_ratio(F.col("pos"), F.col("n")).alias("raw_rate"),
+        (
+            F.floor(F.col("v") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+            / F.lit(1e6)
+        ).alias("iso_rate"),
+    )
+
+
+def _iso_bins(t: Tables):
+    """(bin, n, pos) over the fixed ISO_BINS score grid — shared with
+    the PAV/hull audit in roundtwelve9.py."""
+    from .ml import _scored_labeled
+
+    b = ISO_BINS
     s = _scored_labeled(t)
-    bins = s.groupBy(
+    return s.groupBy(
         F.least(F.floor(F.col("score_q") / F.lit(10000 // b)), F.lit(b - 1))
         .cast("long")
         .alias("bin")
     ).agg(F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos"))
+
+
+def _iso_fit(bins):
+    """PAV fit via the prefix-sum minimax identity over the bounded
+    bin grid -> (bin, n, pos, v double). Shared Spark twin of
+    ``_sql_iso_fit_ctes``."""
     bb = bins.select(
         F.col("bin").alias("bin_b"), F.col("n").alias("n_b"), F.col("pos").alias("p_b")
     )
@@ -645,17 +679,7 @@ def ml_isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ri") <= F.col("rk")) & (F.col("rj") >= F.col("rk")),
     ).select("bin", "n", "pos", "ri", (F.col("p") / F.col("nn")).alias("val"))
     inner = cand.groupBy("bin", "n", "pos", "ri").agg(F.min("val").alias("mn"))
-    fit = inner.groupBy("bin", "n", "pos").agg(F.max("mn").alias("v"))
-    return fit.select(
-        "bin",
-        "n",
-        "pos",
-        round_int_ratio(F.col("pos"), F.col("n")).alias("raw_rate"),
-        (
-            F.floor(F.col("v") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
-            / F.lit(1e6)
-        ).alias("iso_rate"),
-    )
+    return inner.groupBy("bin", "n", "pos").agg(F.max("mn").alias("v"))
 
 
 # ---------------------------------------------------------------------------

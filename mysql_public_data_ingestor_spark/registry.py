@@ -197,6 +197,7 @@ def _ensure_loaded() -> None:
         roundtwelve6,
         roundtwelve7,
         roundtwelve8,
+        roundtwelve9,
         roundsix,
         roundsix2,
         similarity,
