@@ -198,6 +198,7 @@ def _ensure_loaded() -> None:
         roundtwelve7,
         roundtwelve8,
         roundtwelve9,
+        roundtwelve10,
         roundsix,
         roundsix2,
         similarity,
