@@ -297,9 +297,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.groupBy("doc_id").agg(vote.alias("simhash"))
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+# DuckDB twin of the blocked ngram-Jaccard pair derivation — a module
+# constant so the round-13 threshold-curve op (roundthirteen3.py) can
+# reuse the IDENTICAL pair set (one derivation, two consumers).
+_NGRAM_JACCARD_ORACLE = f"""
     WITH norm AS (
 {_SQL_SHINGLES}
     ), keyed AS (
@@ -316,8 +317,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
     WHERE round(len(list_intersect(a.hs, b.hs)) * 1.0
                 / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 6) >= 0.5
-    """,
-)
+    """
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-word shingle) Jaccard over blocked candidates.
 
