@@ -239,7 +239,9 @@ def _bm_oracle() -> str:
                      + 2 * na * nr)
                     // (2::HUGEINT * 2 * na * nr))
                 END AS BIGINT) AS rel_effect_centered_micro,
-           CASE WHEN qa * nr * (nr - 1) + qr * na * (na - 1) > 0 THEN
+           -- guard: den > 0 <=> (qa > 0 or qr > 0) with na, nr >= 2;
+           -- the literal product overflows HUGEINT at the x10 scale
+           CASE WHEN (qa > 0 OR qr > 0) AND na > 1 AND nr > 1 THEN
              CAST(floor(
                ((CAST(sra * nr - srr * na AS DOUBLE)
                  * CAST(sra * nr - srr * na AS DOUBLE))
@@ -352,9 +354,12 @@ def stats_brunner_munzel_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).cast("decimal(38,0)") * F.col("na") * F.col("nr"),
     )
     a_ = F.col("sra") * F.col("nr") - F.col("srr") * F.col("na")
-    denq = F.col("qa") * F.col("nr") * (F.col("nr") - 1) + F.col("qr") * F.col(
-        "na"
-    ) * (F.col("na") - 1)
+    # den > 0 <=> (qa > 0 or qr > 0) with na, nr >= 2 — the literal
+    # decimal product overflows decimal(38,0) at the x10 scale, so the
+    # guard never materializes it (the division itself runs in doubles)
+    denq_pos = ((F.col("qa") > 0) | (F.col("qr") > 0)) & (F.col("na") > 1) & (
+        F.col("nr") > 1
+    )
     w2 = F.floor(
         (a_.cast("double") * a_.cast("double"))
         * F.col("na").cast("double")
@@ -379,7 +384,7 @@ def stats_brunner_munzel_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nr").cast("long").alias("n_r"),
         rel.cast("long").alias("rel_effect_centered_micro"),
         F.when(
-            denq > 0,
+            denq_pos,
             w2
             * F.when(
                 F.col("sra") * F.col("nr") > F.col("srr") * F.col("na"), F.lit(-1)

@@ -174,6 +174,18 @@ PLAN_QUERIES = [
     "events_pacf_durbin_levinson",
     "stats_cucconi_halves",
     "ml_roc_convex_hull",
+    # round-12 representative additions (batches K-O)
+    "stats_holm_stepdown_dunn",
+    "stats_siegel_tukey_scale",
+    "events_stl_residual_periodogram",
+    "events_cusum_max_drawdown",
+    "graph_weighted_triangles",
+    "graph_avg_neighbor_degree_curve",
+    "text_vmeasure_lang_source",
+    "ml_pav_roc_hull_audit",
+    "ml_rank_rbo_overlap",
+    "embedding_knn_hubness_audit",
+    "layout_clustering_depth_audit",
 ]
 
 

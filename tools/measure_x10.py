@@ -109,6 +109,9 @@ def main() -> int:
         roundtwelve3,
         roundtwelve4,
         roundtwelve5,
+        roundthirteen,
+        roundthirteen2,
+        roundthirteen3,
     )
 
     for qname, qfn, _oracle, _doc in [
@@ -120,6 +123,9 @@ def main() -> int:
         *roundtwelve3.QUEUE,
         *roundtwelve4.QUEUE,
         *roundtwelve5.QUEUE,
+        *roundthirteen.QUEUE,
+        *roundthirteen2.QUEUE,
+        *roundthirteen3.QUEUE,
     ]:
         specs.setdefault(qname, _QSpec(qfn))
     missing = [n for n in names if n not in specs]
