@@ -378,16 +378,21 @@ def _ktruss_oracle() -> str:
     return (
         _SQL_TRI_CTES
         + f"""
-    , es0 AS (
-      SELECT least(a, b) AS u, greatest(a, b) AS v FROM tris
-      UNION ALL SELECT least(a, c), greatest(a, c) FROM tris
-      UNION ALL SELECT b, c FROM tris
+    , trism AS MATERIALIZED (
+      -- materialized: every downstream reference would otherwise
+      -- re-run the wedge-closure join (measured: unbounded DuckDB
+      -- spill at sf0.1 — >70 GB temp before the host ran out)
+      SELECT a, b, c FROM tris
+    ), es0 AS (
+      SELECT least(a, b) AS u, greatest(a, b) AS v FROM trism
+      UNION ALL SELECT least(a, c), greatest(a, c) FROM trism
+      UNION ALL SELECT b, c FROM trism
     ), sup0 AS (
       SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM es0 GROUP BY u, v
-    ), keep1 AS (
+    ), keep1 AS MATERIALIZED (
       SELECT u, v FROM sup0 WHERE support >= {s}
-    ), tri1 AS (
-      SELECT t.a, t.b, t.c FROM tris t
+    ), tri1 AS MATERIALIZED (
+      SELECT t.a, t.b, t.c FROM trism t
       WHERE EXISTS (SELECT 1 FROM keep1 k WHERE k.u = least(t.a, t.b) AND k.v = greatest(t.a, t.b))
         AND EXISTS (SELECT 1 FROM keep1 k WHERE k.u = least(t.a, t.c) AND k.v = greatest(t.a, t.c))
         AND EXISTS (SELECT 1 FROM keep1 k WHERE k.u = t.b AND k.v = t.c)
