@@ -124,25 +124,57 @@ def events_stl_residual_periodogram(spark: SparkSession, sf_dir: str) -> DataFra
         (F.col("r") - F.col("rb")).alias("z"),
         "m",
     )
-    zz = cent.agg(
-        F.sum(F.col("z") * F.col("z")).alias("zrr"), F.max("m").alias("m")
+    # ONE pass over the remainder series for all three periods AND
+    # the variance/count fold: the first draft union-ed three
+    # per-period aggregates plus a separate zz aggregate, each branch
+    # re-running the whole STL chain (detrend band join + seasonal
+    # join) — 4 chains, 8.4 s warm at sf0.1. Exploding the period
+    # column and folding sum(z^2)/count into the same grouped
+    # aggregate leaves ~2 chains (cent is still evaluated under the
+    # rbar centering cross) — 6.8-7.5 s warm; the residue is the
+    # shared +-3-band detrend itself (the parent STL op's own 3.0 s
+    # canonical), i.e. structure-bound, not plan waste.
+    perexp = cent.select(
+        "k",
+        "z",
+        F.explode(
+            F.array(*[F.lit(p).cast("long") for p in PGRAM_PERIODS])
+        ).alias("period"),
     )
-    vecs = None
+    cos_pick = None
+    sin_pick = None
     for p in PGRAM_PERIODS:
         cosv = F.array(*[F.lit(v) for v in PGRAM_COSQ[p]])
         sinv = F.array(*[F.lit(v) for v in PGRAM_SINQ[p]])
         ph = ((F.col("k") - 1) % p + 1).cast("int")
-        part = cent.select(
-            F.lit(p).cast("long").alias("period"),
-            (F.col("z") * F.element_at(cosv, ph).cast("decimal(38,0)")).alias("zc"),
-            (F.col("z") * F.element_at(sinv, ph).cast("decimal(38,0)")).alias("zs"),
-        ).groupBy("period").agg(F.sum("zc").alias("sc"), F.sum("zs").alias("ss"))
-        vecs = part if vecs is None else vecs.unionAll(part)
+        c = F.element_at(cosv, ph)
+        sn = F.element_at(sinv, ph)
+        cond = F.col("period") == p
+        cos_pick = F.when(cond, c) if cos_pick is None else cos_pick.when(cond, c)
+        sin_pick = F.when(cond, sn) if sin_pick is None else sin_pick.when(cond, sn)
+    # zrr/m fold into the SAME grouped aggregate (each period group
+    # sees every remainder row, so per-group sum(z^2)/count equal the
+    # global ones) — no second pass over the STL chain at all
+    vecs = (
+        perexp.select(
+            "period",
+            (F.col("z") * cos_pick.cast("decimal(38,0)")).alias("zc"),
+            (F.col("z") * sin_pick.cast("decimal(38,0)")).alias("zs"),
+            (F.col("z") * F.col("z")).alias("z2"),
+        )
+        .groupBy("period")
+        .agg(
+            F.sum("zc").alias("sc"),
+            F.sum("zs").alias("ss"),
+            F.sum("z2").alias("zrr"),
+            _dec(F.count(F.lit(1))).alias("m"),
+        )
+    )
     num = F.lit(2).cast("decimal(38,0)") * (
         F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")
     )
     return (
-        vecs.crossJoin(F.broadcast(zz))
+        vecs
         .select(
             "period",
             F.col("m").cast("long").alias("n_resid_days"),
