@@ -112,6 +112,7 @@ def main() -> int:
         roundthirteen,
         roundthirteen2,
         roundthirteen3,
+        roundthirteen4,
     )
 
     for qname, qfn, _oracle, _doc in [
@@ -126,6 +127,7 @@ def main() -> int:
         *roundthirteen.QUEUE,
         *roundthirteen2.QUEUE,
         *roundthirteen3.QUEUE,
+        *roundthirteen4.QUEUE,
     ]:
         specs.setdefault(qname, _QSpec(qfn))
     missing = [n for n in names if n not in specs]
