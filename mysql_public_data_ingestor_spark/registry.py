@@ -254,15 +254,16 @@ def _ensure_loaded() -> None:
               roundtwelve4, roundtwelve5):
         m.activate()
 
-    # ROUND-13 OPENER: the round-12-banked queue spans THREE modules —
-    # operators/roundthirteen{,2,3} (5+5+5 = 15 ops; gates in
+    # ROUND-13 OPENER: the round-12-banked queue spans FOUR modules —
+    # operators/roundthirteen{,2,3,4} (5+5+5+3 = 18 ops; gates in
     # tests/test_roundthirteen*.py, ×10 ladders in SCALE §5o).
     # Flip them here together once CORRECTNESS_r12 lands:
     #   from .operators import (roundthirteen, roundthirteen2,
-    #                           roundthirteen3)
-    #   for m in (roundthirteen, roundthirteen2, roundthirteen3):
+    #                           roundthirteen3, roundthirteen4)
+    #   for m in (roundthirteen, roundthirteen2, roundthirteen3,
+    #             roundthirteen4):
     #       m.activate()
-    # Budget check first: 15 activations + new round-13 registrations
+    # Budget check first: 18 activations + new round-13 registrations
     # must stay <= the 50-slot driver window (tests/test_entry.py) —
     # and add the activation-time plan-allowlist entries noted in the
     # module docstrings (fbeta/ace score-grid cumulatives, BM/Bartels
