@@ -81,6 +81,36 @@ def _wtri_oracle() -> str:
     """
 
 
+def _wedges(t: Tables) -> DataFrame:
+    """Weighted co-purchase edges (u < v, w = co-order multiplicity) —
+    the same basket pair generation as ``graph._edges`` but keeping
+    multiplicity. SQL twin: ``_SQL_WEDGES``. Extracted in round 13 so
+    the Barrat weighted-clustering op shares ONE derivation with
+    ``graph_weighted_triangles`` (the shared-derivation authoring rule
+    added its consumer to ``_EVIDENCE_MIN_ROUND`` in the same commit)."""
+    arr = F.sort_array(F.collect_set("l_partkey"))
+    baskets = (
+        t.lineitem.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(arr.alias("parts"))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("e"))
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+
+
 @register("graph_weighted_triangles", oracle=_wtri_oracle())
 def graph_weighted_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strength-weighted triangle aggregate over the co-purchase graph
@@ -110,29 +140,8 @@ def graph_weighted_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     tris = triangle_table(spark, t, sf_dir)
-    # weighted edges: same basket pairing as graph._edges but keeping
-    # order multiplicity (one row per co-ordering)
-    arr = F.sort_array(F.collect_set("l_partkey"))
-    baskets = (
-        t.lineitem.select("l_orderkey", "l_partkey")
-        .groupBy("l_orderkey")
-        .agg(arr.alias("parts"))
-    )
-    pairs = F.flatten(
-        F.transform(
-            F.col("parts"),
-            lambda x, i: F.transform(
-                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
-                lambda y: F.struct(x.alias("u"), y.alias("v")),
-            ),
-        )
-    )
-    wedges = (
-        baskets.select(F.explode(pairs).alias("e"))
-        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
-    )
+    # weighted edges: shared derivation (_wedges; SQL twin _SQL_WEDGES)
+    wedges = _wedges(t)
     w1 = wedges.select(
         F.col("u").alias("u1"), F.col("v").alias("v1"), F.col("w").alias("w_ab")
     )

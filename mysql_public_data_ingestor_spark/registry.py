@@ -71,6 +71,15 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
 # commit. Names auto-clear once fresh evidence lands; prune inert
 # entries at the start of the next round (round-6's eight entries all
 # collected CORRECTNESS_r06 evidence and were pruned in round 7).
+#
+# Shared-derivation extension (VERDICT r12 item 6, the r10 twin-sided
+# lesson applied to refactors): when a refactor rewrites a derivation
+# that BOTH the Spark query and its DuckDB oracle consume (e.g. the
+# `70cea64` STL / Breusch–Pagan residual CTE extraction in round 12),
+# the consuming verified queries get entries here too — window budget
+# permitting — even though output values are unchanged. A twin-sided
+# derivation is exactly where a bug can hide from the parity gate, so
+# the driver should re-check the consumers on its next window.
 _EVIDENCE_MIN_ROUND: dict[str, int] = {
     # round-9 recall-audit entry pruned: it collected fresh
     # CORRECTNESS_r09 green evidence after the truth-side block cap
@@ -83,6 +92,13 @@ _EVIDENCE_MIN_ROUND: dict[str, int] = {
     # semantics). Identical output on the standard fixtures, but the
     # semantics changed, so r10 evidence is invalidated.
     "sketch_ddsketch_quantiles": 11,
+    # round-13: the Spark-side weighted-edge derivation was extracted
+    # from graph_weighted_triangles into roundtwelve8._wedges so the
+    # new Barrat weighted-clustering op shares it (one derivation, two
+    # consumers). Output values are unchanged (local parity re-run),
+    # but under the shared-derivation rule above the verified consumer
+    # re-enters the driver window for a fresh check.
+    "graph_weighted_triangles": 13,
 }
 
 
@@ -199,6 +215,7 @@ def _ensure_loaded() -> None:
         roundtwelve8,
         roundtwelve9,
         roundtwelve10,
+        roundthirteen5,
         roundsix,
         roundsix2,
         similarity,
@@ -254,20 +271,17 @@ def _ensure_loaded() -> None:
               roundtwelve4, roundtwelve5):
         m.activate()
 
-    # ROUND-13 OPENER: the round-12-banked queue spans FOUR modules —
-    # operators/roundthirteen{,2,3,4} (5+5+5+3 = 18 ops; gates in
-    # tests/test_roundthirteen*.py, ×10 ladders in SCALE §5o).
-    # Flip them here together once CORRECTNESS_r12 lands:
-    #   from .operators import (roundthirteen, roundthirteen2,
-    #                           roundthirteen3, roundthirteen4)
-    #   for m in (roundthirteen, roundthirteen2, roundthirteen3,
-    #             roundthirteen4):
-    #       m.activate()
-    # Budget check first: 18 activations + new round-13 registrations
-    # must stay <= the 50-slot driver window (tests/test_entry.py) —
-    # and add the activation-time plan-allowlist entries noted in the
-    # module docstrings (fbeta/ace score-grid cumulatives, BM/Bartels
-    # bounded rank cumulatives) to tests/test_plans.py in the SAME
-    # commit as the flip.
+    # round-13 activation of the round-12-banked queue (VERDICT r12
+    # item 1: 18 ops across four modules; gates in
+    # tests/test_roundthirteen*.py, ×10 ladders in SCALE §5o;
+    # activation-time plan-allowlist entries landed in the same commit
+    # in tests/test_plans.py; post-activation window budget asserted
+    # in tests/test_entry.py).
+    from .operators import (roundthirteen, roundthirteen2,
+                            roundthirteen3, roundthirteen4)
+
+    for m in (roundthirteen, roundthirteen2, roundthirteen3,
+              roundthirteen4):
+        m.activate()
 
     _LOADED = True

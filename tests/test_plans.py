@@ -481,6 +481,27 @@ SINGLE_PARTITION_ALLOWLIST = {
     # (the stats_ljung_box_daily class; replaced a 27.5s chain of
     # three day^2 non-equi prefix joins).
     "events_cusum_max_drawdown",
+    # round-13 activation (roundthirteen.py, flagged at bank time in
+    # the module docstrings): pooled mid-rank + within-group rank
+    # cumulatives over the POST-AGGREGATION <= 50-distinct-quantity
+    # value grid (the cvm/ansari/Dunn class — bounded by the value
+    # domain, never by rows).
+    "stats_brunner_munzel_ab",
+    # successive-difference rank cumulatives over the POST-AGGREGATION
+    # ~2.4k-calendar-day daily-count value grid plus its lag join —
+    # the stats_ljung_box_daily bounded-calendar class.
+    "stats_bartels_rank_daily",
+    # round-13 activation (roundthirteen3.py): equal-mass-bin and
+    # ranking cumulatives over the POST-AGGREGATION <= 10001-value
+    # quantized score grid — the ml_youden_optimal_threshold class.
+    "ml_adaptive_calibration_error",
+    # descending ROC cumulative + per-beta ranking over the same
+    # <= 10001-value POST-AGGREGATION score grid.
+    "ml_fbeta_optimal_thresholds",
+    # round-13 activation (roundthirteen4.py): Lorenz cumulative over
+    # the POST-AGGREGATION distinct-document-length value grid
+    # (bounded by the length domain, not by document count).
+    "corpus_token_mass_lorenz",
 }
 
 
