@@ -216,6 +216,7 @@ def _ensure_loaded() -> None:
         roundtwelve9,
         roundtwelve10,
         roundthirteen5,
+        roundthirteen6,
         roundsix,
         roundsix2,
         similarity,
