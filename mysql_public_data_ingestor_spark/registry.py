@@ -217,6 +217,7 @@ def _ensure_loaded() -> None:
         roundtwelve10,
         roundthirteen5,
         roundthirteen6,
+        roundthirteen7,
         roundsix,
         roundsix2,
         similarity,

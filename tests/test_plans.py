@@ -502,6 +502,11 @@ SINGLE_PARTITION_ALLOWLIST = {
     # the POST-AGGREGATION distinct-document-length value grid
     # (bounded by the length domain, not by document count).
     "corpus_token_mass_lorenz",
+    # round-13 batch V (roundthirteen7.py): descending ROC cumulative
+    # over the <= 10001-value POST-AGGREGATION score grid — the
+    # fbeta/Youden class (the per-floor ranking partitions by floor,
+    # so only the shared cumulative is global).
+    "ml_recall_at_precision_floor",
 }
 
 
