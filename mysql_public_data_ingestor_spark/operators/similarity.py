@@ -967,6 +967,50 @@ PQ_PROBES = 3     # probe vectors (vec_id < PQ_PROBES, same convention
                   # as N_QUERIES in the LSH family)
 
 
+def _pq_sub_cb(t: Tables):
+    """(sub, cb): the per-subspace vector blocks and the 8-codeword
+    codebook blocks — the PQ index head shared by the ADC search and
+    the round-13 distortion audit (extracted in round 13, not
+    rewritten; the verified consumer re-entered _EVIDENCE_MIN_ROUND
+    per the shared-derivation rule)."""
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    cb = (
+        emb.filter(F.col("vec_id") < PQ_CODEWORDS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("cv"),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .select("cid", F.col("c.m").alias("m"), F.col("c.cv").alias("cv"))
+    )
+    return sub, cb
+
+
 def _pq_adc_oracle() -> str:
     subs = " UNION ALL ".join(
         f"SELECT vec_id, {m} AS m, v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] AS sv "
@@ -1037,41 +1081,7 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     then cid).
     """
     t = Tables(spark, sf_dir)
-    emb = t.embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    sub = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
-    cb = (
-        emb.filter(F.col("vec_id") < PQ_CODEWORDS)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).alias("m"),
-                            F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("cv"),
-                        )
-                        for m in range(PQ_M)
-                    ]
-                )
-            ).alias("c"),
-        )
-        .select("cid", F.col("c.m").alias("m"), F.col("c.cv").alias("cv"))
-    )
+    sub, cb = _pq_sub_cb(t)
     d2 = F.aggregate(
         F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),

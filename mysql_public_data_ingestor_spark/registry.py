@@ -99,6 +99,10 @@ _EVIDENCE_MIN_ROUND: dict[str, int] = {
     # but under the shared-derivation rule above the verified consumer
     # re-enters the driver window for a fresh check.
     "graph_weighted_triangles": 13,
+    # round-13: the PQ subspace/codebook head was extracted from
+    # similarity_pq_adc_topk into similarity._pq_sub_cb so the batch-W
+    # distortion audit shares it — same rule, same re-check.
+    "similarity_pq_adc_topk": 13,
 }
 
 
@@ -218,6 +222,7 @@ def _ensure_loaded() -> None:
         roundthirteen5,
         roundthirteen6,
         roundthirteen7,
+        roundthirteen8,
         roundsix,
         roundsix2,
         similarity,
