@@ -223,6 +223,7 @@ def _ensure_loaded() -> None:
         roundthirteen6,
         roundthirteen7,
         roundthirteen8,
+        roundthirteen9,
         roundsix,
         roundsix2,
         similarity,
