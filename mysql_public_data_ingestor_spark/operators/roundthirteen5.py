@@ -90,7 +90,7 @@ def _barrat_oracle() -> str:
 @register("graph_weighted_clustering_barrat", oracle=_barrat_oracle())
 def graph_weighted_clustering_barrat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Barrat weighted local clustering coefficient (Barrat, Barthélemy,
-    Pastor-Satorras & Vespignani, PNAS 2004) for the top-{k} strongest
+    Pastor-Satorras & Vespignani, PNAS 2004) for the top-10 strongest
     co-purchase hubs: C_w(i) = (1 / (s_i (k_i - 1))) * sum over
     triangles at i of (w_ij + w_ih)/2, where s_i is the node strength
     (sum of incident co-order weights). ``graph_local_clustering_topk``
@@ -117,7 +117,7 @@ def graph_weighted_clustering_barrat(spark: SparkSession, sf_dir: str) -> DataFr
     plan), a 3-corner unpivot feeding a node-keyed aggregate, and
     node-sized strength/degree joins; top-k via TakeOrderedAndProject.
     No wedge re-enumeration, no cartesian.
-    """.format(k=BARRAT_TOPK)
+    """
     from .graph import _degrees, edge_table, triangle_table
     from .roundtwelve8 import _wedges
 
@@ -254,9 +254,9 @@ def _ec_oracle() -> str:
 
 @register("graph_eigenvector_centrality_power", oracle=_ec_oracle())
 def graph_eigenvector_centrality_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eigenvector centrality of the co-purchase graph — {k} fixed
+    """Eigenvector centrality of the co-purchase graph — 6 fixed
     power iterations x' = A x with L-infinity renormalization after
-    each hop, reported for the top-{topk} nodes. PageRank asks "where
+    each hop, reported for the top-10 nodes. PageRank asks "where
     does a random surfer end up"; eigenvector centrality asks "who is
     connected to the well-connected" with no damping/teleport — hubs
     whose NEIGHBORS are hubs. The broadcast-iterate pattern is
@@ -269,15 +269,15 @@ def graph_eigenvector_centrality_power(spark: SparkSession, sf_dir: str) -> Data
     half-up division by the 1-row max — the identical integer
     trajectory in both engines (the PageRank determinism argument,
     ``graph.py``), so even this iterative operator is hash-verified
-    value-for-value via {iters} unrolled MATERIALIZED CTEs.
+    value-for-value via 6 unrolled MATERIALIZED CTEs.
 
     Scale shape per hop: one groupBy(dst) over the session-shared edge
     list (both directions, localCheckpointed once); the score table is
     node-sized and the renormalizer is a broadcast scalar. Iteration
-    count fixed at {iters} (driver loop bounded; lineage kept flat via
+    count fixed at 6 (driver loop bounded; lineage kept flat via
     eager localCheckpoint, the PageRank discipline). Top-k via
     TakeOrderedAndProject.
-    """.format(k=EC_ITERS, topk=EC_TOPK, iters=EC_ITERS)
+    """
     from .graph import edge_table
 
     t = Tables(spark, sf_dir)

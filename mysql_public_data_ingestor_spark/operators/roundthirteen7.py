@@ -267,7 +267,7 @@ def _capability_oracle() -> str:
 @register("stats_process_capability_latency", oracle=_capability_oracle())
 def stats_process_capability_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Process capability of the order->ship latency against fixed
-    spec limits [{lsl}, {usl}] days: Cp = (USL-LSL)/(6 sigma) (the
+    spec limits [1, 120] days: Cp = (USL-LSL)/(6 sigma) (the
     potential of the process if centered) and Cpk = min(USL-mu,
     mu-LSL)/(3 sigma) (the actual capability at the current centering)
     — the Six-Sigma fulfillment-SLA numbers, reported SQUARED so the
@@ -287,7 +287,7 @@ def stats_process_capability_latency(spark: SparkSession, sf_dir: str) -> DataFr
 
     Scale shape: one lineitem-orders equi-join (orderkey) feeding a
     single global aggregate; 1 row out.
-    """.format(lsl=CAP_LSL_DAYS, usl=CAP_USL_DAYS)
+    """
     t = Tables(spark, sf_dir)
     lsl, usl = CAP_LSL_DAYS, CAP_USL_DAYS
     lat = (

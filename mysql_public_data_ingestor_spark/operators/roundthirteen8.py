@@ -180,7 +180,7 @@ def _hub_removal_oracle() -> str:
 @register("graph_hub_removal_robustness", oracle=_hub_removal_oracle())
 def graph_hub_removal_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Targeted-attack robustness audit of the co-purchase graph
-    (Albert, Jeong & Barabási 2000): delete the {h} highest-degree
+    (Albert, Jeong & Barabási 2000): delete the 8 highest-degree
     hubs and report what survives — edges, still-connected nodes,
     freshly isolated nodes, the new maximum degree, and the surviving
     edge share. Scale-free graphs are famously robust to random
@@ -190,14 +190,14 @@ def graph_hub_removal_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub products.
 
     Exactness: hub selection is deterministic ((degree desc, node
-    asc) top-{h}); every output is an exact count plus ONE half-up
+    asc) top-8); every output is an exact count plus ONE half-up
     ppm division.
 
     Scale shape: degrees off the session-shared edge list; the hub
-    set is {h} rows broadcast into two anti-joins (never a shuffle of
+    set is 8 rows broadcast into two anti-joins (never a shuffle of
     the edge list against itself); surviving degrees are one more
     node-keyed aggregate. 1 row out.
-    """.format(h=HUBS_REMOVED)
+    """
     from .graph import _degrees, edge_table
 
     t = Tables(spark, sf_dir)
@@ -345,8 +345,8 @@ def _youden_jk_oracle() -> str:
 @register("ml_youden_threshold_jackknife", oracle=_youden_jk_oracle())
 def ml_youden_threshold_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete-one-block jackknife of the Youden-optimal operating
-    point: re-derive the J-maximizing threshold on each of {b}
-    leave-one-block-out replicas (blocks = doc_id % {b}, the
+    point: re-derive the J-maximizing threshold on each of 32
+    leave-one-block-out replicas (blocks = doc_id % 32, the
     ``stats_jackknife_mean_ci`` RNG-free resampling convention) and
     report how stable the DEPLOYED number actually is — the min/max/
     distinct-count of the replica thresholds and the jackknife
@@ -365,10 +365,10 @@ def ml_youden_threshold_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame
     replica maxima.
 
     Scale shape: one scored scan to the (score, block) grid
-    (<= 10001 x {b} POST-AGGREGATION rows); cumulatives and rankings
+    (<= 10001 x 32 POST-AGGREGATION rows); cumulatives and rankings
     partition by replica (hash-partitioned windows, never
     SinglePartition); 1 row out.
-    """.format(b=YJ_BLOCKS)
+    """
     from pyspark.sql.window import Window
 
     from .ml import _scored_labeled

@@ -627,7 +627,7 @@ def _ess_oracle() -> str:
 @register("stats_effective_sample_size_daily", oracle=_ess_oracle())
 def stats_effective_sample_size_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kish-style effective sample size of the daily order series:
-    N_eff = N / (1 + 2 sum_{{k=1..{L}}} rho_k) — how many INDEPENDENT
+    N_eff = N / (1 + 2 sum_{k=1..7} rho_k) — how many INDEPENDENT
     observations the autocorrelated daily counts are actually worth
     when a monitor builds a confidence interval on the daily mean
     (Kish 1965; the MCMC ESS with a hard lag cutoff). The ACF family
@@ -636,16 +636,16 @@ def stats_effective_sample_size_daily(spark: SparkSession, sf_dir: str) -> DataF
     independent days", i.e. how much to widen the bands.
 
     Exactness: the centered series w_j = N y_j - S is exact integer
-    (the QS/DFA convention); c_0 and the {L} lag autocovariances are
+    (the QS/DFA convention); c_0 and the 7 lag autocovariances are
     exact integer sums over calendar lag joins; both outputs are pure
     rational — ONE half-up division each (sum of rho in micro; ESS in
     milli-days = 1e3 N c_0 / (c_0 + 2 sum c_k)), NULL-guarded for the
     degenerate variance and non-positive denominator.
 
     Scale shape: one fact scan partial-aggregates to the calendar-day
-    domain; {L} day-keyed lag equi-joins on the POST-AGGREGATION
+    domain; 7 day-keyed lag equi-joins on the POST-AGGREGATION
     table; 1 row out.
-    """.format(L=ESS_MAX_LAG)
+    """
     from .roundeleven2 import _daily_counts_idx
 
     t = Tables(spark, sf_dir)

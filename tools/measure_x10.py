@@ -113,6 +113,7 @@ def main() -> int:
         roundthirteen2,
         roundthirteen3,
         roundthirteen4,
+        roundfourteen,
     )
 
     for qname, qfn, _oracle, _doc in [
@@ -128,6 +129,7 @@ def main() -> int:
         *roundthirteen2.QUEUE,
         *roundthirteen3.QUEUE,
         *roundthirteen4.QUEUE,
+        *roundfourteen.QUEUE,
     ]:
         specs.setdefault(qname, _QSpec(qfn))
     missing = [n for n in names if n not in specs]
