@@ -320,9 +320,12 @@ def _bland_altman_oracle() -> str:
     )
     SELECT CAST(l.n AS BIGINT) AS n,
            CAST({hd('1000::HUGEINT * l.sd', 'l.n')} AS BIGINT) AS bias_milli,
-           CAST({hd('1000::HUGEINT * l.vc', 'l.n * (l.n - 1)')} AS BIGINT)
-             AS var_d_milli,
-           CAST(l.loa_sq_milli AS BIGINT) AS loa_sq_milli,
+           CASE WHEN {hd('1000::HUGEINT * l.vc', 'l.n * (l.n - 1)')}
+                     <= 9223372036854775807::HUGEINT THEN
+             CAST({hd('1000::HUGEINT * l.vc', 'l.n * (l.n - 1)')} AS BIGINT)
+           END AS var_d_milli,
+           CASE WHEN l.loa_sq_milli <= 9223372036854775807::HUGEINT THEN
+             CAST(l.loa_sq_milli AS BIGINT) END AS loa_sq_milli,
            CAST({hd('1000000::HUGEINT * w.n_within', 'l.n')} AS BIGINT)
              AS within_loa_ppm
     FROM lim l, w
@@ -400,13 +403,17 @@ def stats_bland_altman_price_agreement(spark: SparkSession, sf_dir: str) -> Data
         .agg(F.sum("inside").cast("decimal(38,0)").alias("n_within"))
     )
     m6 = F.lit(1_000_000).cast("decimal(38,0)")
+    i64max = F.lit(9223372036854775807).cast("decimal(38,0)")
+    var_milli = _halfup_div(k3 * F.col("vc"), F.col("n") * (F.col("n") - 1))
     return lim.crossJoin(F.broadcast(w)).select(
         F.col("n").cast("long").alias("n"),
         _halfup_div(k3 * F.col("sd"), F.col("n")).cast("long").alias("bias_milli"),
-        _halfup_div(k3 * F.col("vc"), F.col("n") * (F.col("n") - 1))
-        .cast("long")
-        .alias("var_d_milli"),
-        F.col("loa_sq_milli").cast("long").alias("loa_sq_milli"),
+        # int64 magnitude guards (the adversarial value-fuzz profile
+        # inflates cents^2 variances past BIGINT; both engines emit
+        # NULL identically rather than overflow)
+        F.when(var_milli <= i64max, var_milli.cast("long")).alias("var_d_milli"),
+        F.when(F.col("loa_sq_milli") <= i64max,
+               F.col("loa_sq_milli").cast("long")).alias("loa_sq_milli"),
         _halfup_div(m6 * F.col("n_within"), F.col("n"))
         .cast("long")
         .alias("within_loa_ppm"),
