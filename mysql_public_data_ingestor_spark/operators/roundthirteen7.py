@@ -588,9 +588,13 @@ def graph_katz_centrality_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     att = F.lit(KATZ_ATT_DEN).cast("decimal(38,0)")
+    from ..functions.partitioning import gated_broadcast
+
     for _ in range(KATZ_ITERS):
+        # node-sized score table broadcast under the gate (the EC hop
+        # plan) — the edge list never re-shuffles per hop
         s = (
-            both.join(x.select(F.col("node").alias("u"), "x"), "u")
+            both.join(gated_broadcast(x.select(F.col("node").alias("u"), "x")), "u")
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum(_dec(F.col("x"))).alias("y"))
         )
