@@ -292,13 +292,14 @@ def _ensure_loaded() -> None:
               roundthirteen4):
         m.activate()
 
-    # ROUND-14 OPENER: the round-13-banked queue is
-    # operators/roundfourteen.py (6 ops; gates in
-    # tests/test_roundfourteen.py, ×10 ladders in SCALE §5s).
-    # Flip it here once CORRECTNESS_r13 lands:
-    #   from .operators import roundfourteen
-    #   roundfourteen.activate()
-    # Budget check first: 6 activations + new round-14 registrations
+    # ROUND-14 OPENER: the round-13-banked queue spans TWO modules —
+    # operators/roundfourteen{,2}.py (6 + 4 = 10 ops; gates in
+    # tests/test_roundfourteen{,2}.py, ×10 ladders in SCALE §5s).
+    # Flip them here together once CORRECTNESS_r13 lands:
+    #   from .operators import roundfourteen, roundfourteen2
+    #   for m in (roundfourteen, roundfourteen2):
+    #       m.activate()
+    # Budget check first: 10 activations + new round-14 registrations
     # must stay <= the 50-slot driver window (tests/test_entry.py).
     # No activation-time plan-allowlist entries are needed — the bank
     # was swept clean (shard-partitioned windows only; see the module

@@ -114,6 +114,7 @@ def main() -> int:
         roundthirteen3,
         roundthirteen4,
         roundfourteen,
+        roundfourteen2,
     )
 
     for qname, qfn, _oracle, _doc in [
@@ -130,6 +131,7 @@ def main() -> int:
         *roundthirteen3.QUEUE,
         *roundthirteen4.QUEUE,
         *roundfourteen.QUEUE,
+        *roundfourteen2.QUEUE,
     ]:
         specs.setdefault(qname, _QSpec(qfn))
     missing = [n for n in names if n not in specs]
