@@ -86,12 +86,9 @@ _EVIDENCE_MIN_ROUND: dict[str, int] = {
     # (authoring rule: entries auto-clear once fresh evidence lands;
     # prune inert ones at the start of the next round).
     #
-    # round-11: achieved_rank edge-case fix (ADVICE r10 — inner join
-    # dropped a quantile row when no value <= the bucket midpoint; now
-    # a left join coalescing to 0, matching the oracle's scalar-count
-    # semantics). Identical output on the standard fixtures, but the
-    # semantics changed, so r10 evidence is invalidated.
-    "sketch_ddsketch_quantiles": 11,
+    # round-13 pruning: the round-11 sketch_ddsketch_quantiles entry
+    # collected fresh CORRECTNESS_r11 green evidence and is inert —
+    # pruned per the authoring rule.
     # round-13: the Spark-side weighted-edge derivation was extracted
     # from graph_weighted_triangles into roundtwelve8._wedges so the
     # new Barrat weighted-clustering op shares it (one derivation, two
