@@ -115,6 +115,7 @@ def main() -> int:
         roundthirteen4,
         roundfourteen,
         roundfourteen2,
+        roundfourteen3,
     )
 
     for qname, qfn, _oracle, _doc in [
@@ -132,6 +133,7 @@ def main() -> int:
         *roundthirteen4.QUEUE,
         *roundfourteen.QUEUE,
         *roundfourteen2.QUEUE,
+        *roundfourteen3.QUEUE,
     ]:
         specs.setdefault(qname, _QSpec(qfn))
     missing = [n for n in names if n not in specs]
