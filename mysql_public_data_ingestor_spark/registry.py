@@ -81,25 +81,19 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
 # derivation is exactly where a bug can hide from the parity gate, so
 # the driver should re-check the consumers on its next window.
 _EVIDENCE_MIN_ROUND: dict[str, int] = {
-    # round-9 recall-audit entry pruned: it collected fresh
-    # CORRECTNESS_r09 green evidence after the truth-side block cap
-    # (authoring rule: entries auto-clear once fresh evidence lands;
-    # prune inert ones at the start of the next round).
+    # round-14 pruning (VERDICT r13 item 1): the two round-13
+    # shared-derivation entries — graph_weighted_triangles (the
+    # roundtwelve8._wedges extraction) and similarity_pq_adc_topk (the
+    # similarity._pq_sub_cb extraction) — both collected fresh
+    # CORRECTNESS_r13 hash-green evidence and are inert; pruned per the
+    # authoring rule. Earlier prunes: round-9 recall-audit (r9
+    # evidence), round-11 sketch_ddsketch_quantiles (r11 evidence).
     #
-    # round-13 pruning: the round-11 sketch_ddsketch_quantiles entry
-    # collected fresh CORRECTNESS_r11 green evidence and is inert —
-    # pruned per the authoring rule.
-    # round-13: the Spark-side weighted-edge derivation was extracted
-    # from graph_weighted_triangles into roundtwelve8._wedges so the
-    # new Barrat weighted-clustering op shares it (one derivation, two
-    # consumers). Output values are unchanged (local parity re-run),
-    # but under the shared-derivation rule above the verified consumer
-    # re-enters the driver window for a fresh check.
-    "graph_weighted_triangles": 13,
-    # round-13: the PQ subspace/codebook head was extracted from
-    # similarity_pq_adc_topk into similarity._pq_sub_cb so the batch-W
-    # distortion audit shares it — same rule, same re-check.
-    "similarity_pq_adc_topk": 13,
+    # Authoring-rule hardening (VERDICT r13 item 1): window-budget
+    # self-expiry conditions in tests must accept the
+    # evidence-landed-but-entry-not-yet-pruned interim state — assert
+    # "name unverified OR fresh hash-green evidence >= the entry's
+    # min-round exists on disk", never "entry already pruned".
 }
 
 
