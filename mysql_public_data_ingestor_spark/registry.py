@@ -283,20 +283,19 @@ def _ensure_loaded() -> None:
               roundthirteen4):
         m.activate()
 
-    # ROUND-14 OPENER: the round-13-banked queue spans THREE modules —
-    # operators/roundfourteen{,2,3}.py (6 + 4 + 2 = 12 ops; gates in
-    # tests/test_roundfourteen{,2,3}.py, ×10 ladders in SCALE §5s).
-    # Flip them here together once CORRECTNESS_r13 lands:
-    #   from .operators import (roundfourteen, roundfourteen2,
-    #                           roundfourteen3)
-    #   for m in (roundfourteen, roundfourteen2, roundfourteen3):
-    #       m.activate()
-    # Budget check first: 12 activations + new round-14 registrations
-    # must stay <= the 50-slot driver window (tests/test_entry.py) —
-    # and add the ONE activation-time plan-allowlist entry the batch-3
-    # docstring calls out (ml_prg_at_operating_points shares the
-    # fbeta/Youden descending score-grid cumulative) to
-    # tests/test_plans.py in the SAME commit as the flip. The rest of
-    # the bank was swept clean (shard-partitioned windows only).
+    # round-14 activation of the round-13-banked queue (VERDICT r13
+    # item 3: 12 ops across three modules; gates in
+    # tests/test_roundfourteen{,2,3}.py, ×10 ladders in SCALE §5s;
+    # CORRECTNESS_r13 landed 50/50 so the unverified backlog was zero
+    # at flip time; the ONE activation-time plan-allowlist entry the
+    # batch-3 docstring calls out — ml_prg_at_operating_points, the
+    # fbeta/Youden descending score-grid cumulative class — lands in
+    # tests/test_plans.py in this same commit; post-activation window
+    # budget asserted in tests/test_entry.py).
+    from .operators import (roundfourteen, roundfourteen2,
+                            roundfourteen3)
+
+    for m in (roundfourteen, roundfourteen2, roundfourteen3):
+        m.activate()
 
     _LOADED = True

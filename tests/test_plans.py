@@ -507,6 +507,11 @@ SINGLE_PARTITION_ALLOWLIST = {
     # fbeta/Youden class (the per-floor ranking partitions by floor,
     # so only the shared cumulative is global).
     "ml_recall_at_precision_floor",
+    # round-14 activation (roundfourteen3.py): descending ROC
+    # cumulative over the same <= 10001-value POST-AGGREGATION score
+    # grid — the fbeta/Youden class, flagged at bank time in the
+    # batch-3 docstring and landed with the activation flip.
+    "ml_prg_at_operating_points",
 }
 
 

@@ -26,17 +26,24 @@ def _halfup_int(num: int, den: int) -> int:
     return -mag if num < 0 else mag
 
 
-def test_queue_is_banked_not_registered():
-    """Isolation contract: the round-13 window already carries 45
-    unverified names, so importing the bank must NOT touch the live
-    registry — activation is round 14's move."""
+def test_queue_is_activated_and_inside_window():
+    """Activation contract (round 14, VERDICT r13 item 3): all 6
+    banked names in this module are registered, and every one still
+    lacking external evidence sits inside the 50-slot driver window
+    (no stranded queries). Evidence-relative, so the test stays green
+    after the window rotates."""
     from mysql_public_data_ingestor_spark import registry
 
-    registry._ensure_loaded()
     queued = {name for name, *_ in r14.QUEUE}
     assert len(queued) == 6
-    leaked = queued & set(registry._REGISTRY)
-    assert not leaked, f"queued names leaked into the live registry: {leaked}"
+    qs = list(registry.all_queries())
+    missing = queued - set(qs)
+    assert not missing, f"queued names not registered: {missing}"
+    hash_verified, _rows = registry._verified_names()
+    unverified = [n_ for n_ in queued if n_ not in hash_verified]
+    window = set(qs[:50])
+    stranded = set(unverified) - window
+    assert not stranded, f"unverified batch names outside the window: {stranded}"
 
 
 def test_queue_entries_well_formed():

@@ -22,14 +22,21 @@ def _halfup_int(num: int, den: int) -> int:
     return -mag if num < 0 else mag
 
 
-def test_queue_is_banked_not_registered():
+def test_queue_is_activated_and_inside_window():
+    """Activation contract (round 14, VERDICT r13 item 3) — see
+    test_roundfourteen.py for the full rationale."""
     from mysql_public_data_ingestor_spark import registry
 
-    registry._ensure_loaded()
     queued = {name for name, *_ in r142.QUEUE}
     assert len(queued) == 4
-    leaked = queued & set(registry._REGISTRY)
-    assert not leaked, f"queued names leaked into the live registry: {leaked}"
+    qs = list(registry.all_queries())
+    missing = queued - set(qs)
+    assert not missing, f"queued names not registered: {missing}"
+    hash_verified, _rows = registry._verified_names()
+    unverified = [n_ for n_ in queued if n_ not in hash_verified]
+    window = set(qs[:50])
+    stranded = set(unverified) - window
+    assert not stranded, f"unverified batch names outside the window: {stranded}"
 
 
 def test_queue_entries_well_formed():
