@@ -255,3 +255,95 @@ def ref_det_ln_fix(x: float) -> int | None:
 def ref_det_ln_q(x: float, dp: int = 6) -> int | None:
     L = ref_det_ln_fix(x)
     return None if L is None else math.floor(L * _c(dp) + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic integer power: b^n for double b >= 0, integer n >= 0
+# ---------------------------------------------------------------------------
+#
+# Same construction argument as the fixed-point ln above: exponentiation
+# by squaring uses ONLY IEEE-754 multiplies (correctly rounded by the
+# standard), executed in the identical sequence on both engines, so the
+# result is bit-identical by construction — no libm pow() involved
+# (DuckDB's pow and Java's Math.pow disagree in the last ulp on a
+# measurable share of inputs, the same class det_ln_fix kills).
+#
+# LSB-first square-and-multiply over _POW_BITS fixed bit positions:
+#   r = 1; b2 = b
+#   for i in 0.._POW_BITS-1: if (n >> i) & 1: r *= b2
+#                            b2 *= b2
+# Every step runs unconditionally (the squaring chain is shared), so
+# the multiply sequence — and therefore every intermediate rounding —
+# is the same fixed 2*_POW_BITS-step program on both engines for any
+# n < 2^_POW_BITS. Underflow to 0 and overflow to inf are themselves
+# deterministic IEEE behaviors. Error growth is the standard
+# (1+eps)^(2 log2 n) relative factor — irrelevant here because both
+# engines take the IDENTICAL trajectory; the value is deterministic,
+# not maximally accurate.
+
+_POW_BITS = 48  # supports exponents up to 2^48 - 1 (~2.8e14 rows)
+
+
+def det_pow_int(b: Column, n: Column) -> Column:
+    """b^n as a double, bit-identical across engines; b >= 0 double
+    column, n int64 column in [0, 2^48). Null if either input is null.
+
+    One runtime fold over the 48 bit positions with a (result, base)
+    struct accumulator — constant-size expression tree, JVM-side."""
+    bits = F.array(*[F.lit(i) for i in range(_POW_BITS)])
+    init = F.struct(
+        F.lit(1.0).alias("r"),
+        b.cast("double").alias("b"),
+        n.cast("long").alias("n"),
+    )
+
+    def merge(a, _i):
+        # the accumulator carries the residual exponent and consumes
+        # its low bit per step (F.shiftright needs a literal count, so
+        # the bit index array is positional only)
+        return F.struct(
+            F.when(a["n"].bitwiseAND(F.lit(1)) == 1, a["r"] * a["b"])
+            .otherwise(a["r"])
+            .alias("r"),
+            (a["b"] * a["b"]).alias("b"),
+            F.shiftright(a["n"], 1).alias("n"),
+        )
+
+    return F.aggregate(bits, init, merge, lambda a: a["r"])
+
+
+def sql_det_pow_steps(rel: str, bcol: str, ncol: str, out: str) -> str:
+    """DuckDB twin of :func:`det_pow_int`, as a generated CTE chain
+    (the same linear-projection formulation as ``sql_det_ln_steps`` —
+    one plain ``SELECT * REPLACE`` per bit step, vectorization-safe).
+
+    Returns ``"name AS (...), ..."`` fragments; append inside a WITH
+    clause. The final CTE is ``{out}_rel`` carrying all of ``rel``'s
+    columns plus ``{out}`` (the double b^n; NULL propagates)."""
+    steps = [
+        f"{out}_p0 AS (SELECT *, 1.0::DOUBLE AS _pr, "
+        f"CAST(({bcol}) AS DOUBLE) AS _pb FROM {rel})"
+    ]
+    prev = f"{out}_p0"
+    for i in range(_POW_BITS):
+        nm = f"{out}_p{i + 1}"
+        steps.append(
+            f"{nm} AS (SELECT * REPLACE ("
+            f"CASE WHEN (CAST(({ncol}) AS BIGINT) >> {i}) & 1 = 1 "
+            f"THEN _pr * _pb ELSE _pr END AS _pr, _pb * _pb AS _pb) FROM {prev})"
+        )
+        prev = nm
+    steps.append(
+        f"{out}_rel AS (SELECT * EXCLUDE (_pr, _pb), _pr AS {out} FROM {prev})"
+    )
+    return ", ".join(steps)
+
+
+def ref_det_pow_int(b: float, n: int) -> float:
+    """Pure-Python reference (for property tests)."""
+    r, b2 = 1.0, float(b)
+    for i in range(_POW_BITS):
+        if (n >> i) & 1:
+            r = r * b2
+        b2 = b2 * b2
+    return r

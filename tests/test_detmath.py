@@ -99,3 +99,94 @@ def test_det_ln_q_accuracy():
         assert abs(q / 1e6 - math.log(x)) < 1.1e-6, x
     assert ref_det_ln_q(0.0, 6) is None
     assert ref_det_ln_q(-3.0, 6) is None
+
+
+# ---------------------------------------------------------------------------
+# det_pow_int (round 14): deterministic integer power
+# ---------------------------------------------------------------------------
+
+
+def _pow_corpus():
+    rng = np.random.default_rng(4242)
+    b = np.concatenate(
+        [
+            rng.uniform(0.0, 1.0, 20_000),
+            1.0 - np.exp(rng.uniform(-30, 0, 20_000)),  # near-1 bases (Chao-Shen regime)
+            rng.uniform(1.0, 2.0, 5_000),
+            np.array([0.0, 1.0, 0.5, 1.0 - 1e-12, 2.0**-500]),
+        ]
+    )
+    n = np.concatenate(
+        [
+            rng.integers(0, 10**6, 40_000),
+            rng.integers(10**6, 2**48 - 1, 5_000),
+            np.array([0, 1, 2, 3, 2**48 - 1]),
+        ]
+    ).astype(np.int64)
+    return b, n
+
+
+def test_det_pow_int_bit_identical_across_engines(spark):
+    from mysql_public_data_ingestor_spark.functions.detmath import (
+        det_pow_int,
+        sql_det_pow_steps,
+    )
+
+    duckdb = pytest.importorskip("duckdb")
+    b, n = _pow_corpus()
+    pdf = pd.DataFrame({"b": b, "n": n, "i": np.arange(len(b))})
+    sdf = spark.createDataFrame(pdf)
+    srows = sdf.select(
+        "i", det_pow_int(F.col("b"), F.col("n")).alias("p")
+    ).collect()
+    s = {r.i: r.p for r in srows}
+    con = duckdb.connect()
+    con.register("pdf", pdf)
+    sql = (
+        f"WITH base AS (SELECT * FROM pdf), "
+        f"{sql_det_pow_steps('base', 'b', 'n', 'p')} "
+        f"SELECT i, p FROM p_rel ORDER BY i"
+    )
+    d = con.execute(sql).df()
+    mism = [
+        int(r.i)
+        for r in d.itertuples()
+        if (r.p != s[r.i] and not (pd.isna(r.p) and s[r.i] is None))
+    ]
+    assert mism == [], (
+        f"{len(mism)} cross-engine mismatches, e.g. "
+        f"b={b[mism[0]]!r} n={n[mism[0]]!r}" if mism else ""
+    )
+
+
+def test_det_pow_int_matches_python_reference(spark):
+    from mysql_public_data_ingestor_spark.functions.detmath import (
+        det_pow_int,
+        ref_det_pow_int,
+    )
+
+    b, n = _pow_corpus()
+    b, n = b[::23], n[::23]
+    pdf = pd.DataFrame({"b": b, "n": n, "i": np.arange(len(b))})
+    srows = (
+        spark.createDataFrame(pdf)
+        .select("i", det_pow_int(F.col("b"), F.col("n")).alias("p"))
+        .collect()
+    )
+    for r in srows:
+        assert r.p == ref_det_pow_int(float(b[r.i]), int(n[r.i])), (b[r.i], n[r.i])
+
+
+def test_det_pow_int_accuracy():
+    from mysql_public_data_ingestor_spark.functions.detmath import ref_det_pow_int
+
+    rng = np.random.default_rng(7)
+    for _ in range(2000):
+        b = float(rng.uniform(0.0, 1.0))
+        n = int(rng.integers(0, 10**5))
+        exact = b**n
+        got = ref_det_pow_int(b, n)
+        if exact > 1e-300:
+            assert abs(got / exact - 1.0) < 1e-10, (b, n)
+    assert ref_det_pow_int(0.0, 0) == 1.0
+    assert ref_det_pow_int(0.0, 5) == 0.0
