@@ -215,6 +215,9 @@ def _ensure_loaded() -> None:
         roundthirteen7,
         roundthirteen8,
         roundthirteen9,
+        roundfourteen4,
+        roundfourteen5,
+        roundfourteen6,
         roundsix,
         roundsix2,
         similarity,

@@ -512,6 +512,15 @@ SINGLE_PARTITION_ALLOWLIST = {
     # grid — the fbeta/Youden class, flagged at bank time in the
     # batch-3 docstring and landed with the activation flip.
     "ml_prg_at_operating_points",
+    # round-14 batch Z (roundfourteen5.py): <=-rank cumulative over
+    # the POST-AGGREGATION distinct-daily-count value grid plus its
+    # +1 calendar lag join — the stats_bartels_rank_daily
+    # bounded-calendar class.
+    "stats_chatterjee_xi_daily",
+    # round-14 batch AA (roundfourteen6.py): quartile-threshold
+    # cumulative over the POST-AGGREGATION distinct-daily-count value
+    # grid feeding the bounded lag fan — same bounded-calendar class.
+    "events_ami_lag_profile",
 }
 
 
