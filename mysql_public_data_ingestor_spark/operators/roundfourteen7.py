@@ -389,3 +389,319 @@ def corpus_kneser_ney_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("d3_micro"),
     ).orderBy("lang")
+
+# ---------------------------------------------------------------------------
+# 4. Character-bigram conditional entropy per language
+# ---------------------------------------------------------------------------
+
+
+def _char_ce_oracle() -> str:
+    from ..functions.detmath import sql_det_ln_steps
+
+    return f"""
+    WITH chars AS (
+      SELECT lang, lower(text) AS txt FROM documents WHERE len(text) >= 2
+    ), cb AS (
+      SELECT lang, substr(txt, i, 1) AS c1, substr(txt, i + 1, 1) AS c2
+      FROM chars, unnest(generate_series(1, len(txt) - 1)) AS t(i)
+    ), big AS (
+      SELECT lang, c1, c2, CAST(count(*) AS BIGINT) AS c12
+      FROM cb GROUP BY lang, c1, c2
+    ), ctx AS (
+      SELECT lang, c1, CAST(sum(c12) AS BIGINT) AS c1n FROM big
+      GROUP BY lang, c1
+    ), nn AS (
+      SELECT lang, CAST(sum(c12) AS BIGINT) AS n FROM big GROUP BY lang
+    ), j AS (
+      SELECT b.lang, b.c12, x.c1n, t.n,
+             CAST(b.c12 AS DOUBLE) / CAST(x.c1n AS DOUBLE) AS rat
+      FROM big b JOIN ctx x USING (lang, c1) JOIN nn t USING (lang)
+    ), {sql_det_ln_steps('j', 'rat', 'lnr', as_double=True)}
+    , terms AS (
+      SELECT lang, n,
+             CAST(floor((CAST(c12 AS DOUBLE) / CAST(n AS DOUBLE)) * lnr
+                        * 1000000000.0::DOUBLE + 0.5) AS BIGINT) AS t_nano
+      FROM lnr_rel
+    )
+    SELECT lang, CAST(max(n) AS BIGINT) AS n_char_bigrams,
+           CAST(-sum(t_nano) AS BIGINT) AS cond_entropy_nano
+    FROM terms GROUP BY lang ORDER BY lang
+    """
+
+
+@register("text_char_bigram_cond_entropy", oracle=_char_ce_oracle())
+def text_char_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level conditional entropy H(c_next | c) per language
+    — Shannon's (1951) printed-language entropy experiment run on the
+    corpus itself: the expected surprisal of the next character given
+    the current one, - sum p(c1,c2) ln(p(c2|c1)) in nats. This is the
+    order-1 compressibility floor of the raw text (a char-LM or a
+    byte-BPE cannot beat it without longer context), so per-language
+    drift flags encoding damage and boilerplate that token-level
+    entropy (``text_token_entropy``) smooths over.
+    ``text_char_trigram_profile`` catalogs WHICH n-grams dominate;
+    this prices the information content in one number.
+
+    Exactness: the char-bigram and context counts are exact integers
+    off the bounded (lang x char-pair) grid; each grid cell's
+    log-ratio is the deterministic ``det_ln_dbl`` of an exactly-
+    representable int64 ratio, and each term quantizes to nano-nats
+    BEFORE the order-independent integer sum (the FP discipline).
+
+    Scale shape: the per-character explode is the one heavy stage
+    (length-of-corpus rows, map-side generated); everything after
+    runs on the bounded character-pair grid (|alphabet|^2 per
+    language). |langs| rows out.
+    """
+    from ..functions.detmath import det_ln_dbl
+
+    t = Tables(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    cb = (
+        t.documents.where(F.length("text") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(txt) - 1),
+                    lambda i: F.struct(
+                        txt.substr(i, F.lit(1)).alias("c1"),
+                        txt.substr(i + 1, F.lit(1)).alias("c2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("lang", F.col("b.c1").alias("c1"), F.col("b.c2").alias("c2"))
+    )
+    big = cb.groupBy("lang", "c1", "c2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    ctx = big.groupBy("lang", "c1").agg(F.sum("c12").cast("long").alias("c1n"))
+    nn = big.groupBy("lang").agg(F.sum("c12").cast("long").alias("n"))
+    j = big.join(ctx, ["lang", "c1"]).join(F.broadcast(nn), "lang")
+    rat = F.col("c12").cast("double") / F.col("c1n").cast("double")
+    terms = j.select(
+        "lang",
+        "n",
+        F.floor(
+            (F.col("c12").cast("double") / F.col("n").cast("double"))
+            * det_ln_dbl(rat)
+            * F.lit(1_000_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("t_nano"),
+    )
+    return (
+        terms.groupBy("lang")
+        .agg(
+            F.max("n").alias("n_char_bigrams"),
+            (-F.sum("t_nano")).cast("long").alias("cond_entropy_nano"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Bigram token-mass coverage by top-k types
+# ---------------------------------------------------------------------------
+
+TOPK_MASS_KS = (100, 1_000, 10_000)
+
+
+def _topk_mass_oracle() -> str:
+    hd = _sql_halfup_div
+    parts = [
+        f"""
+    WITH {_SQL_LANG_BIGRAMS.strip()}
+    , lm_g AS (
+      SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c FROM lm GROUP BY w1, w2
+    ), tot AS (
+      SELECT CAST(sum(c) AS HUGEINT) AS n, CAST(count(*) AS HUGEINT) AS v
+      FROM lm_g
+    )"""
+    ]
+    selects = []
+    for k in TOPK_MASS_KS:
+        parts.append(
+            f"""
+    , top{k} AS (
+      SELECT CAST(sum(c) AS HUGEINT) AS mass FROM (
+        SELECT c FROM lm_g ORDER BY c DESC, w1, w2 LIMIT {k})
+    )"""
+        )
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS k, CAST(t.n AS BIGINT) AS total_mass, "
+            f"CAST(least(m.mass, t.n) AS BIGINT) AS topk_mass, "
+            f"CAST({hd('1000000::HUGEINT * m.mass', 't.n')} AS BIGINT) "
+            f"AS coverage_micro FROM top{k} m, tot t"
+        )
+    return "".join(parts) + " " + " UNION ALL ".join(selects) + " ORDER BY k"
+
+
+@register("corpus_bigram_topk_mass_coverage", oracle=_topk_mass_oracle())
+def corpus_bigram_topk_mass_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of total bigram token mass covered by the top-100 /
+    top-1k / top-10k most frequent bigram types (ties broken by the
+    bigram text, so the cut is deterministic) — the Zipfian
+    concentration curve a tokenizer/vocabulary designer reads before
+    choosing merge counts: if 10k types cover 95% of mass, a larger
+    bigram vocabulary buys almost nothing.
+    ``corpus_bpe_pair_counts`` surfaces the merge candidates;
+    ``text_zipf_fit`` fits the exponent; this prices the cumulative
+    payoff at the three canonical cut sizes.
+
+    Exactness: global bigram counts are exact; each top-k mass is an
+    exact integer sum over a deterministically-ordered LIMIT k
+    (count desc, then bigram text asc); coverage is ONE half-up micro
+    division per k.
+
+    Scale shape: the bigram LM aggregate is the established map-side
+    construction; each top-k is a TakeOrderedAndProject (never a
+    global sort materialization) followed by a constant-size
+    aggregate. 3 rows out.
+    """
+    t = Tables(spark, sf_dir)
+    lm_g = (
+        _lang_bigram_counts(t)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    tot = lm_g.agg(
+        F.sum(_dec(F.col("c"))).alias("n"), _dec(F.count(F.lit(1))).alias("v")
+    )
+    m6 = F.lit(1_000_000).cast("decimal(38,0)")
+    outs = []
+    for k in TOPK_MASS_KS:
+        topk = (
+            lm_g.orderBy(F.col("c").desc(), "w1", "w2")
+            .limit(k)
+            .agg(F.sum(_dec(F.col("c"))).alias("mass"))
+        )
+        outs.append(
+            topk.crossJoin(F.broadcast(tot)).select(
+                F.lit(k).cast("long").alias("k"),
+                F.col("n").cast("long").alias("total_mass"),
+                F.least(F.col("mass"), F.col("n")).cast("long").alias("topk_mass"),
+                _halfup_div(m6 * F.col("mass"), F.col("n"))
+                .cast("long")
+                .alias("coverage_micro"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# 6. OOV rate of the val split against the train vocabulary
+# ---------------------------------------------------------------------------
+
+
+def _oov_oracle() -> str:
+    from .corpus import _SQL_ID_HASH, _SQL_TOKENS, TRAIN_CUT, VAL_CUT
+
+    hd = _sql_halfup_div
+    return f"""
+    WITH assigned AS (
+      SELECT lang, text,
+             CASE WHEN {_SQL_ID_HASH} % 100 < {TRAIN_CUT} THEN 'train'
+                  WHEN {_SQL_ID_HASH} % 100 < {VAL_CUT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), toks AS (
+      SELECT lang, split, unnest({_SQL_TOKENS}) AS tok FROM assigned
+      WHERE split IN ('train', 'val')
+    ), tf AS (
+      SELECT lang, split, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY lang, split, tok
+    ), val_t AS (
+      SELECT lang, tok, c FROM tf WHERE split = 'val'
+    ), train_v AS (
+      SELECT DISTINCT lang, tok FROM tf WHERE split = 'train'
+    ), marked AS (
+      SELECT v.lang, v.c,
+             CASE WHEN tr.tok IS NULL THEN 1 ELSE 0 END AS oov
+      FROM val_t v LEFT JOIN train_v tr USING (lang, tok)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS val_types,
+           CAST(sum(oov) AS BIGINT) AS oov_types,
+           CAST(sum(c) AS BIGINT) AS val_tokens,
+           CAST(sum(CASE WHEN oov = 1 THEN c ELSE 0 END) AS BIGINT) AS oov_tokens,
+           CAST({hd('1000000::HUGEINT * sum(oov)', 'count(*)')} AS BIGINT)
+             AS oov_type_rate_micro,
+           CAST({hd('1000000::HUGEINT * sum(CASE WHEN oov = 1 THEN c ELSE 0 END)',
+                    'sum(c)')} AS BIGINT) AS oov_mass_rate_micro
+    FROM marked GROUP BY lang ORDER BY lang
+    """
+
+
+@register("corpus_oov_rate_val_split", oracle=_oov_oracle())
+def corpus_oov_rate_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit of the deterministic val split against
+    the train vocabulary, per language: what fraction of val token
+    TYPES — and, the number that actually matters for loss, what
+    fraction of val token MASS — never appears in train. High OOV
+    mass means the eval perplexity will be dominated by unseen-token
+    handling rather than model quality; the per-language spread flags
+    splits that starved a language. Uses the SAME sha256 doc-id
+    buckets as ``split_train_val_test`` (split membership must be a
+    pure function of the key — the established convention), so this
+    audits the split the pipeline actually ships.
+
+    Exactness: split assignment is the exact integer hash bucket;
+    type and mass counts are exact integers off the (lang, split,
+    token) partial aggregate; the two rates are single half-up micro
+    divisions.
+
+    Scale shape: one token explode partial-aggregates to the
+    vocab-bounded (lang, split, token) grid; the OOV mark is one
+    vocab-sized left join (never a row-level join); |langs| rows out.
+    """
+    from .corpus import TRAIN_CUT, VAL_CUT, _id_hash_bucket
+    from ..functions.textnorm import whitespace_tokens
+
+    t = Tables(spark, sf_dir)
+    b = _id_hash_bucket()
+    assigned = t.documents.select(
+        "lang",
+        "text",
+        F.when(b < TRAIN_CUT, F.lit("train"))
+        .when(b < VAL_CUT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).where(F.col("split").isin("train", "val"))
+    tf = (
+        assigned.select(
+            "lang", "split", F.explode(whitespace_tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("lang", "split", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    val_t = tf.where(F.col("split") == "val").select("lang", "tok", "c")
+    train_v = tf.where(F.col("split") == "train").select("lang", "tok").distinct()
+    marked = val_t.join(
+        train_v.withColumn("in_train", F.lit(1)), ["lang", "tok"], "left"
+    ).select(
+        "lang",
+        "c",
+        F.when(F.col("in_train").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    m6 = F.lit(1_000_000).cast("decimal(38,0)")
+    oov_mass = F.sum(F.when(F.col("oov") == 1, _dec(F.col("c"))).otherwise(F.lit(0).cast("decimal(38,0)")))
+    return (
+        marked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("val_types"),
+            F.sum("oov").cast("long").alias("oov_types"),
+            F.sum("c").cast("long").alias("val_tokens"),
+            oov_mass.cast("long").alias("oov_tokens"),
+            _halfup_div(m6 * _dec(F.sum("oov")), _dec(F.count(F.lit(1))))
+            .cast("long")
+            .alias("oov_type_rate_micro"),
+            _halfup_div(m6 * oov_mass, F.sum(_dec(F.col("c"))))
+            .cast("long")
+            .alias("oov_mass_rate_micro"),
+        )
+        .orderBy("lang")
+    )

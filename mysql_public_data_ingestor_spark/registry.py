@@ -218,6 +218,7 @@ def _ensure_loaded() -> None:
         roundfourteen4,
         roundfourteen5,
         roundfourteen6,
+        roundfourteen7,
         roundsix,
         roundsix2,
         similarity,
