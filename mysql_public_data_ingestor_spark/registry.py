@@ -219,6 +219,7 @@ def _ensure_loaded() -> None:
         roundfourteen5,
         roundfourteen6,
         roundfourteen7,
+        roundfourteen8,
         roundsix,
         roundsix2,
         similarity,

@@ -521,6 +521,13 @@ SINGLE_PARTITION_ALLOWLIST = {
     # cumulative over the POST-AGGREGATION distinct-daily-count value
     # grid feeding the bounded lag fan — same bounded-calendar class.
     "events_ami_lag_profile",
+    # round-14 batch AC (roundfourteen8.py): descending ROC cumulative
+    # (+ its lag / first-crossing pick) over the <= 10001-value
+    # POST-AGGREGATION score grid — the fbeta/Youden class, three
+    # consumers sharing the identical head.
+    "ml_partial_auc_mcclish",
+    "ml_equal_error_rate",
+    "ml_cost_curve_envelope",
 }
 
 
