@@ -299,15 +299,18 @@ def _kn_oracle() -> str:
            CAST(n_types AS BIGINT) AS n_types,
            CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
            CAST(n3 AS BIGINT) AS n3, CAST(n4 AS BIGINT) AS n4,
-           CAST({hd('1000000::HUGEINT * n1', 'n1 + 2 * n2')} AS BIGINT)
-             AS y_micro,
-           CAST(1000000 - {hd('2000000::HUGEINT * n1 * n2',
-                              '(n1 + 2 * n2) * n1')} AS BIGINT) AS d1_micro,
+           CASE WHEN n1 + 2 * n2 > 0 THEN
+             CAST({hd('1000000::HUGEINT * n1', 'n1 + 2 * n2')} AS BIGINT)
+           END AS y_micro,
+           CASE WHEN n1 > 0 THEN
+             CAST(1000000 - {hd('2000000::HUGEINT * n1 * n2',
+                                '(n1 + 2 * n2) * n1')} AS BIGINT)
+           END AS d1_micro,
            CASE WHEN n2 > 0 THEN
              CAST(2000000 - {hd('3000000::HUGEINT * n1 * n3',
                                 '(n1 + 2 * n2) * n2')} AS BIGINT)
            END AS d2_micro,
-           CASE WHEN n3 > 0 THEN
+           CASE WHEN n3 > 0 AND n1 + 2 * n2 > 0 THEN
              CAST(3000000 - {hd('4000000::HUGEINT * n1 * n4',
                                 '(n1 + 2 * n2) * n3')} AS BIGINT)
            END AS d3_micro
@@ -332,7 +335,10 @@ def corpus_kneser_ney_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab^2-bounded bigram LM aggregate; Y and each D_k are single
     half-up micro divisions of exact integer products (the k and
     (k+1)Y terms combine to one ratio each by cross-multiplication).
-    D2/D3 NULL when their denominators n2/n3 are empty.
+    Y/D1 NULL on degenerate spectra with no hapax bigrams (n1 = 0 --
+    the x10 replicated fixture hits exactly this: every count is a
+    multiple of 10, caught by the pre-registration ladder); D2/D3
+    NULL when their denominators n2/n3 are empty.
 
     Scale shape: the bigram explode is the established LM
     construction (map-side from the token array); two bounded
@@ -358,16 +364,19 @@ def corpus_kneser_ney_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").cast("long").alias("n2"),
         F.col("n3").cast("long").alias("n3"),
         F.col("n4").cast("long").alias("n4"),
-        _halfup_div(m6 * F.col("n1"), den).cast("long").alias("y_micro"),
-        (
-            F.lit(1_000_000)
-            - _halfup_div(
-                F.lit(2_000_000).cast("decimal(38,0)") * F.col("n1") * F.col("n2"),
-                den * F.col("n1"),
-            )
-        )
-        .cast("long")
-        .alias("d1_micro"),
+        F.when(
+            den > 0, _halfup_div(m6 * F.col("n1"), den).cast("long")
+        ).alias("y_micro"),
+        F.when(
+            F.col("n1") > 0,
+            (
+                F.lit(1_000_000)
+                - _halfup_div(
+                    F.lit(2_000_000).cast("decimal(38,0)") * F.col("n1") * F.col("n2"),
+                    den * F.col("n1"),
+                )
+            ).cast("long"),
+        ).alias("d1_micro"),
         F.when(
             F.col("n2") > 0,
             (
@@ -379,7 +388,7 @@ def corpus_kneser_ney_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("d2_micro"),
         F.when(
-            F.col("n3") > 0,
+            (F.col("n3") > 0) & (den > 0),
             (
                 F.lit(3_000_000)
                 - _halfup_div(

@@ -220,6 +220,7 @@ def _ensure_loaded() -> None:
         roundfourteen6,
         roundfourteen7,
         roundfourteen8,
+        roundfourteen9,
         roundsix,
         roundsix2,
         similarity,

@@ -528,6 +528,10 @@ SINGLE_PARTITION_ALLOWLIST = {
     "ml_partial_auc_mcclish",
     "ml_equal_error_rate",
     "ml_cost_curve_envelope",
+    # round-14 batch AD (roundfourteen9.py): median/MAD order
+    # statistics over the POST-AGGREGATION distinct-daily-count (and
+    # absolute-deviation) value grids — the bounded-calendar class.
+    "events_recurrence_rate_daily",
 }
 
 
