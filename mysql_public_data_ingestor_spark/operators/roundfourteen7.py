@@ -465,18 +465,21 @@ def text_char_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..functions.detmath import det_ln_dbl
 
     t = Tables(spark, sf_dir)
-    txt = F.lower(F.col("text"))
+    # split('') yields the native per-char array in O(len); the
+    # substr-in-transform formulation re-scans the string per element
+    # (O(len^2) per document — measured 8.9 s at sf0.1 / 89 s at x10
+    # before this rewrite). Bigrams pair the array with its shift via
+    # arrays_zip over slices — identical (c1, c2) stream.
+    chars = F.split(F.lower(F.col("text")), "")
     cb = (
         t.documents.where(F.length("text") >= 2)
+        .select("lang", chars.alias("cs"))
         .select(
             "lang",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(txt) - 1),
-                    lambda i: F.struct(
-                        txt.substr(i, F.lit(1)).alias("c1"),
-                        txt.substr(i + 1, F.lit(1)).alias("c2"),
-                    ),
+                F.arrays_zip(
+                    F.slice(F.col("cs"), 1, F.size("cs") - 1).alias("c1"),
+                    F.slice(F.col("cs"), 2, F.size("cs") - 1).alias("c2"),
                 )
             ).alias("b"),
         )
