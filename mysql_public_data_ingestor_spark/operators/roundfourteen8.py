@@ -646,7 +646,10 @@ def privacy_reid_risk_prosecutor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 6. Covariance participation ratio (exact integer scatter)
 # ---------------------------------------------------------------------------
 
-PR_Q = 1_000_000  # per-element quantization (the cov-power convention)
+PR_Q = 10_000  # per-element quantization; 1e4 (not the cov-power 1e6)
+# keeps tr(S)^2 and ||S||_F^2 inside decimal(38,0) through the x10
+# replica and beyond (~1e10 vectors x 64 dims) -- the micro scale
+# overflowed at x10 (caught by the pre-registration ladder)
 
 
 def _pr_oracle() -> str:
@@ -707,9 +710,11 @@ def embedding_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame
     integer per-dim means (the cov-power convention); every scatter
     entry S_ij = sum c_i c_j is an exact decimal(38,0) integer, so
     tr S, ||S||_F^2, and the two output ratios are EXACT integer
-    arithmetic end to end — no doubles anywhere. (decimal38 bounds
-    the Frobenius sum to ~1e5 vectors at micro quantization; larger
-    corpora re-quantize coarser — documented, like the JB pivot.)
+    arithmetic end to end — no doubles anywhere. The 1e4 per-element
+    quantization (vs the cov-power 1e6) keeps the Frobenius sum and
+    the (tr S)^2 numerator inside decimal(38,0) out to ~1e10 vectors
+    — the x10 ladder caught the micro-scale overflow before any
+    driver run (the Bland-Altman class).
 
     Scale shape: the d^2-fan self-join on vec_id generates d(d+1)/2
     products per vector map-side and partial-aggregates to the
