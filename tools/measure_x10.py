@@ -116,6 +116,8 @@ def main() -> int:
         roundfourteen,
         roundfourteen2,
         roundfourteen3,
+        roundfifteen,
+        roundfifteen2,
     )
 
     for qname, qfn, _oracle, _doc in [
@@ -134,6 +136,8 @@ def main() -> int:
         *roundfourteen.QUEUE,
         *roundfourteen2.QUEUE,
         *roundfourteen3.QUEUE,
+        *roundfifteen.QUEUE,
+        *roundfifteen2.QUEUE,
     ]:
         specs.setdefault(qname, _QSpec(qfn))
     missing = [n for n in names if n not in specs]
