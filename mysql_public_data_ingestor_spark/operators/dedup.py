@@ -297,6 +297,76 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.groupBy("doc_id").agg(vote.alias("simhash"))
 
 
+def pair_intersections_table(t: Tables) -> DataFrame:
+    """Session-materialized blocked candidate pair table
+    (doc_a, doc_b, lang, lb_a, lb_b, inter, sa, sb): every lang-blocked
+    document pair (doc_a < doc_b, both with non-empty 3-word shingle
+    sets) with its exact shingle-hash intersection size and the two
+    set sizes.
+
+    Round-14 optimization (guide §2.3/§2.4): five registered queries
+    re-ran the blocked self-join + per-pair ``array_intersect`` (the
+    single most expensive per-pair stage of the dedup family — 3.2M
+    lang-blocked pairs at sf0.1): dedup_containment (lang blocking),
+    dedup_ngram_jaccard + dedup_pair_jaccard_threshold_curve +
+    dedup_minhash_estimator_audit + dedup_mantel_jaccard_cosine (the
+    lang × length-bucket subset, lb_a = lb_b). The intersection sizes
+    are pure integers, so every consumer's similarity expression
+    (Jaccard, containment, micro quantizations) computes bit-identical
+    values from this table; consumers' DuckDB oracles are untouched.
+    Materialized once per (application, fixture) — warehouse.py
+    fingerprint/app-id rules, no cross-run reuse."""
+    from ..warehouse import ensure_table, fixture_tag
+
+    tag = fixture_tag(t.spark, t.sf_dir, ("documents.parquet",))
+
+    def build() -> DataFrame:
+        bases_udf = shingle_base_hash_udf(SHINGLE_K)
+        keyed = (
+            cpu_repartition(t.documents, "doc_id")
+            .select(
+                "doc_id",
+                "lang",
+                (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+                bases_udf(F.col("text")).alias("hs"),
+            )
+            .filter(F.size("hs") > 0)
+            .localCheckpoint(eager=False)  # feeds both join sides; hash once
+        )
+        a = keyed.select(
+            F.col("doc_id").alias("doc_a"),
+            "lang",
+            F.col("len_bucket").alias("lb_a"),
+            F.col("hs").alias("ha"),
+        )
+        b = keyed.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("lang").alias("lang_b"),
+            F.col("len_bucket").alias("lb_b"),
+            F.col("hs").alias("hb"),
+        )
+        inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+        return (
+            a.join(
+                b,
+                (F.col("lang") == F.col("lang_b"))
+                & (F.col("doc_a") < F.col("doc_b")),
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                "lang",
+                "lb_a",
+                "lb_b",
+                inter.alias("inter"),
+                F.size("ha").alias("sa"),
+                F.size("hb").alias("sb"),
+            )
+        )
+
+    return ensure_table(t.spark, f"dedup_pairs_{tag}", build)
+
+
 # DuckDB twin of the blocked ngram-Jaccard pair derivation — a module
 # constant so the round-13 threshold-curve op (roundthirteen3.py) can
 # reuse the IDENTICAL pair set (one derivation, two consumers).
@@ -333,39 +403,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersecting fixed-width ints is ~5x cheaper than strings at the
     pair count this blocking yields.
     """
+    # Round-14 optimization: the blocked pair set + intersection sizes
+    # come off the session-materialized ``pair_intersections_table``
+    # (one derivation, five consumers — see its docstring); the
+    # Jaccard expression below computes the identical double from the
+    # identical integers, so values and the oracle are unchanged.
     t = Tables(spark, sf_dir)
-    bases_udf = shingle_base_hash_udf(SHINGLE_K)
-    keyed = (
-        cpu_repartition(t.documents, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
-            bases_udf(F.col("text")).alias("hs"),
-        )
-        .filter(F.size("hs") > 0)
-        .localCheckpoint(eager=False)  # feeds both join sides; hash once
-    )
-    a = keyed.select(
-        F.col("doc_id").alias("doc_a"), "lang", "len_bucket", F.col("hs").alias("ha")
-    )
-    b = keyed.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("len_bucket").alias("len_bucket_b"),
-        F.col("hs").alias("hb"),
-    )
-    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
-    union = F.size("ha") + F.size("hb") - inter
+    p = pair_intersections_table(t).filter(F.col("lb_a") == F.col("lb_b"))
+    inter = F.col("inter")
+    union = F.col("sa") + F.col("sb") - inter
     jac = F.round(inter / union, 6)
     return (
-        a.join(
-            b,
-            (F.col("lang") == F.col("lang_b"))
-            & (F.col("len_bucket") == F.col("len_bucket_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        p.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
 
@@ -576,30 +625,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``dedup_minhash_lsh``) as the candidate generator and keep this
     operator as the exact verifier on candidate pairs.
     """
+    # Round-14 optimization: pairs + intersection sizes come off the
+    # session-materialized ``pair_intersections_table`` (lang blocking
+    # is exactly its pair set); the containment ratio below computes
+    # the identical double from the identical integers.
     t = Tables(spark, sf_dir)
-    bases_udf = shingle_base_hash_udf(SHINGLE_K)
-    keyed = (
-        cpu_repartition(t.documents, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            bases_udf(F.col("text")).alias("hs"),
-        )
-        .filter(F.size("hs") > 0)
-        .localCheckpoint(eager=False)  # feeds both join sides; hash once
-    )
-    a = keyed.select(F.col("doc_id").alias("doc_a"), "lang", F.col("hs").alias("ha"))
-    b = keyed.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("hs").alias("hb")
-    )
-    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
-    containment = inter / F.least(F.size("ha"), F.size("hb"))
+    p = pair_intersections_table(t)
+    containment = F.col("inter") / F.least(F.col("sa"), F.col("sb"))
     return (
-        a.join(
-            b,
-            (F.col("lang") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .withColumn("containment_raw", containment)
+        p.withColumn("containment_raw", containment)
         .filter(F.col("containment_raw") >= CONTAINMENT_THRESHOLD)
         .select(
             "doc_a", "doc_b", F.round(F.col("containment_raw"), 6).alias("containment")

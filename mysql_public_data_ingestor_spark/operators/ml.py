@@ -549,6 +549,34 @@ def ml_user_feature_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines, no exp/transcendental anywhere (VERDICT r4 item 5 closed).
 
 def _scored_labeled(t: Tables) -> DataFrame:
+    """Session-materialized (doc_id, lang, score_q, label) scoring
+    table: 1e-4-quantized classifier score + rule-gate label, one row
+    per document.
+
+    Round-14 optimization (guide §2.3 "don't recompute what you can
+    materialize once"): 40 registered queries consume this head, and
+    each previously re-ran the sha2-per-token scan over ``documents``
+    (~0.6-1.5 s at sf0.1 apiece — the VERDICT r13 "_scored_labeled
+    sha2-scan class"). The derivation is exactly the scored-corpus
+    table a lakehouse maintains beside the raw documents, so it now
+    materializes ONCE per (application, fixture) into the warehouse
+    (fingerprinting/race rules in warehouse.py — same pattern as
+    ``graph.edge_table``) and every consumer reads four narrow
+    columns of parquet. Values are bit-identical: the build is the
+    unchanged exact-integer derivation below and all four columns are
+    exact types (long/string) that round-trip parquet losslessly.
+    """
+    from ..warehouse import ensure_table, fixture_tag
+
+    tag = fixture_tag(t.spark, t.sf_dir, ("documents.parquet",))
+    return ensure_table(
+        t.spark,
+        f"ml_scored_labeled_{tag}",
+        lambda: _scored_labeled_build(t).sortWithinPartitions("doc_id"),
+    )
+
+
+def _scored_labeled_build(t: Tables) -> DataFrame:
     """Single scan over documents: 1e-4-quantized classifier score +
     rule-gate label. No joins — both signals come from the same token
     array.

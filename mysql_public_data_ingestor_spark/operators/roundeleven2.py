@@ -33,7 +33,23 @@ from .roundeleven import _dec, _halfup_div, _sql_halfup_div
 
 
 def _daily_cents_idx(t: Tables):
-    """(day, y=revenue-cents decimal, k=1-based day rank) — ~2.4k rows."""
+    """Session-materialized (day, y=revenue-cents decimal, k=1-based
+    day rank) — ~2.4k rows. Round-14 optimization: same rationale and
+    mechanism as ``_daily_counts_idx`` below (multiple consumers, and
+    each plan BRANCH re-executed the calendar² band join); values
+    round-trip parquet losslessly."""
+    from ..warehouse import ensure_table, fixture_tag
+
+    tag = fixture_tag(t.spark, t.sf_dir, ("orders.parquet",))
+    return ensure_table(
+        t.spark,
+        f"events_daily_cents_idx_{tag}",
+        lambda: _daily_cents_idx_build(t).sortWithinPartitions("day"),
+    )
+
+
+def _daily_cents_idx_build(t: Tables):
+    """(day, y=revenue-cents decimal, k) — the unmaterialized build."""
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     daily = t.orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         _dec(F.sum(cents)).alias("y")
@@ -60,7 +76,31 @@ _SQL_DAILY_CENTS_IDX = """
 
 
 def _daily_counts_idx(t: Tables):
-    """(day, y=order count decimal, k) — the count twin."""
+    """Session-materialized (day, y=order count decimal, k) — the
+    count twin.
+
+    Round-14 optimization (guide §2.4 — remove repeated subtrees): 19
+    registered daily-series consumers build on this head, and a
+    consumer whose plan references it from k branches re-executed the
+    rank-index build (a calendar² broadcast band join over ~2.9M rows
+    at sf0.1) k times per run. The ~2.4k-row result is exactly the
+    calendar dimension a lakehouse maintains; it now materializes once
+    per (application, fixture) into the warehouse and every branch is
+    a 3-column scan. Values bit-identical: the build below is the
+    unchanged derivation; date/decimal(38,0) round-trip parquet
+    losslessly."""
+    from ..warehouse import ensure_table, fixture_tag
+
+    tag = fixture_tag(t.spark, t.sf_dir, ("orders.parquet",))
+    return ensure_table(
+        t.spark,
+        f"events_daily_idx_{tag}",
+        lambda: _daily_counts_idx_build(t).sortWithinPartitions("day"),
+    )
+
+
+def _daily_counts_idx_build(t: Tables):
+    """(day, y=order count decimal, k) — the unmaterialized build."""
     daily = t.orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         _dec(F.count(F.lit(1))).alias("y")
     )

@@ -251,29 +251,52 @@ def graph_square_count_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    a = both.select(F.col("u").alias("apex"), F.col("v").alias("x"))
-    b = both.select(F.col("u").alias("apex"), F.col("v").alias("y"))
-    # the census shuffles one row per wedge (sum of deg^2 — the
-    # irreducible cost of exact rectangle counting); packing the
-    # diagonal pair into ONE int64 key halves the shuffled key bytes
-    # and the hash-agg key width (measured 56 -> 36 s at sf0.1 over
-    # the 148M-wedge / 101M-distinct-pair stream; a degree-ordered
-    # out-out pruning pass was measured too but only removes 3.6x of
-    # wedge volume on this near-uniform graph, below the cost of its
-    # extra semi-join). At 100 TB this runs as a periodic derived
+    # Round-14 optimization (guide §2.3/§4.2); the measured ladder at
+    # sf0.1 over the 148M-wedge / 101M-distinct-pair stream:
+    #   56 s  two-column diagonal-pair key (round-14 build, rejected)
+    #   36 s  pair packed into ONE int64 key (round-14 build shape)
+    #   ~32 s of that was the 101M-distinct-key JVM hash aggregate
+    #         (partial agg only removes the 1.46x duplicate factor and
+    #         churns a multi-million-entry hash map per task)
+    #   12 s  this shape: (1) wedges generated map-side from sorted
+    #         adjacency arrays (one groupBy(u) instead of the apex
+    #         self-join — each unordered pair emitted ONCE, halving
+    #         the generated stream and removing one exchange), then
+    #         (2) hash-repartition by the packed pair key and count
+    #         per partition in ONE vectorized pass
+    #         (pyarrow.compute.value_counts inside mapInArrow), then
+    #         (3) collapse each partition's counts to a count-of-counts
+    #         histogram (at most max_cn rows per partition), so the
+    #         JVM-side final aggregate sees a few hundred rows.
+    # Exactness is unchanged: hash partitioning sends every distinct
+    # pair wholly to one partition, value_counts is exact int64
+    # counting, and the final sums run in decimal(38,0) over exact
+    # per-histogram-cell products. A degree-ordered out-out pruning
+    # pass was measured and rejected in the build round (only 3.6x
+    # wedge-volume reduction on this near-uniform graph, below its
+    # extra semi-join cost). At 100 TB this runs as a periodic derived
     # table beside the triangle warehouse, not an interactive query.
-    cn = (
-        a.join(b, ["apex"])
-        .where(F.col("x") < F.col("y"))
-        .select((F.shiftleft(F.col("x"), 32) + F.col("y")).alias("p"))
-        .groupBy("p")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    adj = both.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("ns"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ns"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ns"), i + 2, F.size(F.col("ns"))),
+                lambda y: F.shiftleft(x, 32) + y,
+            ),
+        )
     )
+    wedge_p = adj.select(F.explode(pairs).alias("p"))
+    hist = wedge_p.repartition("p").mapInArrow(_cn_count_hist, "c long, m long")
     two = F.lit(2).cast("decimal(38,0)")
-    agg = cn.agg(
-        F.count(F.lit(1)).cast("long").alias("n_diag_pairs"),
-        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("long").alias("n_pairs_cn2"),
-        F.sum(_dec(F.col("c") * (F.col("c") - 1) / 2)).alias("sum_c2"),
+    agg = hist.agg(
+        F.sum("m").cast("long").alias("n_diag_pairs"),
+        F.sum(F.when(F.col("c") >= 2, F.col("m")).otherwise(0))
+        .cast("long")
+        .alias("n_pairs_cn2"),
+        F.sum(_dec(F.col("m")) * _dec(F.col("c") * (F.col("c") - 1) / 2)).alias(
+            "sum_c2"
+        ),
         F.max("c").alias("max_cn"),
     )
     return agg.select(
@@ -283,6 +306,28 @@ def graph_square_count_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_c4"),
         "max_cn",
+    )
+
+
+def _cn_count_hist(batches):
+    """Per-partition common-neighbor count histogram: value-count the
+    packed diagonal-pair keys of this partition (every distinct pair
+    is wholly here — upstream hash repartition on the key), then
+    value-count the counts. Emits (c, m): m pairs in this partition
+    have exactly c common neighbors — at most max_cn rows, so the
+    downstream JVM aggregate is trivially small. Exact int64 counting
+    end to end (pyarrow.compute.value_counts); one vectorized pass
+    instead of a 101M-distinct-key JVM hash aggregate (guide §4.2)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    chunks = [batch.column(0) for batch in batches]
+    if not chunks:
+        return
+    vc = pc.value_counts(pa.chunked_array(chunks))
+    hist = pc.value_counts(vc.field("counts"))
+    yield pa.record_batch(
+        [hist.field("values"), hist.field("counts")], names=["c", "m"]
     )
 
 
@@ -754,50 +799,37 @@ def dedup_mantel_jaccard_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 64-dim integer dot adds a fixed per-pair cost;
     the audit aggregate is one constant-size row. 1 row out.
     """
-    from ..functions.partitioning import cpu_repartition
-    from ..functions.textnorm import shingle_base_hash_udf
-    from .dedup import SHINGLE_K
+    from ..functions.partitioning import gated_broadcast
+    from .dedup import pair_intersections_table
 
+    # Round-14 optimization: the blocked pair set + exact intersection
+    # sizes come off the session-materialized
+    # ``dedup.pair_intersections_table`` (one derivation, five
+    # consumers); the quantized embedding vectors join each pair side
+    # as a doc-sized gated-broadcast table. Docs without an embedding
+    # row drop from the pair set through the inner joins exactly as
+    # the build-round inner join before pairing did; every integer
+    # (inter, sa, sb, q, nq) is unchanged, so x/y and the oracle are
+    # value-identical.
     t = Tables(spark, sf_dir)
-    bases_udf = shingle_base_hash_udf(SHINGLE_K)
     qarr = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * F.lit(float(EMB_Q)) + F.lit(0.5)).cast("long"),
     )
-    keyed = (
-        cpu_repartition(t.documents, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
-            bases_udf(F.col("text")).alias("hs"),
-        )
-        .filter(F.size("hs") > 0)
-        .join(
-            t.embeddings.select(
-                F.col("vec_id").alias("doc_id"), qarr.alias("q")
-            ),
-            "doc_id",
-        )
-        .withColumn(
-            "nq",
-            F.aggregate(
-                F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
-            ),
-        )
-        .localCheckpoint(eager=False)  # feeds both join sides; hash once
+    qn = t.embeddings.select(
+        F.col("vec_id").alias("doc_id"), qarr.alias("q")
+    ).withColumn(
+        "nq",
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x * x),
     )
-    a = keyed.select(
-        F.col("doc_id").alias("doc_a"), "lang", "len_bucket",
-        F.col("hs").alias("ha"), F.col("q").alias("qa"), F.col("nq").alias("na"),
+    qa = qn.select(
+        F.col("doc_id").alias("doc_a"), F.col("q").alias("qa"), F.col("nq").alias("na")
     )
-    b = keyed.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
-        F.col("len_bucket").alias("len_bucket_b"),
-        F.col("hs").alias("hb"), F.col("q").alias("qb"), F.col("nq").alias("nb"),
+    qb = qn.select(
+        F.col("doc_id").alias("doc_b"), F.col("q").alias("qb"), F.col("nq").alias("nb")
     )
-    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
-    union = F.size("ha") + F.size("hb") - inter
+    inter = F.col("inter")
+    union = F.col("sa") + F.col("sb") - inter
     m6 = F.lit(1_000_000).cast("decimal(38,0)")
     xdist = (F.lit(1_000_000) - _halfup_div(m6 * _dec(inter), _dec(union))).cast("long")
     dot = F.aggregate(
@@ -809,12 +841,13 @@ def dedup_mantel_jaccard_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
     ydist = (F.lit(1_000_000) - F.round(cos * F.lit(1_000_000.0)).cast("long"))
-    pairs = a.join(
-        b,
-        (F.col("lang") == F.col("lang_b"))
-        & (F.col("len_bucket") == F.col("len_bucket_b"))
-        & (F.col("doc_a") < F.col("doc_b")),
-    ).select(xdist.alias("x"), ydist.alias("y"))
+    pairs = (
+        pair_intersections_table(t)
+        .filter(F.col("lb_a") == F.col("lb_b"))
+        .join(gated_broadcast(qa), "doc_a")
+        .join(gated_broadcast(qb), "doc_b")
+        .select(xdist.alias("x"), ydist.alias("y"))
+    )
     s = pairs.agg(
         _dec(F.count(F.lit(1))).alias("n"),
         F.sum(_dec(F.col("x"))).alias("sx"),

@@ -2132,23 +2132,28 @@ def dedup_lsh_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. Same blocking = same bounded pair volume as the
     existing exact-Jaccard path.
     """
-    from .dedup import SHINGLE_K
-    from ..functions.textnorm import sha256_prefix_i64, shingle_base_hash_udf
+    from .dedup import SHINGLE_K, pair_intersections_table
+    from ..functions.textnorm import sha256_prefix_i64, whitespace_tokens
     from ..functions.exact import round_big_int_ratio
-    from ..functions.partitioning import cpu_repartition
+    from ..functions.partitioning import gated_broadcast
 
+    # Round-14 optimization: the blocked pair set + exact intersection
+    # sizes come off the session-materialized
+    # ``dedup.pair_intersections_table`` (one derivation, five+
+    # consumers); the deterministic per-block cap filters that table
+    # through two doc-keyed semi-joins instead of re-hashing shingles
+    # and re-joining. The capped doc set is identical: a doc has a
+    # non-empty k-shingle set iff it has >= SHINGLE_K whitespace
+    # tokens (the UDF emits shingles for i in range(len - k + 1)), and
+    # the cap ranking (sha256("tune|"+doc_id), doc_id) never touched
+    # the shingles. i_sz/u_sz are the identical integers, so the
+    # histogram, the fold, and the oracle are unchanged.
     t = Tables(spark, sf_dir)
-    bases_udf = shingle_base_hash_udf(SHINGLE_K)
-    keyed0 = (
-        cpu_repartition(t.documents, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
-            bases_udf(F.col("text")).alias("hs"),
-        )
-        .filter(F.size("hs") > 0)
-    )
+    keyed0 = t.documents.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+    ).filter(F.size(whitespace_tokens(F.col("text"))) >= SHINGLE_K)
     # deterministic per-block cap (the recall-audit mechanism): pair
     # volume <= n_blocks * C(64,2) BY CONSTRUCTION, so the histogram
     # is a bounded hash-sample of blocked pairs at any corpus size
@@ -2158,29 +2163,20 @@ def dedup_lsh_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cap = Window.partitionBy("lang", "len_bucket").orderBy(
         h.asc(), F.col("doc_id").asc()
     )
-    keyed = (
+    capped = (
         keyed0.withColumn("rnk", F.row_number().over(w_cap))
         .filter(F.col("rnk") <= LSH_TUNE_BLOCK_CAP)
-        .drop("rnk")
-        .localCheckpoint(eager=False)
+        .select("doc_id")
     )
-    a = keyed.select(
-        F.col("doc_id").alias("doc_a"), "lang", "len_bucket", F.col("hs").alias("ha")
+    inter = F.col("inter")
+    union = F.col("sa") + F.col("sb") - inter
+    pairs = (
+        pair_intersections_table(t)
+        .filter(F.col("lb_a") == F.col("lb_b"))
+        .join(gated_broadcast(capped.select(F.col("doc_id").alias("doc_a"))), "doc_a", "left_semi")
+        .join(gated_broadcast(capped.select(F.col("doc_id").alias("doc_b"))), "doc_b", "left_semi")
+        .select(inter.cast("long").alias("i_sz"), union.cast("long").alias("u_sz"))
     )
-    b_ = keyed.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("len_bucket").alias("len_bucket_b"),
-        F.col("hs").alias("hb"),
-    )
-    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
-    union = F.size("ha") + F.size("hb") - inter
-    pairs = a.join(
-        b_,
-        (F.col("lang") == F.col("lang_b"))
-        & (F.col("len_bucket") == F.col("len_bucket_b"))
-        & (F.col("doc_a") < F.col("doc_b")),
-    ).select(inter.cast("long").alias("i_sz"), union.cast("long").alias("u_sz"))
     hist = (
         pairs.filter(F.col("u_sz") > 0)
         .select(F.expr("(10 * i_sz) div u_sz").cast("long").alias("bin"))

@@ -124,9 +124,12 @@ def graph_weighted_clustering_barrat(spark: SparkSession, sf_dir: str) -> DataFr
     t = Tables(spark, sf_dir)
     tris = triangle_table(spark, t, sf_dir)
     # the three corner-weight joins and the strength aggregate are four
-    # plan branches over the SAME weighted-edge table — materialize the
-    # basket pair aggregation once (measured 7.3 s -> ~4 s at sf0.1)
-    wedges = _wedges(t).localCheckpoint(eager=False)
+    # plan branches over the SAME weighted-edge table; since round 14
+    # _wedges is warehouse-materialized (one parquet table per session),
+    # all four branches scan it directly — the former per-query
+    # localCheckpoint (7.3 s -> ~4 s when the aggregate was rebuilt
+    # per branch) is redundant over a materialized table.
+    wedges = _wedges(t)
     w1 = wedges.select(
         F.col("u").alias("u1"), F.col("v").alias("v1"), F.col("w").alias("w_ab")
     )

@@ -494,58 +494,54 @@ def dedup_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     8 integer comparisons per candidate; the audit aggregate is
     <= 9-key bounded. <= 9 rows out.
     """
-    from ..functions.partitioning import cpu_repartition
+    from ..functions.partitioning import cpu_repartition, gated_broadcast
     from ..functions.textnorm import shingle_base_hash_udf
-    from .dedup import MERSENNE_P, N_MINHASH, SHINGLE_K, _minhash_cols
+    from .dedup import (
+        MERSENNE_P,
+        N_MINHASH,
+        SHINGLE_K,
+        _minhash_cols,
+        pair_intersections_table,
+    )
 
+    # Round-14 optimization: the blocked pair set + exact intersection
+    # sizes come off the session-materialized
+    # ``dedup.pair_intersections_table`` (one derivation, five
+    # consumers); the 8 signature components are recomputed once per
+    # document (a doc-sized table, gated-broadcast onto each pair
+    # side) instead of riding through the pair self-join. All the
+    # audit's integers are unchanged, so jac_micro/k and the oracle
+    # are value-identical.
     t = Tables(spark, sf_dir)
     bases_udf = shingle_base_hash_udf(SHINGLE_K)
-    keyed = (
+    sigs = (
         cpu_repartition(t.documents, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
-            bases_udf(F.col("text")).alias("hs"),
-        )
+        .select("doc_id", bases_udf(F.col("text")).alias("hs"))
         .filter(F.size("hs") > 0)
         .select(
             "doc_id",
-            "lang",
-            "len_bucket",
-            "hs",
             *_minhash_cols(F.transform(F.col("hs"), lambda x: x % MERSENNE_P)),
         )
-        .localCheckpoint(eager=False)  # feeds both join sides; hash once
     )
-    a = keyed.select(
+    pairs = pair_intersections_table(t).filter(F.col("lb_a") == F.col("lb_b"))
+    sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
-        "lang",
-        "len_bucket",
-        F.col("hs").alias("ha"),
         *[F.col(f"h{i}").alias(f"ha{i}") for i in range(N_MINHASH)],
     )
-    b = keyed.select(
+    sb = sigs.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("len_bucket").alias("len_bucket_b"),
-        F.col("hs").alias("hb"),
         *[F.col(f"h{i}").alias(f"hb{i}") for i in range(N_MINHASH)],
     )
     k = sum(
         F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
         for i in range(N_MINHASH)
     ).cast("long")
-    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
-    union = F.size("ha") + F.size("hb") - inter
+    inter = F.col("inter")
+    union = F.col("sa") + F.col("sb") - inter
     m6 = F.lit(1_000_000).cast("decimal(38,0)")
     jm = (
-        a.join(
-            b,
-            (F.col("lang") == F.col("lang_b"))
-            & (F.col("len_bucket") == F.col("len_bucket_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
+        pairs.join(gated_broadcast(sa), "doc_a")
+        .join(gated_broadcast(sb), "doc_b")
         .select(
             k.alias("k"),
             _halfup_div(m6 * _dec(inter), _dec(union)).alias("jac_micro"),

@@ -169,10 +169,21 @@ def stats_kpss_level_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dec(F.count(F.lit(1))).alias("y")
     )
     b0 = daily.select(F.col("day").alias("day_b"), F.col("y").alias("yb"))
+    # Round-14 optimization (guide §2.4/§7.3): this statistic
+    # references the rank/prefix-sum table from ~15 plan branches (tot,
+    # lvl, both Bartlett lag ladders, trp, tr_ss2) — the pre-change
+    # initial plan carried 274 Exchange / 154 BroadcastNestedLoopJoin
+    # nodes, so even with AQE stage reuse the driver re-plans a huge
+    # tree per stage. The table is ~2.4k rows — checkpoint it once (and
+    # the lvl/tr series below, each feeding 6+ branches), collapsing
+    # the plan to scans of three tiny checkpointed RDDs. Measured
+    # 4.84 -> 4.14 s min-of-6 back-to-back at sf0.1 (every run lower);
+    # values unchanged (deterministic input, exact integer columns).
     idx = (
         daily.join(F.broadcast(b0), F.col("day_b") <= F.col("day"))
         .groupBy("day", "y")
         .agg(_dec(F.count(F.lit(1))).alias("k"), F.sum("yb").alias("p"))
+        .localCheckpoint(eager=True)
     )
     tot = idx.agg(
         _dec(F.count(F.lit(1))).alias("n"),
@@ -181,10 +192,14 @@ def stats_kpss_level_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("k") * F.col("k")).alias("skk"),
         F.sum(F.col("k") * F.col("y")).alias("sky"),
     )
-    lvl = idx.crossJoin(F.broadcast(tot)).select(
-        "k",
-        (F.col("n") * F.col("y") - F.col("s")).alias("e"),
-        (F.col("n") * F.col("p") - F.col("k") * F.col("s")).alias("sp"),
+    lvl = (
+        idx.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            (F.col("n") * F.col("y") - F.col("s")).alias("e"),
+            (F.col("n") * F.col("p") - F.col("k") * F.col("s")).alias("sp"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     def bartlett(df, col):
@@ -220,11 +235,16 @@ def stats_kpss_level_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("b") * F.col("sk")
         - F.col("n") * F.col("b") * F.col("k")
     )
-    tr = idx.crossJoin(F.broadcast(coef)).select(
-        "k",
-        _halfup_div(
-            F.lit(KPSS_RES_SCALE).cast("decimal(38,0)") * rnum, F.col("n") * F.col("d")
-        ).alias("u"),
+    tr = (
+        idx.crossJoin(F.broadcast(coef))
+        .select(
+            "k",
+            _halfup_div(
+                F.lit(KPSS_RES_SCALE).cast("decimal(38,0)") * rnum,
+                F.col("n") * F.col("d"),
+            ).alias("u"),
+        )
+        .localCheckpoint(eager=True)
     )
     trb = tr.select(F.col("k").alias("kb"), F.col("u").alias("ub"))
     trp = (

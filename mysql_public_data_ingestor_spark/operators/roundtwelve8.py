@@ -82,10 +82,41 @@ def _wtri_oracle() -> str:
 
 
 def _wedges(t: Tables) -> DataFrame:
+    """Session-materialized weighted co-purchase edge list (u < v,
+    w = co-order multiplicity). SQL twin: ``_SQL_WEDGES``.
+
+    Round-14 optimization (the SCALE §5v candidate, executed): four
+    registered queries consume this derivation
+    (``graph_weighted_triangles``, ``graph_weighted_clustering_barrat``,
+    ``graph_pagerank_weighted``, ``graph_strength_assortativity``) and
+    each previously re-ran the basket pair generation + pair-count
+    aggregate (~2-4 s at sf0.1 apiece). Like ``graph.edge_table`` it
+    now materializes ONCE per (application, fixture) into the
+    warehouse, sorted by u so the src-keyed joins every consumer
+    starts with get run-length-friendly parquet. Values bit-identical:
+    the build below is the unchanged derivation and (u, v, w) are all
+    int64."""
+    from ..warehouse import ensure_table, fixture_tag
+
+    tag = fixture_tag(t.spark, t.sf_dir, ("lineitem.parquet",))
+    # NOTE: roundnine2.weighted_edge_table already owns the
+    # ``graph_wedges_<tag>`` name for the affinity-DISTANCE table
+    # (w = 1e6 div (cnt+1)); this is the raw co-order COUNT table, so
+    # it must carry a distinct name (caught by the round-14 full
+    # oracle-parity gate: the collision fed count weights into
+    # graph_weighted_sssp_seeds).
+    return ensure_table(
+        t.spark,
+        f"graph_cowedges_{tag}",
+        lambda: _wedges_build(t).sortWithinPartitions("u", "v"),
+    )
+
+
+def _wedges_build(t: Tables) -> DataFrame:
     """Weighted co-purchase edges (u < v, w = co-order multiplicity) —
     the same basket pair generation as ``graph._edges`` but keeping
-    multiplicity. SQL twin: ``_SQL_WEDGES``. Extracted in round 13 so
-    the Barrat weighted-clustering op shares ONE derivation with
+    multiplicity. Extracted in round 13 so the Barrat weighted-
+    clustering op shares ONE derivation with
     ``graph_weighted_triangles`` (the shared-derivation authoring rule
     added its consumer to ``_EVIDENCE_MIN_ROUND`` in the same commit)."""
     arr = F.sort_array(F.collect_set("l_partkey"))

@@ -35,6 +35,14 @@ def tune(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Arrow batch sizing (guide §4.2): the default 10k-records cap
+    # starves narrow numeric transfers (e.g. the C4 census ships one
+    # int64 per wedge through mapInArrow — measured 14.4 s at 10k
+    # records vs 10.5 s byte-bound). Raise the record cap and let
+    # Spark 4's byte cap (spark.sql.execution.arrow.maxBytesPerBatch,
+    # default 64 MB) bound memory for wide/binary rows — batches are
+    # min(records, bytes), so this is scale-safe for any row width.
+    conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1000000")
     # The events fixture stores TIMESTAMP(NANOS) which Spark's parquet
     # reader rejects by default; read as raw nanos (long) and convert in
     # the loader (tables.load_table) with exact integer division.
