@@ -357,6 +357,18 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
 
+    # VERDICT r14 item 7: the min-of-2 fold drops one-time warehouse
+    # materialization costs (they land only in the first consumer's
+    # cold run). Charge them visibly as a timed "derivations"
+    # pseudo-entry that counts toward the headline total — every
+    # bench invocation rebuilds every table from parquet (app-id
+    # fingerprints forbid cross-run reuse), so this is real computed
+    # work of the run, not an estimate. Old-style totals (excluding
+    # builds) stay available as value - queries["derivations"].
+    from mysql_public_data_ingestor_spark import warehouse
+
+    timings["derivations"] = round(sum(warehouse.BUILD_SECONDS.values()), 3)
+    cold["derivations"] = timings["derivations"]
     total = round(sum(timings.values()), 3)
     _report_deltas(timings, total, sf)
     # The harness that records this run keeps only a bounded tail of
@@ -364,20 +376,30 @@ def main() -> None:
     # outgrew it and the headline number was lost. So: full per-query
     # detail goes to stderr AND a sidecar file; the FINAL stdout line is
     # a compact summary guaranteed to fit any reasonable tail buffer.
+    from mysql_public_data_ingestor_spark.session import default_parallelism
+
+    cpus = default_parallelism()
     detail = {
         "metric": "headline_query_wall_seconds_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": cpus,
         "timing": "min_of_2_runs",
         "queries_cold": cold,
+        "derivation_builds": {
+            k: round(v, 3) for k, v in warehouse.BUILD_SECONDS.items()
+        },
     }
-    # The committed BENCH_DETAIL.json is the sf0.1 warm-run history the
-    # delta report diffs against; a run at any other scale (e.g. a
-    # make_scale_fixture ×10 directory) writes a per-sf sidecar instead
-    # of clobbering it with non-comparable numbers.
-    sidecar = "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
+    # The committed BENCH_DETAIL.json is the sf0.1 32-core warm-run
+    # history the delta report diffs against; a run at any other scale
+    # (e.g. a make_scale_fixture ×10 directory) or core count writes a
+    # per-sf/per-cpus sidecar instead of clobbering it with
+    # non-comparable numbers (VERDICT r14 item 5: the driver's 8-core
+    # run used to overwrite the 32-core sidecar).
+    stem = "BENCH_DETAIL" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}"
+    sidecar = f"{stem}.json" if cpus == 32 else f"{stem}_c{cpus}.json"
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), sidecar
     )
@@ -393,9 +415,13 @@ def main() -> None:
                 "metric": "headline_query_wall_seconds_total",
                 "value": total,
                 "unit": "sec",
-                "queries": {"all": total},
-                "n_queries": len(timings),
+                "queries": {
+                    "all": total,
+                    "derivations": timings["derivations"],
+                },
+                "n_queries": len(timings) - 1,  # minus the pseudo-entry
                 "sf": sf,
+                "cpus": cpus,
                 "timing": "min_of_2_runs",
                 "detail": sidecar,
             }

@@ -315,7 +315,17 @@ def pair_intersections_table(t: Tables) -> DataFrame:
     (Jaccard, containment, micro quantizations) computes bit-identical
     values from this table; consumers' DuckDB oracles are untouched.
     Materialized once per (application, fixture) — warehouse.py
-    fingerprint/app-id rules, no cross-run reuse."""
+    fingerprint/app-id rules, no cross-run reuse.
+
+    Size bound (ADVICE r14): the table is the full lang-blocked
+    quadratic candidate set — sum over languages of C(n_lang, 2) rows
+    (3.2M rows / ~90 MB parquet at sf0.1's ~5k docs/lang). It grows
+    with the square of per-language corpus size, so at corpus scales
+    where n_lang exceeds ~10^6 the 100 TB path is NOT this exact table
+    but the MinHash-LSH banding family (dedup_minhash_lsh etc.), which
+    bounds candidates per block by construction; this table is the
+    exact-similarity workbench the audit/curve queries are defined
+    over, and those queries' semantics are inherently pairwise."""
     from ..warehouse import ensure_table, fixture_tag
 
     tag = fixture_tag(t.spark, t.sf_dir, ("documents.parquet",))

@@ -290,7 +290,10 @@ def graph_square_count_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = wedge_p.repartition("p").mapInArrow(_cn_count_hist, "c long, m long")
     two = F.lit(2).cast("decimal(38,0)")
     agg = hist.agg(
-        F.sum("m").cast("long").alias("n_diag_pairs"),
+        # coalesce matches the oracle's count(*) = 0 on an empty edge
+        # set (ADVICE r14: a bare sum over the empty histogram is NULL;
+        # the oracle's other aggregates are sums/max and stay NULL)
+        F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("n_diag_pairs"),
         F.sum(F.when(F.col("c") >= 2, F.col("m")).otherwise(0))
         .cast("long")
         .alias("n_pairs_cn2"),

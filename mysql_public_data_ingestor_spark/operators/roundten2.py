@@ -2149,6 +2149,13 @@ def dedup_lsh_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingles. i_sz/u_sz are the identical integers, so the
     # histogram, the fold, and the oracle are unchanged.
     t = Tables(spark, sf_dir)
+    # NOTE (ADVICE r14): this JVM predicate (Java \s = ASCII whitespace)
+    # stands in for "the k-shingle UDF output is non-empty" (Python \s =
+    # Unicode whitespace). Equivalent on the fixtures' ASCII-whitespace
+    # corpora — word_shingles emits max(n-k+1, 0) shingles, so non-empty
+    # iff n >= k — but on text containing non-ASCII whitespace the token
+    # counts (hence block membership and row_number ranks) could shift;
+    # re-derive the capped set from the shingle UDF if such corpora land.
     keyed0 = t.documents.select(
         "doc_id",
         "lang",

@@ -237,21 +237,16 @@ def stats_mcleod_li_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .roundeleven7 import _bp_resid
 
     t = Tables(spark, sf_dir)
-    # Round-14 optimization (guide §2.4, the KPSS pattern): the ~2.4k-
-    # row squared-residual and centered series feed 10+ plan branches
-    # (c0, both sides of 7 lag joins, zt/q/nn chains), each of which
-    # re-executed the Breusch-Pagan residual derivation. Checkpoint
-    # both once; values unchanged (deterministic exact integers).
-    z = (
-        _bp_resid(t)
-        .select("k", (F.col("u") * F.col("u")).alias("z"))
-        .localCheckpoint(eager=True)
-    )
+    # Round-15 (guide §2.4; VERDICT r14 item 1): the round-14 eager
+    # localCheckpoints here serialized the residual build into every
+    # timed run (driver-contradicted, 3.09→6.36 s). `_bp_resid` is now
+    # a session-materialized warehouse table, so each of the 10+ plan
+    # branches (c0, both sides of 7 lag joins, zt/q/nn) re-reads a
+    # ~2.4k-row 2-column parquet scan — no checkpoint needed.
+    z = _bp_resid(t).select("k", (F.col("u") * F.col("u")).alias("z"))
     zt = z.agg(_dec(F.count(F.lit(1))).alias("n"), F.sum("z").alias("sz"))
-    zeta = (
-        z.crossJoin(F.broadcast(zt))
-        .select("k", (F.col("n") * F.col("z") - F.col("sz")).alias("c"), "n")
-        .localCheckpoint(eager=True)
+    zeta = z.crossJoin(F.broadcast(zt)).select(
+        "k", (F.col("n") * F.col("z") - F.col("sz")).alias("c"), "n"
     )
     c0 = zeta.agg(F.sum(F.col("c") * F.col("c")).alias("c0"))
     lags = z.sparkSession.range(1, ML_LAGS + 1).select(

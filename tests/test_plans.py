@@ -24,6 +24,30 @@ def q(name, spark, sf_dir):
     return SPECS[name].fn(spark, sf_dir)
 
 
+# Registry-wide audit support: the two whole-registry audits below each
+# need the physical plan of every audited query; planning 611 queries
+# is ~6 min of driver work, so (a) the plan STRING is computed once and
+# shared between them (r15: halves their combined cost), and (b) the
+# default smoke tier audits a deterministic 1-in-8 sample per test-tier
+# policy in conftest.py (SPARK_GRAFT_FULL_TESTS=1 audits all — the
+# round-end discipline).
+_PLAN_CACHE: dict[str, str] = {}
+
+
+def registry_plan(name, spark, sf_dir) -> str:
+    if name not in _PLAN_CACHE:
+        _PLAN_CACHE[name] = physical_plan(q(name, spark, sf_dir))
+    return _PLAN_CACHE[name]
+
+
+def registry_audit_names():
+    from conftest import FULL_TESTS, smoke_tier_keeps
+
+    if FULL_TESTS:
+        return list(SPECS)
+    return [n for n in SPECS if smoke_tier_keeps(n)]
+
+
 def test_q1_filter_pushed_and_schema_pruned(spark, sf_dir):
     df = q("q1_pricing_summary", spark, sf_dir)
     pushed = pushed_filters(df)
@@ -567,10 +591,10 @@ def test_registry_single_partition_only_feeds_final_aggregates(spark, sf_dir):
         return out
 
     offenders = {}
-    for name in SPECS:
+    for name in registry_audit_names():
         if name in SINGLE_PARTITION_ALLOWLIST:
             continue
-        plan = physical_plan(q(name, spark, sf_dir))
+        plan = registry_plan(name, spark, sf_dir)
         bad = [c for c in sp_consumers(plan)
                if c not in ("HashAggregate", "ObjectHashAggregate", "SortAggregate")]
         if bad:
@@ -604,10 +628,8 @@ def test_registry_no_cartesian_products(spark, sf_dir):
     row) remain legal — assert_no_cartesian only forbids the O(N*M)
     shape."""
     offenders = []
-    for name in SPECS:
-        try:
-            assert_no_cartesian(q(name, spark, sf_dir))
-        except AssertionError:
+    for name in registry_audit_names():
+        if "CartesianProduct" in registry_plan(name, spark, sf_dir):
             offenders.append(name)
     assert not offenders, offenders
 
